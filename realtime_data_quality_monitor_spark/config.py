@@ -1,0 +1,85 @@
+"""Pinned pipeline contract constants.
+
+These pin every semantic the reference leaves implicit or
+non-deterministic (see SURVEY.md §7.4 "parity contract"):
+
+* the reference reads the wall clock per record
+  (``flink/src/quality_checker.py:144``) — we pin ``NOW`` as a job
+  parameter so runs are reproducible;
+* dimension weights come from ``flink/src/quality_checker.py:389-396``;
+* the 300 s max-latency bound comes from ``flink/config.py:17``;
+* alert thresholds come from ``flink/config.py:20-22`` and
+  ``flink/src/kafka_consumer.py:36-39``;
+* the "critical record" cutoff (overall < 50) comes from
+  ``flink/src/quality_checker.py:58``.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+# ---------------------------------------------------------------------------
+# Job clock (reference: datetime.utcnow() per record — irreproducible).
+# Everything downstream takes `now` as a parameter; this is the default
+# used by fixtures and tests.
+# ---------------------------------------------------------------------------
+NOW_UTC = datetime.datetime(2026, 8, 16, 0, 0, 0, tzinfo=datetime.timezone.utc)
+NOW_UTC_STR = "2026-08-16 00:00:00"
+NOW_EPOCH = int(NOW_UTC.timestamp())  # 1781568000
+
+# ---------------------------------------------------------------------------
+# Input schema contract (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+REQUIRED_FIELDS = ["conv_id", "turn_idx", "role", "text", "ts"]  # completeness
+CONV_ID_PREFIX = "CONV-"
+ROLES = ["system", "user", "assistant", "tool"]
+TOOL_NAME_PATTERN = r"^tool_[a-z0-9_]+$"
+
+# ---------------------------------------------------------------------------
+# Dimension weights — quality_checker.py:389-396 (sum to 1.0)
+# ---------------------------------------------------------------------------
+WEIGHTS = {
+    "completeness": 0.25,
+    "timeliness": 0.15,
+    "accuracy": 0.20,
+    "consistency": 0.15,
+    "uniqueness": 0.10,
+    "validity": 0.15,
+}
+DIMENSIONS = list(WEIGHTS)  # canonical order, also the issue-concat order
+
+# ---------------------------------------------------------------------------
+# Rule bounds
+# ---------------------------------------------------------------------------
+MAX_LATENCY_SECONDS = 300          # flink/config.py:17
+TEXT_MIN_LEN = 1
+TEXT_MAX_LEN = 32768               # FIXTURES.md length_bounds defect
+MAX_AVG_NLL = 2.0                  # validity: char-bigram neg-log10-prob bound
+MAX_REPETITION = 0.30              # validity: duplicated-word-bigram fraction
+EXPECTED_LANG = "en"
+CRITICAL_SCORE = 50.0              # quality_checker.py:58
+
+# ---------------------------------------------------------------------------
+# Alert thresholds — flink/config.py:20-22, kafka_consumer.py:36-39
+# ---------------------------------------------------------------------------
+QUALITY_WARNING_THRESHOLD = 90.0   # clean-rate % below -> WARNING
+QUALITY_CRITICAL_THRESHOLD = 80.0  # clean-rate % below -> CRITICAL
+ISSUE_RATE_THRESHOLD = 40.0        # issue-rate % above -> WARNING
+CRITICAL_COUNT_THRESHOLD = 100     # critical records above -> CRITICAL
+
+# ---------------------------------------------------------------------------
+# Severity map — substring dispatch, first match wins
+# (kafka_consumer.py:307-318, remapped onto transcript issue strings:
+#  the reference's two "identity" fields order_id/customer_id map to
+#  conv_id/turn_idx).
+# ---------------------------------------------------------------------------
+SEVERITY_RULES = [
+    # (substring tuple -> severity); evaluated in order, first match wins
+    (("missing_conv_id", "missing_turn_idx"), "critical"),
+    (("duplicate",), "high"),
+    (("invalid", "inconsistent"), "medium"),
+    (("high_latency",), "medium"),
+]
+SEVERITY_DEFAULT = "low"
+SEVERITY_ORDER = ["critical", "high", "medium", "low"]

@@ -1,0 +1,1 @@
+"""PySpark-native data-quality engine (see SURVEY.md)."""

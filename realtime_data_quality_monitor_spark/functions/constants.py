@@ -1,0 +1,206 @@
+"""Versioned data constants for the text-quality UDF stack and the scrubber.
+
+These are part of the parity contract (SURVEY.md §7.4): the scrubbed text
+must be byte-identical between the Spark pipeline and the pure-Python test
+oracle, so the regex set, replacement tokens, application order, language
+profiles and the perplexity model are all pinned here and imported by both
+sides. Logic is intentionally NOT shared (the oracle reimplements it); only
+data constants are.
+
+All content is original / public-knowledge (common stopword lists, standard
+PII regex shapes). No external model files — the environment is hermetic, so
+the fastText / KenLM roles from the north star are filled by deterministic
+pure-Python equivalents with the same pipeline shape (Arrow-batched pandas
+UDFs, model state built once per executor at import time).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Language-ID profiles (fastText stand-in): top stopwords per language.
+# Token-level exact match after lowercasing. Deterministic argmax with
+# fixed tie-break order LANGID_LANGS; zero hits -> "unknown".
+# ---------------------------------------------------------------------------
+LANGID_LANGS = ["en", "es", "fr", "de"]
+
+LANGID_STOPWORDS = {
+    "en": [
+        "the", "and", "is", "of", "to", "in", "that", "it", "was", "for",
+        "you", "with", "as", "on", "at", "this", "have", "are", "be", "not",
+        "we", "they", "from", "but", "his", "her", "which", "can", "will",
+        "all",
+    ],
+    "es": [
+        "el", "la", "de", "que", "y", "en", "los", "se", "del", "las",
+        "por", "un", "para", "con", "una", "su", "es", "al", "lo", "como",
+        "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+        "esta",
+    ],
+    "fr": [
+        "le", "la", "de", "et", "les", "des", "un", "une", "du", "est",
+        "dans", "que", "pour", "qui", "sur", "pas", "au", "ce", "il", "ne",
+        "je", "vous", "nous", "par", "plus", "avec", "son", "se", "cette",
+        "aux",
+    ],
+    "de": [
+        "der", "die", "und", "das", "den", "von", "zu", "mit", "ist",
+        "des", "im", "ein", "eine", "auf", "für", "als", "auch", "an",
+        "nicht", "sich", "dem", "werden", "aus", "er", "hat", "dass", "sie",
+        "nach", "wird", "bei",
+    ],
+}
+
+# ---------------------------------------------------------------------------
+# Character-bigram language model (KenLM stand-in).
+# Built at import time from this embedded English corpus (original text),
+# add-one smoothed, log10 probabilities rounded to 6 decimals so the model
+# is a pure data table — no runtime transcendental math beyond + and /.
+# Normalization: lowercase; [a-z] kept; everything else collapses to ' ';
+# runs of spaces collapse; string is framed with a leading/trailing space.
+# Score: avg negative log10 prob per bigram; unseen bigram -> OOV_LOG10.
+# ---------------------------------------------------------------------------
+LM_CORPUS = (
+    "the quick brown fox jumps over the lazy dog while the patient reader "
+    "follows along with every word on the page because language models need "
+    "a steady supply of ordinary english sentences to learn which letters "
+    "tend to follow which other letters in common writing the weather today "
+    "is calm and bright with a gentle wind from the north and people walk "
+    "through the park talking about their plans for the weekend a good data "
+    "pipeline checks every record for missing values strange formats and "
+    "duplicate entries before it writes anything to storage engineers "
+    "prefer simple designs that scale well under heavy load and fail in "
+    "predictable ways when something goes wrong the system should report "
+    "the problem clearly and continue processing the remaining work "
+    "students read books and write short essays about history science and "
+    "art each morning the market opens and traders watch prices move while "
+    "analysts update their reports customers ask questions and assistants "
+    "answer them with helpful clear and honest information every "
+    "conversation has turns and each turn has a role a time stamp and some "
+    "text that may be long or short clean or noisy the filter keeps the "
+    "good turns and drops the bad ones counting what it sees along the way"
+)
+LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+LM_OOV_LOG10 = -4.0  # log10 prob assigned to bigrams unseen in the corpus
+
+
+def _build_bigram_log10() -> dict:
+    """Deterministic add-one-smoothed char-bigram model from LM_CORPUS.
+
+    Returns {prev_char + char: round(log10 p(char|prev), 6)}. Integer
+    counts + one division + one log per table cell at import time; runtime
+    scoring is pure table lookup and addition, so the Spark UDF and the
+    test oracle produce bit-identical doubles.
+    """
+    import math
+
+    text = " " + _lm_normalize(LM_CORPUS) + " "
+    counts: dict = {}
+    prev_totals: dict = {}
+    for a, b in zip(text, text[1:]):
+        counts[a + b] = counts.get(a + b, 0) + 1
+        prev_totals[a] = prev_totals.get(a, 0) + 1
+    v = len(LM_ALPHABET)
+    table = {}
+    for bigram, c in counts.items():
+        p = (c + 1) / (prev_totals[bigram[0]] + v)
+        table[bigram] = round(math.log10(p), 6)
+    return table
+
+
+def _lm_normalize(text: str) -> str:
+    """Pinned normalization for the bigram model: lowercase, non [a-z]
+    becomes space, space runs collapse, outer spaces stripped."""
+    out = []
+    prev_space = True
+    for ch in text.lower():
+        if "a" <= ch <= "z":
+            out.append(ch)
+            prev_space = False
+        else:
+            if not prev_space:
+                out.append(" ")
+            prev_space = True
+    s = "".join(out)
+    return s[:-1] if s.endswith(" ") else s
+
+
+LM_BIGRAM_LOG10 = _build_bigram_log10()
+
+# ---------------------------------------------------------------------------
+# PII scrub patterns (compiled-regex stage; north_star).
+# Applied IN THIS ORDER, each globally, then the toxicity lexicon.
+# Replacement tokens are chosen so no pattern matches any token ->
+# the scrub is idempotent (property-tested).
+# ---------------------------------------------------------------------------
+PII_PATTERNS = [
+    # (name, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "[SSN]"),
+    (
+        "phone",
+        r"(?<![\dA-Za-z])(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?![\dA-Za-z])",
+        "[PHONE]",
+    ),
+    (
+        "api_key",
+        r"(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36,40}"
+        r"|(?i:api[_-]?key|secret|token)\s*[:=]\s*[A-Za-z0-9_\-]{12,})",
+        "[API_KEY]",
+    ),
+]
+
+# Placeholder toxicity lexicon (real deployments swap in a full list; the
+# mechanism — word-boundary regex union, longest-first — is what's tested).
+TOXICITY_LEXICON = [
+    "dumbass", "jackass", "dipshit", "bullshit", "asshole", "bastard",
+    "moron", "idiot", "stupid", "shit", "damn", "crap", "hell",
+]
+TOXICITY_REPLACEMENT = "[REDACTED]"
+
+# ---------------------------------------------------------------------------
+# Synthetic-transcript generator vocabulary (sources/transcripts.py).
+# Every 3rd word is drawn from the English stopword list so the langid
+# profile fires on clean rows; the rest from this list of ordinary words
+# well covered by the bigram model.
+# ---------------------------------------------------------------------------
+GEN_WORDS = [
+    "system", "record", "value", "check", "filter", "stream", "table",
+    "report", "answer", "question", "morning", "market", "price", "plan",
+    "water", "light", "paper", "letter", "reader", "writer", "number",
+    "window", "engine", "design", "simple", "steady", "gentle", "clear",
+    "honest", "helpful", "common", "ordinary", "storage", "format",
+    "entry", "problem", "work", "turn", "role", "text", "time", "page",
+    "word", "park", "wind", "north", "weekend", "people", "student",
+    "book", "essay", "history", "science", "art", "trader", "analyst",
+    "customer", "assistant", "conversation", "language", "model", "load",
+    "scale", "way",
+]
+
+GEN_SENTENCES_ES = [
+    "el gato de la casa es muy grande y los perros del parque corren por la calle con una pelota para su dueño",
+    "la familia fue al mercado por la mañana y compró pan con queso para el desayuno de los niños en la mesa",
+]
+GEN_SENTENCES_FR = [
+    "le chat de la maison est dans le jardin et les enfants jouent avec une balle pour le plaisir du matin",
+    "nous allons au marché le matin pour acheter du pain et du fromage avec les voisins de la rue qui ne dorment pas",
+]
+GEN_SENTENCES_DE = [
+    "der hund und die katze sind im garten mit den kindern und das wetter ist heute nicht schlecht für einen spaziergang",
+    "die familie geht am morgen auf den markt und kauft brot mit käse für das frühstück der kinder an dem tisch",
+]
+GEN_GIBBERISH = [
+    "xq zvkj qwpf jxv tqz kvx pqj zxw vqk jzp xwv qkz " * 8,
+    ("na " * 200).strip(),
+    "asdkfj qwerpoiu zxcvmnb lkjhgfd qpwoeiru tyzxcnm vbnmqwe rtyuiop " * 4,
+]
+GEN_PII_SNIPPETS = [
+    " you can reach me at jane.doe@example.com for details",
+    " my number is 415-555-0132 if you need it",
+    " the ssn on file is 123-45-6789 for the form",
+    " use api_key=sk4f8b2c9d1e6a7b3c8d9e0f1a2b3c4d for the sandbox",
+]
+GEN_TOX_SNIPPETS = [
+    " that plan is bullshit and you know it",
+    " only a moron would ship this design",
+    " the damn report is late again",
+]

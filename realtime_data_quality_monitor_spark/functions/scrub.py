@@ -1,0 +1,44 @@
+"""Compiled-regex PII scrub + toxicity-lexicon redaction (north_star stage).
+
+No reference counterpart (the reference stores raw order JSON into Postgres,
+postgres_writer.py:80); the north star adds this as the stage that runs on
+kept turns after the keep/drop decision.
+
+Byte-determinism contract (SURVEY.md §7.4): patterns, replacement tokens and
+application order are the versioned constants in functions/constants.py;
+patterns apply in list order, each globally, PII first then toxicity.
+Idempotence (scrub(scrub(x)) == scrub(x)) is property-tested.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .constants import PII_PATTERNS, TOXICITY_LEXICON, TOXICITY_REPLACEMENT
+
+_COMPILED_PII = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
+# Longest-first union keeps e.g. "bullshit" from being matched as "shit";
+# \b anchors make the order mostly moot, but we pin it anyway.
+_TOX_UNION = re.compile(
+    r"\b(?:" + "|".join(sorted(map(re.escape, TOXICITY_LEXICON), key=len, reverse=True)) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def scrub_text(text: str) -> str:
+    """Apply every PII pattern in order, then the toxicity union."""
+    for _name, rx, repl in _COMPILED_PII:
+        text = rx.sub(repl, text)
+    return _TOX_UNION.sub(TOXICITY_REPLACEMENT, text)
+
+
+def scrub_findings(text: str) -> list:
+    """Lineage helper: names of pattern families that fired, in scrub order."""
+    found = []
+    for name, rx, repl in _COMPILED_PII:
+        if rx.search(text):
+            found.append(name)
+        text = rx.sub(repl, text)
+    if _TOX_UNION.search(text):
+        found.append("toxicity")
+    return found

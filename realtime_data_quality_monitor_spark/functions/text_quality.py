@@ -1,0 +1,108 @@
+"""Deterministic text-quality primitives: language ID + n-gram NLL.
+
+These fill the fastText / KenLM roles from the north star with hermetic,
+dependency-free equivalents (the container has no model artifacts). The
+pipeline shape is the real thing — Arrow-batched pandas UDFs with
+executor-local model state built once at import (see functions/udfs.py);
+only the model weights are stand-ins.
+
+Structural template in the reference: the per-record rule loop at
+flink/src/quality_checker.py:378-383 (each check returns score + issues);
+here the per-turn text features feed the validity dimension
+(quality_checker.py:308-358 analog, see operators/rules.py).
+
+Determinism contract: scoring is table lookup + float add + one divide,
+in a fixed left-to-right order, so results are bit-identical between the
+Spark UDF and the pure-Python test oracle (no libm calls at runtime).
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    LANGID_LANGS,
+    LANGID_STOPWORDS,
+    LM_BIGRAM_LOG10,
+    LM_OOV_LOG10,
+)
+
+_STOPSETS = [(lang, frozenset(LANGID_STOPWORDS[lang])) for lang in LANGID_LANGS]
+
+
+def tokenize(text: str) -> list:
+    """Whitespace tokens of the trimmed text, empty tokens dropped."""
+    return [t for t in text.split() if t]
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile argmax over LANGID_LANGS.
+
+    Exact token match after lowercasing. Ties break in LANGID_LANGS
+    order; zero hits across all profiles -> "unknown".
+    """
+    tokens = [t.lower() for t in tokenize(text)]
+    if not tokens:
+        return "unknown"
+    best_lang = "unknown"
+    best_hits = 0
+    for lang, stopset in _STOPSETS:
+        hits = 0
+        for t in tokens:
+            if t in stopset:
+                hits += 1
+        if hits > best_hits:  # strict > keeps first-listed lang on ties
+            best_hits = hits
+            best_lang = lang
+    return best_lang
+
+
+def lm_normalize(text: str) -> str:
+    """Pinned normalization for the bigram model (see constants)."""
+    out = []
+    prev_space = True
+    for ch in text.lower():
+        if "a" <= ch <= "z":
+            out.append(ch)
+            prev_space = False
+        else:
+            if not prev_space:
+                out.append(" ")
+            prev_space = True
+    s = "".join(out)
+    return s[:-1] if s.endswith(" ") else s
+
+
+def avg_neg_logprob(text: str) -> float:
+    """Average negative log10 probability per character bigram.
+
+    The KenLM-perplexity stand-in: higher = less English-like. Framed
+    with leading/trailing space like the training pass; empty normalized
+    text scores 0.0 (the "absent" case is handled upstream by the
+    silent-miss rule semantics).
+    """
+    norm = lm_normalize(text)
+    if not norm:
+        return 0.0
+    framed = " " + norm + " "
+    total = 0.0
+    n = 0
+    get = LM_BIGRAM_LOG10.get
+    prev = framed[0]
+    for ch in framed[1:]:
+        total += get(prev + ch, LM_OOV_LOG10)
+        n += 1
+        prev = ch
+    return -total / n
+
+
+def repetition_ratio(text: str) -> float:
+    """Duplicated word-bigram fraction: 1 - distinct_bigrams/total_bigrams.
+
+    0.0 for texts with fewer than 2 tokens. Mirrors the native Column
+    implementation in operators/rules.py (used there; this function is the
+    reference semantics + oracle building block).
+    """
+    tokens = tokenize(text)
+    if len(tokens) < 2:
+        return 0.0
+    bigrams = [tokens[i] + " " + tokens[i + 1] for i in range(len(tokens) - 1)]
+    return 1.0 - len(set(bigrams)) / len(bigrams)

@@ -1,0 +1,51 @@
+"""Arrow-batched pandas UDFs — the only Python in the hot path.
+
+Design (SURVEY.md §4.2): exactly two UDF stages, both Series-batched via
+Arrow, with model state (bigram table, stopword sets, compiled regexes)
+built once per executor at module import — the public-Spark idiom for
+shipping model artifacts (spark-submit --py-files + module-level init).
+
+Everything else in the pipeline is native Column algebra inside
+whole-stage codegen; these UDFs carry only what Catalyst genuinely cannot
+express (dictionary-model scoring, compiled-regex substitution with
+backtracking features like lookbehind that Spark's regexp_replace lacks).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from .scrub import scrub_text
+from .text_quality import avg_neg_logprob, detect_language
+
+_FEATURES_TYPE = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("nll", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_FEATURES_TYPE)
+def text_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-turn language ID + char-bigram NLL; null in -> nulls out."""
+    langs = []
+    nlls = []
+    for t in texts:
+        if t is None:
+            langs.append(None)
+            nlls.append(None)
+        else:
+            langs.append(detect_language(t))
+            nlls.append(avg_neg_logprob(t))
+    return pd.DataFrame({"lang": langs, "nll": nlls})
+
+
+@pandas_udf(StringType())
+def scrub_udf(texts: pd.Series) -> pd.Series:
+    """PII + toxicity scrub; null in -> null out (drop-rows are not scrubbed)."""
+    return pd.Series(
+        [None if t is None else scrub_text(t) for t in texts], dtype="object"
+    )

@@ -1,0 +1,364 @@
+"""The 6-dimension quality rule engine as Catalyst-native column algebra.
+
+Reimplements the semantics of the reference's per-record Python loop
+(flink/src/quality_checker.py: check_completeness:100-126,
+check_timeliness:128-173, check_accuracy:175-229, check_consistency:231-278,
+check_uniqueness:280-306, check_validity:308-358, check_all:360-426) over
+the transcript schema (conv_id, turn_idx, role, text, tool, ts), per the
+dimension mapping in SURVEY.md §7.3.
+
+Shape preserved from the reference, per dimension:
+  * each check is counted; a present-and-valid value passes; a
+    present-and-invalid value emits an issue string; an ABSENT value is a
+    counted check with no pass and NO issue string ("silent miss",
+    quality_checker.py:190-220) — only completeness emits missing_*;
+  * score = passed/checks*100, rounded to 2dp (uniqueness is exact 0/100,
+    unrounded, like quality_checker.py:298);
+  * overall = 0.25*comp + 0.15*time + 0.20*acc + 0.15*cons + 0.10*uniq
+    + 0.15*val, rounded 2dp (quality_checker.py:389-396);
+  * issues concatenate in dimension order (quality_checker.py:399-406);
+  * keep <=> no issues (clean-record rule, quality_checker.py:54-61);
+    is_critical <=> overall < 50 (quality_checker.py:58).
+
+Deviations pinned by contract (SURVEY.md §7.4): the job clock `now` is a
+parameter (reference reads the wall clock at quality_checker.py:144); the
+uniqueness state-set with arbitrary eviction (quality_checker.py:89-98)
+becomes deterministic first-wins window dedup.
+
+Scale design: ONE hash repartition on conv_id feeds all three cross-turn
+window computations — Window.partitionBy(conv_id, X) is satisfied by
+hashpartitioning(conv_id) (subset rule), so no second shuffle. Everything
+row-local is whole-stage-codegen'd; the two pandas UDFs are Arrow-batched.
+Hot conversations are bounded by the generator contract / upstream
+chunking (see SURVEY.md §7.5); AQE handles post-shuffle coalescing.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions.udfs import scrub_udf, text_features_udf
+
+_US = 1_000_000
+
+
+def _order_keys() -> list:
+    """Pinned total-order tie-break chain for all conv-scoped windows."""
+    return [
+        F.col("turn_idx").asc_nulls_last(),
+        F.col("ts").asc_nulls_last(),
+        F.col("role").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
+    ]
+
+
+def _filter_nonnull(arr: Column) -> Column:
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def _issues(*conditional_items: tuple) -> Column:
+    """Ordered issue array from (condition, string-column) pairs."""
+    return _filter_nonnull(
+        F.array(*[F.when(cond, s) for cond, s in conditional_items])
+    )
+
+
+def with_quality(
+    df: DataFrame,
+    now: datetime.datetime | None = None,
+    expected_lang: str = config.EXPECTED_LANG,
+    repartition: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append per-turn quality columns to a transcript DataFrame.
+
+    Input: the 6 input_hint columns (extra columns pass through).
+    Output adds: completeness_score .. validity_score, latency_seconds,
+    lang, overall_score, issues, issue_count, has_issues, keep,
+    is_critical, severity_max, scrubbed_text.
+    """
+    now = now or config.NOW_UTC
+    now_us = int(now.timestamp()) * _US
+
+    if repartition:
+        if num_partitions:
+            df = df.repartition(num_partitions, "conv_id")
+        else:
+            df = df.repartition("conv_id")
+
+    w_conv = Window.partitionBy("conv_id").orderBy(*_order_keys())
+    norm_text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w_text = Window.partitionBy("conv_id", norm_text).orderBy(*_order_keys())
+
+    conv_id, turn_idx, role, text, tool, ts = (
+        F.col(c) for c in config.TRANSCRIPT_COLUMNS
+    )
+    blank = text.isNull() | (F.trim(text) == "")
+    text_present = ~blank
+
+    # ---- cross-turn features (single conv_id shuffle serves all three) ----
+    df = df.withColumns(
+        {
+            "_prev_turn_idx": F.lag("turn_idx").over(w_conv),
+            "_is_first_in_conv": F.row_number().over(w_conv) == 1,
+            "_dup_turn": (
+                conv_id.isNotNull()
+                & turn_idx.isNotNull()
+                & (F.lag("turn_idx").over(w_conv) == turn_idx)
+            ),
+            "_dup_text": (
+                conv_id.isNotNull()
+                & text_present
+                & (F.row_number().over(w_text) > 1)
+            ),
+        }
+    )
+
+    # ---- per-turn text features (one Arrow UDF stage) ----
+    df = df.withColumn(
+        "_feat", text_features_udf(F.when(text_present, text))
+    )
+    lang = F.col("_feat.lang")
+    nll = F.col("_feat.nll")
+
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    ntok = F.size(tokens)
+    bigrams = F.zip_with(
+        F.slice(tokens, 1, ntok - 1),
+        F.slice(tokens, 2, ntok - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    repetition = F.when(ntok < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    )
+
+    # ---- completeness (quality_checker.py:100-126 analog) ----
+    comp_issues = _issues(
+        (conv_id.isNull(), F.lit("missing_conv_id")),
+        (turn_idx.isNull(), F.lit("missing_turn_idx")),
+        (role.isNull(), F.lit("missing_role")),
+        (blank, F.lit("missing_text")),
+        (ts.isNull(), F.lit("missing_ts")),
+    )
+    comp_score = F.round(
+        (F.lit(len(config.REQUIRED_FIELDS)) - F.size(comp_issues))
+        / F.lit(len(config.REQUIRED_FIELDS))
+        * 100,
+        2,
+    )
+
+    # ---- timeliness (quality_checker.py:128-173 analog) ----
+    latency = (F.lit(now_us) - F.unix_micros(ts)) / F.lit(float(_US))
+    lat_abs = F.abs(latency)
+    max_lat = F.lit(float(config.MAX_LATENCY_SECONDS))
+    time_issues = F.when(
+        ts.isNull(), F.array(F.lit("invalid_timestamp"))
+    ).otherwise(
+        _issues(
+            (
+                latency > max_lat,
+                F.format_string("high_latency_%ds", latency.cast("long")),
+            ),
+            (latency < 0, F.lit("future_timestamp")),
+        )
+    )
+    time_score = F.when(ts.isNull(), F.lit(0.0)).otherwise(
+        F.round(
+            F.when(lat_abs <= max_lat, F.lit(100.0)).otherwise(
+                F.greatest(
+                    F.lit(0.0), F.lit(100.0) - (lat_abs - max_lat) / F.lit(60.0)
+                )
+            ),
+            2,
+        )
+    )
+    latency_out = F.when(ts.isNull(), F.lit(0.0)).otherwise(lat_abs)
+
+    # ---- accuracy: 4 counted checks (quality_checker.py:175-229 analog) ----
+    a1_pass = turn_idx.isNotNull() & (turn_idx >= 0)
+    a1_issue = turn_idx.isNotNull() & (turn_idx < 0)
+    a2_pass = role.isNotNull() & role.isin(config.ROLES)
+    a2_issue = role.isNotNull() & ~role.isin(config.ROLES)
+    tlen = F.length(text)
+    a3_pass = text.isNotNull() & tlen.between(
+        config.TEXT_MIN_LEN, config.TEXT_MAX_LEN
+    )
+    a3_issue = text.isNotNull() & ~tlen.between(
+        config.TEXT_MIN_LEN, config.TEXT_MAX_LEN
+    )
+    is_tool_role = role.isNotNull() & (role == "tool")
+    tool_ok = tool.isNotNull() & tool.rlike(config.TOOL_NAME_PATTERN)
+    a4_pass = F.when(is_tool_role, tool_ok).otherwise(tool.isNull())
+    a4_invalid = is_tool_role & tool.isNotNull() & ~tool.rlike(
+        config.TOOL_NAME_PATTERN
+    )
+    a4_unexpected = ~is_tool_role & tool.isNotNull()
+    acc_issues = _issues(
+        (a1_issue, F.format_string("invalid_turn_idx_%d", turn_idx)),
+        (a2_issue, F.concat(F.lit("invalid_role_"), role)),
+        (a3_issue, F.format_string("invalid_text_length_%d", tlen)),
+        (a4_invalid, F.lit("invalid_tool_format")),
+        (a4_unexpected, F.lit("unexpected_tool_value")),
+    )
+    acc_passed = sum(p.cast("int") for p in (a1_pass, a2_pass, a3_pass, a4_pass))
+    acc_score = F.round(acc_passed / F.lit(4) * 100, 2)
+
+    # ---- consistency: 3 counted checks (quality_checker.py:231-278) ----
+    c1_pass = conv_id.isNotNull() & conv_id.startswith(config.CONV_ID_PREFIX)
+    c1_issue = conv_id.isNotNull() & ~conv_id.startswith(config.CONV_ID_PREFIX)
+    role_canon = role.isNotNull() & (role == F.lower(role)) & (role == F.trim(role))
+    c2_pass = role_canon
+    c2_issue = role.isNotNull() & ~(
+        (role == F.lower(role)) & (role == F.trim(role))
+    )
+    prev = F.col("_prev_turn_idx")
+    contig_present = conv_id.isNotNull() & turn_idx.isNotNull()
+    c3_ok = F.when(F.col("_is_first_in_conv"), turn_idx == 0).otherwise(
+        prev.isNotNull() & (turn_idx - prev).isin(0, 1)
+    )
+    c3_pass = contig_present & c3_ok
+    c3_issue = contig_present & ~c3_ok
+    cons_issues = _issues(
+        (c1_issue, F.lit("inconsistent_conv_id_format")),
+        (c2_issue, F.lit("inconsistent_role_format")),
+        (c3_issue, F.format_string("inconsistent_turn_order_%d", turn_idx)),
+    )
+    cons_passed = sum(p.cast("int") for p in (c1_pass, c2_pass, c3_pass))
+    cons_score = F.round(cons_passed / F.lit(3) * 100, 2)
+
+    # ---- uniqueness: first-wins window dedup (quality_checker.py:280-306;
+    #      deterministic replacement for the 10k-id set, SURVEY §7.4) ----
+    dup_turn = F.col("_dup_turn")
+    dup_text = F.col("_dup_text")
+    uniq_issues = _issues(
+        (dup_turn, F.format_string("duplicate_turn_%d", turn_idx)),
+        (dup_text, F.lit("duplicate_text")),
+    )
+    uniq_score = F.when(dup_turn | dup_text, F.lit(0.0)).otherwise(F.lit(100.0))
+
+    # ---- validity: 3 counted checks over text features
+    #      (quality_checker.py:308-358 analog; north_star langid/ppl/rep) ----
+    v1_pass = text_present & (lang == expected_lang)
+    v1_issue = text_present & (lang != expected_lang)
+    v2_pass = text_present & (nll <= config.MAX_AVG_NLL)
+    v2_issue = text_present & (nll > config.MAX_AVG_NLL)
+    v3_pass = text_present & (repetition <= config.MAX_REPETITION)
+    v3_issue = text_present & (repetition > config.MAX_REPETITION)
+    val_issues = _issues(
+        (v1_issue, F.concat(F.lit("invalid_language_"), lang)),
+        (v2_issue, F.format_string("invalid_perplexity_%.2f", nll)),
+        (v3_issue, F.format_string("invalid_repetition_%.2f", repetition)),
+    )
+    val_passed = sum(p.cast("int") for p in (v1_pass, v2_pass, v3_pass))
+    val_score = F.round(val_passed / F.lit(3) * 100, 2)
+
+    # ---- compose (check_all, quality_checker.py:360-426) ----
+    df = df.withColumns(
+        {
+            "completeness_score": comp_score,
+            "timeliness_score": time_score,
+            "accuracy_score": acc_score,
+            "consistency_score": cons_score,
+            "uniqueness_score": uniq_score,
+            "validity_score": val_score,
+            "latency_seconds": latency_out,
+            "lang": lang,
+            "_comp_issues": comp_issues,
+            "_time_issues": time_issues,
+            "_acc_issues": acc_issues,
+            "_cons_issues": cons_issues,
+            "_uniq_issues": uniq_issues,
+            "_val_issues": val_issues,
+        }
+    )
+    w = config.WEIGHTS
+    overall = F.round(
+        F.col("completeness_score") * w["completeness"]
+        + F.col("timeliness_score") * w["timeliness"]
+        + F.col("accuracy_score") * w["accuracy"]
+        + F.col("consistency_score") * w["consistency"]
+        + F.col("uniqueness_score") * w["uniqueness"]
+        + F.col("validity_score") * w["validity"],
+        2,
+    )
+    issues = F.concat(
+        F.col("_comp_issues"),
+        F.col("_time_issues"),
+        F.col("_acc_issues"),
+        F.col("_cons_issues"),
+        F.col("_uniq_issues"),
+        F.col("_val_issues"),
+    )
+    df = df.withColumns(
+        {
+            "overall_score": overall,
+            "issues": issues,
+        }
+    )
+    df = df.withColumns(
+        {
+            "issue_count": F.size("issues"),
+            "has_issues": F.size("issues") > 0,
+            "keep": F.size("issues") == 0,
+            "is_critical": F.col("overall_score") < config.CRITICAL_SCORE,
+            "severity_max": severity_max_col(F.col("issues")),
+        }
+    )
+    df = df.withColumn(
+        "scrubbed_text", scrub_udf(F.when(F.col("keep"), text))
+    )
+    return df.drop(
+        "_prev_turn_idx",
+        "_is_first_in_conv",
+        "_dup_turn",
+        "_dup_text",
+        "_feat",
+        "_comp_issues",
+        "_time_issues",
+        "_acc_issues",
+        "_cons_issues",
+        "_uniq_issues",
+        "_val_issues",
+    )
+
+
+def severity_col(issue: Column) -> Column:
+    """Severity of one issue string — substring dispatch, first match wins
+    (kafka_consumer.py:307-318 analog)."""
+    expr = None
+    for substrings, sev in config.SEVERITY_RULES:
+        cond = None
+        for s in substrings:
+            c = issue.contains(s)
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, sev) if expr is None else expr.when(cond, sev)
+    return expr.otherwise(config.SEVERITY_DEFAULT)
+
+
+def _severity_rank(issue: Column) -> Column:
+    """1-based index into SEVERITY_ORDER; dispatch order matches severity_col."""
+    expr = None
+    for substrings, sev in config.SEVERITY_RULES:
+        rank = config.SEVERITY_ORDER.index(sev) + 1
+        cond = None
+        for s in substrings:
+            c = issue.contains(s)
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, rank) if expr is None else expr.when(cond, rank)
+    return expr.otherwise(
+        config.SEVERITY_ORDER.index(config.SEVERITY_DEFAULT) + 1
+    )
+
+
+def severity_max_col(issues: Column) -> Column:
+    """Worst severity across a turn's issue list; null when no issues."""
+    ranks = F.transform(issues, _severity_rank)
+    best = F.array_min(ranks)
+    return F.when(
+        F.size(issues) > 0,
+        F.element_at(F.array(*[F.lit(s) for s in config.SEVERITY_ORDER]), best),
+    )

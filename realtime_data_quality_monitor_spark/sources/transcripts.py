@@ -1,0 +1,267 @@
+"""Deterministic synthetic transcript source — the S2/S3 analog.
+
+The reference's producer (producer/data_generator.py:14-72 +
+producer/kafka_producer.py:45-62) emits clean orders and injects one of 5
+defect classes into 30% of records, carrying a ground-truth label
+(has_quality_issue). This source does the same for the transcript schema
+(BASELINE.json input_hint), but Spark-native and fully deterministic:
+every pseudo-random choice is xxhash64 of (conv_id, turn_idx, salt), so the
+same arguments always produce the identical table at any scale, with no
+driver-side loops — `spark.range` + column algebra + one posexplode.
+
+Defect classes extend the producer's 5 injections with the transcript /
+north_star classes from FIXTURES.md §2 (language, gibberish, length, PII
+and toxicity plants); exact-duplicate and duplicate-text rows are added by
+unioning a deterministic sample, mirroring how real pipelines see dups.
+
+The ``_defect`` column is the ground-truth label (null = clean row), the
+``has_quality_issue`` analog (producer/data_generator.py:67-72). The
+pipeline never reads it; tests and benchmarks do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions import constants
+
+_US = 1_000_000
+
+# Defect classes 0..15 (selected by hash when a row rolls a defect).
+DEFECT_CLASSES = [
+    "missing_conv_id",
+    "missing_turn_idx",
+    "missing_role",
+    "missing_text",
+    "blank_text",
+    "missing_ts",
+    "invalid_turn_idx",
+    "bad_role",
+    "delayed_ts",
+    "future_ts",
+    "bad_conv_format",
+    "wrong_lang",
+    "gibberish",
+    "length_bounds",
+    "pii_plant",
+    "toxicity_plant",
+]
+
+TOOL_NAMES = ["tool_search", "tool_calc", "tool_browse", "tool_code", "tool_db"]
+BAD_ROLES = ["ROBOT", "Assistant ", "USER"]
+
+
+def _h(*cols) -> F.Column:
+    """Deterministic non-negative 64-bit hash of the given columns."""
+    return F.abs(F.xxhash64(*cols))
+
+
+def _pick(arr: list, hash_col: F.Column) -> F.Column:
+    """Deterministically pick one element of a literal array."""
+    return F.element_at(
+        F.array(*[F.lit(x) for x in arr]),
+        (F.pmod(hash_col, F.lit(len(arr))) + 1).cast("int"),
+    )
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_convs: int = 100,
+    defect_rate: float = 0.30,
+    hot_conv_every: int = 0,
+    hot_conv_len: int = 2000,
+    dup_rate: float = 0.02,
+    include_labels: bool = True,
+) -> DataFrame:
+    """Build the synthetic transcript table.
+
+    Average ~10 turns/conversation (uniform 4..16); every
+    ``hot_conv_every``-th conversation (if > 0) has ``hot_conv_len`` turns
+    to exercise skew handling. ``dup_rate`` of rows are re-emitted as
+    duplicates (half exact (conv_id, turn_idx) dups, half same-text rows
+    at a shifted turn_idx).
+    """
+    now = F.to_timestamp(F.lit(config.NOW_UTC_STR))
+
+    convs = spark.range(n_convs).select(
+        F.format_string("CONV-%08X", F.col("id").cast("int")).alias("conv_id"),
+        F.col("id").alias("_cnum"),
+    )
+    conv_len = (F.lit(4) + F.pmod(_h("conv_id", F.lit("len")), F.lit(13))).cast(
+        "int"
+    )
+    if hot_conv_every and hot_conv_every > 0:
+        conv_len = F.when(
+            F.pmod(F.col("_cnum"), F.lit(hot_conv_every)) == 0,
+            F.lit(hot_conv_len),
+        ).otherwise(conv_len)
+    convs = convs.withColumn("_len", conv_len)
+
+    turns = convs.select(
+        "conv_id",
+        "_len",
+        F.posexplode(F.sequence(F.lit(0), F.col("_len") - 1)).alias(
+            "turn_idx", "_ignored"
+        ),
+    ).drop("_ignored")
+
+    # ---- clean values ------------------------------------------------
+    h_role = _h("conv_id", "turn_idx", F.lit("role"))
+    role = (
+        F.when(F.col("turn_idx") == 0, F.lit("system"))
+        .when(F.pmod(h_role, F.lit(11)) == 0, F.lit("tool"))
+        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    tool = F.when(
+        role == "tool", _pick(TOOL_NAMES, _h("conv_id", "turn_idx", F.lit("tn")))
+    )
+
+    # 12-word sentence; every 3rd word from the EN stopword list so the
+    # langid profile fires; the rest from the generator vocabulary.
+    words = []
+    for i in range(12):
+        hw = _h("conv_id", "turn_idx", F.lit(f"w{i}"))
+        if i % 3 == 0:
+            words.append(_pick(constants.LANGID_STOPWORDS["en"], hw))
+        else:
+            words.append(_pick(constants.GEN_WORDS, hw))
+    text = F.concat_ws(" ", *words)
+
+    # event time inside [now-280s, now-10s], increasing within the conv
+    start_us = -280 * _US + F.pmod(_h("conv_id", F.lit("t0")), F.lit(20 * _US))
+    step_us = (
+        F.col("turn_idx").cast("long") * F.lit(250 * _US) / F.col("_len")
+    ).cast("long")
+    ts = F.timestamp_micros(
+        F.unix_micros(now) + (start_us + step_us).cast("long")
+    )
+
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+        "_len",
+    )
+
+    # ---- defect injection (producer/data_generator.py:41-62 analog) ---
+    roll = F.pmod(_h("conv_id", "turn_idx", F.lit("defect")), F.lit(1000))
+    is_defect = roll < int(defect_rate * 1000)
+    cls = _pick(
+        DEFECT_CLASSES, _h("conv_id", "turn_idx", F.lit("class"))
+    )
+    defect = F.when(is_defect, cls)
+    hv = _h("conv_id", "turn_idx", F.lit("variant"))
+
+    d = F.col("_defect")
+    out = base.withColumn("_defect", defect)
+    out = out.select(
+        F.when(d == "missing_conv_id", F.lit(None))
+        .when(
+            d == "bad_conv_format",
+            F.concat(F.lit("X"), F.substring("conv_id", 2, 100)),
+        )
+        .otherwise(F.col("conv_id"))
+        .alias("conv_id"),
+        F.when(d == "missing_turn_idx", F.lit(None))
+        .when(d == "invalid_turn_idx", F.lit(-1))
+        .otherwise(F.col("turn_idx"))
+        .cast("int")
+        .alias("turn_idx"),
+        F.when(d == "missing_role", F.lit(None))
+        .when(d == "bad_role", _pick(BAD_ROLES, hv))
+        .otherwise(F.col("role"))
+        .alias("role"),
+        F.when(d == "missing_text", F.lit(None))
+        .when(d == "blank_text", F.lit("   "))
+        .when(d == "wrong_lang", _pick(
+            constants.GEN_SENTENCES_ES
+            + constants.GEN_SENTENCES_FR
+            + constants.GEN_SENTENCES_DE,
+            hv,
+        ))
+        .when(d == "gibberish", _pick(constants.GEN_GIBBERISH, hv))
+        .when(d == "length_bounds", F.repeat(F.lit("x"), 33000))
+        .when(
+            d == "pii_plant",
+            F.concat(F.col("text"), _pick(constants.GEN_PII_SNIPPETS, hv)),
+        )
+        .when(
+            d == "toxicity_plant",
+            F.concat(F.col("text"), _pick(constants.GEN_TOX_SNIPPETS, hv)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.col("tool"),
+        F.when(d == "missing_ts", F.lit(None))
+        .when(d == "delayed_ts", F.timestamp_micros(F.unix_micros(F.col("ts")) - 7200 * _US))
+        .when(d == "future_ts", F.timestamp_micros(F.unix_micros(now) + 3600 * _US))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("_defect"),
+        F.col("_len"),
+    )
+
+    # ---- duplicates: union a deterministic sample ---------------------
+    dup_roll = F.pmod(_h("conv_id", "turn_idx", F.lit("dup")), F.lit(1000))
+    dup_src = out.filter(
+        (dup_roll < int(dup_rate * 1000))
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    exact_dups = dup_src.filter(
+        F.pmod(_h("conv_id", "turn_idx", F.lit("dupkind")), F.lit(2)) == 0
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + 1 * _US).alias("ts"),
+        F.lit("dup_turn").alias("_defect"),
+        "_len",
+    )
+    text_dups = dup_src.filter(
+        F.pmod(_h("conv_id", "turn_idx", F.lit("dupkind")), F.lit(2)) == 1
+    ).select(
+        "conv_id",
+        (F.col("turn_idx") + F.col("_len")).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + 2 * _US).alias("ts"),
+        F.lit("dup_text").alias("_defect"),
+        "_len",
+    )
+
+    result = out.unionByName(exact_dups).unionByName(text_dups).drop("_len")
+    if not include_labels:
+        result = result.drop("_defect")
+    return result
+
+
+def write_transcripts(df: DataFrame, path: str, buckets: int | None = None) -> None:
+    """Persist the table parquet-partitioned the way the real Iceberg table
+    would be laid out (bucket(conv_id)); Iceberg jars are absent in this
+    container, so the layout is emulated with a derived bucket column."""
+    if buckets:
+        (
+            df.withColumn(
+                "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

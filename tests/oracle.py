@@ -1,0 +1,330 @@
+"""Pure-Python oracle for the quality pipeline — the test ground truth.
+
+A dependency-free, row-at-a-time reimplementation of the pinned rule
+semantics (SURVEY.md §5.2 / §7.4), structurally mirroring the reference's
+QualityChecker.check_all loop (flink/src/quality_checker.py:360-426) with
+the parity contract applied: pinned clock, deterministic first-wins dedup,
+silent-miss scoring, Java-compatible rounding.
+
+Only DATA constants are imported from the package (regex strings, stopword
+lists, the bigram table) — all LOGIC here is written independently so a bug
+in the Spark column algebra cannot hide in a shared helper.
+
+Rounding contract:
+  * round2: Spark's F.round(double, 2) = BigDecimal.valueOf(x) (shortest
+    decimal repr, like Python repr) then setScale(2, HALF_UP);
+  * fmt2: Java String.format("%.2f", x) = new BigDecimal(x) (EXACT binary
+    value) then setScale(2, HALF_UP).
+
+Rows are dicts: conv_id, turn_idx, role, text, tool (str|None) and ts_us
+(int microseconds | None). ``now_us`` is the pinned clock in microseconds.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from realtime_data_quality_monitor_spark import config
+from realtime_data_quality_monitor_spark.functions.constants import (
+    LANGID_LANGS,
+    LANGID_STOPWORDS,
+    LM_BIGRAM_LOG10,
+    LM_OOV_LOG10,
+    PII_PATTERNS,
+    TOXICITY_LEXICON,
+    TOXICITY_REPLACEMENT,
+)
+
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"  # Java regex \s (ASCII), unlike Python's \s
+
+
+def round2(x: float) -> float:
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
+def fmt2(x: float) -> str:
+    return str(Decimal(float(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
+def _blank(text) -> bool:
+    # Spark trim() strips ASCII spaces only
+    return text is None or text.strip(" ") == ""
+
+
+def _java_tokens(text: str) -> list:
+    return [t for t in re.split(_JAVA_WS, text) if t]
+
+
+def _norm_text(text: str) -> str:
+    return re.sub(_JAVA_WS, " ", text.strip(" ")).lower()
+
+
+# --- independent langid / nll implementations (same data, own logic) -------
+
+def oracle_langid(text: str) -> str:
+    toks = [t.lower() for t in text.split() if t]
+    if not toks:
+        return "unknown"
+    scores = []
+    for lang in LANGID_LANGS:
+        sw = set(LANGID_STOPWORDS[lang])
+        scores.append(sum(1 for t in toks if t in sw))
+    best = max(scores)
+    if best == 0:
+        return "unknown"
+    return LANGID_LANGS[scores.index(best)]
+
+
+def oracle_nll(text: str) -> float:
+    # pinned normalization: lowercase, non a-z -> space, collapse, strip
+    norm = re.sub(r"[^a-z]+", " ", text.lower()).strip(" ")
+    if not norm:
+        return 0.0
+    framed = " " + norm + " "
+    total = 0.0
+    n = 0
+    for i in range(len(framed) - 1):
+        total += LM_BIGRAM_LOG10.get(framed[i : i + 2], LM_OOV_LOG10)
+        n += 1
+    return -total / n
+
+
+def oracle_repetition(text: str) -> float:
+    toks = _java_tokens(text)
+    if len(toks) < 2:
+        return 0.0
+    bigrams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+    return 1.0 - len(set(bigrams)) / len(bigrams)
+
+
+def oracle_scrub(text: str) -> str:
+    for _name, pat, repl in PII_PATTERNS:
+        text = re.sub(pat, repl, text)
+    tox = r"\b(?:" + "|".join(
+        sorted(map(re.escape, TOXICITY_LEXICON), key=len, reverse=True)
+    ) + r")\b"
+    return re.sub(tox, TOXICITY_REPLACEMENT, text, flags=re.IGNORECASE)
+
+
+def oracle_severity(issue: str) -> str:
+    for substrings, sev in config.SEVERITY_RULES:
+        if any(s in issue for s in substrings):
+            return sev
+    return config.SEVERITY_DEFAULT
+
+
+_TOOL_RE = re.compile(config.TOOL_NAME_PATTERN)
+
+
+def _sort_key(row):
+    def k(v):
+        return (v is None, v)
+
+    return (k(row["turn_idx"]), k(row["ts_us"]), k(row["role"]), k(row["text"]))
+
+
+def oracle_check(rows: list, now_us: int) -> list:
+    """Full-pipeline oracle: returns one result dict per input row, in
+    input order, with the FIXTURES.md §4 output columns."""
+    # ---- cross-turn passes (deterministic first-wins) ----
+    by_conv: dict = {}
+    for i, r in enumerate(rows):
+        by_conv.setdefault(r["conv_id"], []).append(i)
+
+    dup_turn = [False] * len(rows)
+    dup_text = [False] * len(rows)
+    prev_turn = [None] * len(rows)
+    first_in_conv = [False] * len(rows)
+
+    for conv, idxs in by_conv.items():
+        order = sorted(idxs, key=lambda i: _sort_key(rows[i]))
+        seen_norm: dict = {}
+        prev_ti = None
+        for pos, i in enumerate(order):
+            r = rows[i]
+            first_in_conv[i] = pos == 0
+            prev_turn[i] = prev_ti
+            if (
+                conv is not None
+                and r["turn_idx"] is not None
+                and prev_ti is not None
+                and prev_ti == r["turn_idx"]
+            ):
+                dup_turn[i] = True
+            prev_ti = r["turn_idx"]
+            if conv is not None and not _blank(r["text"]):
+                nt = _norm_text(r["text"])
+                if nt in seen_norm:
+                    dup_text[i] = True
+                else:
+                    seen_norm[nt] = i
+
+    out = []
+    for i, r in enumerate(rows):
+        conv_id, turn_idx, role, text, tool, ts_us = (
+            r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts_us"],
+        )
+        blank = _blank(text)
+        text_present = not blank
+
+        # completeness
+        comp_issues = []
+        if conv_id is None:
+            comp_issues.append("missing_conv_id")
+        if turn_idx is None:
+            comp_issues.append("missing_turn_idx")
+        if role is None:
+            comp_issues.append("missing_role")
+        if blank:
+            comp_issues.append("missing_text")
+        if ts_us is None:
+            comp_issues.append("missing_ts")
+        nreq = len(config.REQUIRED_FIELDS)
+        comp_score = round2((nreq - len(comp_issues)) / nreq * 100)
+
+        # timeliness
+        time_issues = []
+        if ts_us is None:
+            time_score, latency = 0.0, 0.0
+            time_issues.append("invalid_timestamp")
+        else:
+            latency = (now_us - ts_us) / 1_000_000.0
+            if latency > config.MAX_LATENCY_SECONDS:
+                time_issues.append(f"high_latency_{int(latency)}s")
+            if latency < 0:
+                time_issues.append("future_timestamp")
+                latency = abs(latency)
+            if latency <= config.MAX_LATENCY_SECONDS:
+                time_score = 100.0
+            else:
+                time_score = max(
+                    0.0, 100.0 - (latency - config.MAX_LATENCY_SECONDS) / 60.0
+                )
+            time_score = round2(time_score)
+
+        # accuracy (4 counted checks, silent miss)
+        acc_issues = []
+        passed = 0
+        if turn_idx is not None:
+            if turn_idx >= 0:
+                passed += 1
+            else:
+                acc_issues.append(f"invalid_turn_idx_{turn_idx}")
+        if role is not None:
+            if role in config.ROLES:
+                passed += 1
+            else:
+                acc_issues.append(f"invalid_role_{role}")
+        if text is not None:
+            if config.TEXT_MIN_LEN <= len(text) <= config.TEXT_MAX_LEN:
+                passed += 1
+            else:
+                acc_issues.append(f"invalid_text_length_{len(text)}")
+        if role is not None and role == "tool":
+            if tool is not None:
+                if _TOOL_RE.match(tool):
+                    passed += 1
+                else:
+                    acc_issues.append("invalid_tool_format")
+        else:
+            if tool is None:
+                passed += 1
+            else:
+                acc_issues.append("unexpected_tool_value")
+        acc_score = round2(passed / 4 * 100)
+
+        # consistency (3 counted checks)
+        cons_issues = []
+        passed = 0
+        if conv_id is not None:
+            if conv_id.startswith(config.CONV_ID_PREFIX):
+                passed += 1
+            else:
+                cons_issues.append("inconsistent_conv_id_format")
+        if role is not None:
+            if role == role.lower() and role == role.strip(" "):
+                passed += 1
+            else:
+                cons_issues.append("inconsistent_role_format")
+        if conv_id is not None and turn_idx is not None:
+            if first_in_conv[i]:
+                ok = turn_idx == 0
+            else:
+                ok = prev_turn[i] is not None and (turn_idx - prev_turn[i]) in (0, 1)
+            if ok:
+                passed += 1
+            else:
+                cons_issues.append(f"inconsistent_turn_order_{turn_idx}")
+        cons_score = round2(passed / 3 * 100)
+
+        # uniqueness (exact 0/100, unrounded — quality_checker.py:298)
+        uniq_issues = []
+        if dup_turn[i]:
+            uniq_issues.append(f"duplicate_turn_{turn_idx}")
+        if dup_text[i]:
+            uniq_issues.append("duplicate_text")
+        uniq_score = 0.0 if (dup_turn[i] or dup_text[i]) else 100.0
+
+        # validity (3 counted checks over text features)
+        val_issues = []
+        passed = 0
+        lang = None
+        if text_present:
+            lang = oracle_langid(text)
+            nll = oracle_nll(text)
+            rep = oracle_repetition(text)
+            if lang == config.EXPECTED_LANG:
+                passed += 1
+            else:
+                val_issues.append(f"invalid_language_{lang}")
+            if nll <= config.MAX_AVG_NLL:
+                passed += 1
+            else:
+                val_issues.append(f"invalid_perplexity_{fmt2(nll)}")
+            if rep <= config.MAX_REPETITION:
+                passed += 1
+            else:
+                val_issues.append(f"invalid_repetition_{fmt2(rep)}")
+        val_score = round2(passed / 3 * 100)
+
+        overall = round2(
+            comp_score * 0.25
+            + time_score * 0.15
+            + acc_score * 0.20
+            + cons_score * 0.15
+            + uniq_score * 0.10
+            + val_score * 0.15
+        )
+        issues = (
+            comp_issues + time_issues + acc_issues + cons_issues
+            + uniq_issues + val_issues
+        )
+        keep = len(issues) == 0
+        sev_rank = {s: j for j, s in enumerate(config.SEVERITY_ORDER)}
+        severity_max = (
+            min((oracle_severity(x) for x in issues), key=sev_rank.get)
+            if issues
+            else None
+        )
+        out.append(
+            {
+                "completeness_score": comp_score,
+                "timeliness_score": time_score,
+                "accuracy_score": acc_score,
+                "consistency_score": cons_score,
+                "uniqueness_score": uniq_score,
+                "validity_score": val_score,
+                "latency_seconds": latency,
+                "lang": lang,
+                "overall_score": overall,
+                "issues": issues,
+                "issue_count": len(issues),
+                "has_issues": not keep,
+                "keep": keep,
+                "is_critical": overall < config.CRITICAL_SCORE,
+                "severity_max": severity_max,
+                "scrubbed_text": oracle_scrub(text) if keep else None,
+            }
+        )
+    return out

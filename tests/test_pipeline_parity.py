@@ -1,0 +1,107 @@
+"""End-to-end parity: Spark rule engine vs the pure-Python oracle.
+
+This is the BASELINE.json correctness gate in miniature: keep/drop
+decisions (target F1 >= 0.99 — we assert exact agreement), all six
+dimension scores, issue strings (byte-exact), severity, and scrubbed
+text (byte-exact) on the t1-style fixture table (FIXTURES.md §3).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_data_quality_monitor_spark import config
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+)
+
+from .oracle import oracle_check
+
+NOW_US = config.NOW_EPOCH * 1_000_000
+
+OUT_COLS = [
+    "completeness_score", "timeliness_score", "accuracy_score",
+    "consistency_score", "uniqueness_score", "validity_score",
+    "latency_seconds", "lang", "overall_score", "issues", "issue_count",
+    "has_issues", "keep", "is_critical", "severity_max", "scrubbed_text",
+]
+
+
+@pytest.fixture(scope="module")
+def checked_rows(spark):
+    df = generate_transcripts(
+        spark, n_convs=120, defect_rate=0.30, hot_conv_every=60,
+        hot_conv_len=300, dup_rate=0.03,
+    ).withColumn("_ts_us", F.unix_micros("ts"))
+    out = with_quality(df).collect()
+    rows = [
+        {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            "role": r["role"],
+            "text": r["text"],
+            "tool": r["tool"],
+            "ts_us": r["_ts_us"],
+        }
+        for r in out
+    ]
+    expected = oracle_check(rows, NOW_US)
+    return out, expected
+
+
+def test_row_parity(checked_rows):
+    out, expected = checked_rows
+    assert len(out) > 800
+    mismatches = []
+    for r, e in zip(out, expected):
+        for col in OUT_COLS:
+            got = r[col]
+            want = e[col]
+            if got != want:
+                mismatches.append(
+                    (r["conv_id"], r["turn_idx"], col, got, want, r["text"])
+                )
+    assert not mismatches, f"{len(mismatches)} mismatches; first 10: {mismatches[:10]}"
+
+
+def test_defect_classes_covered(checked_rows):
+    out, _ = checked_rows
+    defects = {r["_defect"] for r in out if r["_defect"] is not None}
+    # every injected class appears in the fixture
+    from realtime_data_quality_monitor_spark.sources.transcripts import (
+        DEFECT_CLASSES,
+    )
+    assert defects.issuperset(set(DEFECT_CLASSES) | {"dup_turn", "dup_text"})
+
+
+def test_keep_drop_vs_ground_truth(checked_rows):
+    """Injected-defect label vs detection: every non-plant defect must be
+    dropped; plants (pii/toxicity) are kept-but-scrubbed; clean rows with
+    no issues are kept."""
+    out, _ = checked_rows
+    kept_plants = scrub_changed = 0
+    for r in out:
+        d = r["_defect"]
+        if d in ("pii_plant", "toxicity_plant"):
+            if r["keep"]:
+                kept_plants += 1
+                if r["scrubbed_text"] != r["text"]:
+                    scrub_changed += 1
+        elif d is not None:
+            assert not r["keep"], (d, r["issues"], r["text"])
+    assert kept_plants > 10
+    assert scrub_changed == kept_plants  # every plant got scrubbed
+
+
+def test_clean_rows_mostly_kept(checked_rows):
+    out, _ = checked_rows
+    clean = [r for r in out if r["_defect"] is None]
+    kept = [r for r in clean if r["keep"]]
+    # clean rows may still trip cross-turn rules when a neighbor's defect
+    # breaks contiguity (e.g. a nulled turn_idx shifts the lag) — but the
+    # overwhelming majority must be kept with all-100 scores
+    assert len(kept) / len(clean) > 0.90
+    for r in kept[:50]:
+        assert r["overall_score"] == 100.0
+        assert r["severity_max"] is None
+        assert r["scrubbed_text"] == r["text"]
