@@ -1,0 +1,163 @@
+"""Grouped-aggregate metrics + alerting predicates.
+
+The reference writes 6 metric rows PER RECORD (kafka_consumer.py:243-283)
+and aggregates 60 s processing-time windows in Python lists
+(kafka_consumer.py:120-218). At 10^12 turns that is 6×10^12 metric rows —
+the north star explicitly recomputes the quality-score and anomaly counters
+as grouped aggregates instead. Each function here is one hash aggregate
+(partial + final, Catalyst-native, no Python).
+
+All seven scores are persisted; the reference's quirk of persisting only 4
+of 7 in quality_stats (postgres_writer.py:87-108) is documented, not
+reproduced (SURVEY.md §2.1 S6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+
+SCORE_COLS = [
+    "completeness_score",
+    "timeliness_score",
+    "accuracy_score",
+    "consistency_score",
+    "uniqueness_score",
+    "validity_score",
+    "overall_score",
+]
+
+
+def _stats_aggs() -> list:
+    """The window-flush aggregate set (kafka_consumer.py:128-146 analog)."""
+    aggs = [
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(~F.col("has_issues"), 1).otherwise(0)).alias("clean_records"),
+        F.sum(F.when(F.col("has_issues"), 1).otherwise(0)).alias("issues_found"),
+        F.sum(
+            F.when(F.col("has_issues") & F.col("is_critical"), 1).otherwise(0)
+        ).alias("critical_issues"),
+    ]
+    aggs += [F.round(F.avg(c), 2).alias(f"avg_{c}") for c in SCORE_COLS]
+    return aggs
+
+
+def window_stats(df: DataFrame, keys: list) -> DataFrame:
+    """Per-group quality stats: counts, conditional counts, 7 score means,
+    issue rate — the batch restatement of quality_stats (postgres/init.sql:27-39)."""
+    out = df.groupBy(*keys).agg(*_stats_aggs())
+    return out.withColumn(
+        "issue_rate",
+        F.round(F.col("issues_found") / F.col("total_records") * 100, 2),
+    )
+
+
+def window_stats_time(df: DataFrame, window_duration: str = "60 seconds") -> DataFrame:
+    """Event-time tumbling-window variant of the reference's 60 s
+    processing-time window (W1, kafka_consumer.py:115-118); null-ts rows
+    are excluded (they have no event time) and counted by the caller."""
+    out = (
+        df.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", window_duration).alias("w"))
+        .agg(*_stats_aggs())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "*",
+        )
+        .drop("w")
+    )
+    return out.withColumn(
+        "issue_rate",
+        F.round(F.col("issues_found") / F.col("total_records") * 100, 2),
+    )
+
+
+def check_alerts(stats: DataFrame) -> DataFrame:
+    """Threshold alerts over aggregated stats (alerting.py:72-136 analog;
+    thresholds from flink/config.py:20-22). One row per (group, alert)."""
+    clean_pct = F.col("clean_records") / F.col("total_records") * 100
+    quality_alert = F.when(
+        clean_pct < config.QUALITY_CRITICAL_THRESHOLD, F.lit("CRITICAL")
+    ).when(clean_pct < config.QUALITY_WARNING_THRESHOLD, F.lit("WARNING"))
+    issue_alert = F.when(
+        F.col("issue_rate") > config.ISSUE_RATE_THRESHOLD, F.lit("WARNING")
+    )
+    critical_alert = F.when(
+        F.col("critical_issues") > config.CRITICAL_COUNT_THRESHOLD,
+        F.lit("CRITICAL"),
+    )
+    alerts = F.filter(
+        F.array(
+            F.when(
+                quality_alert.isNotNull(),
+                F.struct(
+                    F.lit("low_quality_score").alias("alert_type"),
+                    quality_alert.alias("level"),
+                    F.round(clean_pct, 2).alias("value"),
+                ),
+            ),
+            F.when(
+                issue_alert.isNotNull(),
+                F.struct(
+                    F.lit("high_issue_rate").alias("alert_type"),
+                    issue_alert.alias("level"),
+                    F.col("issue_rate").cast("double").alias("value"),
+                ),
+            ),
+            F.when(
+                critical_alert.isNotNull(),
+                F.struct(
+                    F.lit("critical_issues").alias("alert_type"),
+                    critical_alert.alias("level"),
+                    F.col("critical_issues").cast("double").alias("value"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        stats.withColumn("alert", F.explode(alerts))
+        .select("*", "alert.*")
+        .drop("alert")
+    )
+
+
+def severity_summary(lineage: DataFrame) -> DataFrame:
+    """Issue counts by severity with the reference's custom severity sort
+    (api/main.py:262-276)."""
+    rank = F.when(F.col("severity") == "critical", 1).when(
+        F.col("severity") == "high", 2
+    ).when(F.col("severity") == "medium", 3).otherwise(4)
+    return (
+        lineage.select(F.explode("issues").alias("issue"), "severity_max")
+        .withColumnRenamed("severity_max", "severity")
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n_issues"))
+        .orderBy(rank)
+    )
+
+
+def dimension_breakdown(df: DataFrame) -> DataFrame:
+    """Per-dimension stddev + bucketed conditional counts
+    (api/main.py:197-212 analog), computed long-format via stack."""
+    pairs = ", ".join(
+        f"'{c.removesuffix('_score')}', {c}" for c in SCORE_COLS[:-1]
+    )
+    long = df.selectExpr(
+        f"stack({len(SCORE_COLS) - 1}, {pairs}) as (dimension, score)"
+    )
+    return long.groupBy("dimension").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 2).alias("avg_score"),
+        F.round(F.stddev("score"), 2).alias("stddev_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum(F.when(F.col("score") < 50, 1).otherwise(0)).alias("critical_count"),
+        F.sum(
+            F.when((F.col("score") >= 50) & (F.col("score") < 80), 1).otherwise(0)
+        ).alias("warning_count"),
+        F.sum(F.when(F.col("score") >= 80, 1).otherwise(0)).alias("good_count"),
+    )

@@ -1,0 +1,182 @@
+"""End-to-end batch pipeline with partition-granular checkpoint/resume.
+
+The Spark restatement of the reference's streaming loop (SURVEY.md §3.1):
+
+    read transcripts -> repartition(conv_id) -> window ordering ->
+    rule columns + UDF columns -> keep/drop + scrub ->
+    clean table + lineage table + grouped metrics + alerts
+
+Resume contract (north_star: "checkpointed so a killed run resumes at
+partition granularity"): the input is split into ``n_groups`` disjoint,
+conversation-complete groups (pmod(xxhash64(conv_id), n_groups) — every
+cross-turn rule sees whole conversations). Each group's outputs land under
+``group=N`` subdirectories, and a manifest row (counts + content checksum)
+is written ONLY after the group's writes commit. On restart, groups with a
+manifest entry are skipped; a half-written group is re-run idempotently
+(mode=overwrite on its own subdirectory). This is the batch analog of the
+reference's Kafka consumer-group offset commit, made deterministic.
+
+With Iceberg available, groups map to overwrite-by-partition-filter on a
+bucket(conv_id) layout; parquet subdirectories emulate that here (no
+Iceberg jars in this container).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config
+from ..operators.metrics import check_alerts, window_stats
+from ..operators.rules import with_quality
+
+CLEAN_COLS = ["conv_id", "turn_idx", "role", "scrubbed_text", "tool", "ts"]
+LINEAGE_COLS = [
+    "conv_id",
+    "turn_idx",
+    "issues",
+    "issue_count",
+    "severity_max",
+    "overall_score",
+    "is_critical",
+]
+
+
+def _group_expr(n_groups: int):
+    # xxhash64 never returns null (null input hashes to the seed), so every
+    # row — including null conv_id — lands in exactly one group.
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)).cast("int")
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def read_manifest(out_dir: str) -> dict:
+    """group_id -> manifest record for completed groups."""
+    mdir = _manifest_path(out_dir)
+    done = {}
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    rec = json.load(f)
+                done[rec["group"]] = rec
+    return done
+
+
+def _write_manifest(out_dir: str, rec: dict) -> None:
+    mdir = _manifest_path(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".group-{rec['group']}.json.tmp")
+    final = os.path.join(mdir, f"group-{rec['group']}.json")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, final)  # atomic commit of the checkpoint row
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    now: datetime.datetime | None = None,
+    n_groups: int = 8,
+    max_groups: int | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns a summary dict.
+
+    ``max_groups`` caps how many pending groups this invocation processes —
+    used by tests to simulate a killed run.
+    """
+    now = now or config.NOW_UTC
+    src = spark.read.parquet(input_path)
+    src = src.select(*[c for c in src.columns if not c.startswith("_")])
+    if "bucket" in src.columns:
+        # bucket is a hive-style PARTITION column (write_transcripts layout,
+        # same formula as _group_expr): using it as the resume group key
+        # turns each group's read into a partition-PRUNED scan — at 100 TB
+        # a derived-column filter would re-scan the whole table per group.
+        groups = sorted(
+            r["bucket"] for r in src.select("bucket").distinct().collect()
+        )
+        n_groups = len(groups)
+        src = src.withColumn("_group", F.col("bucket").cast("int")).drop("bucket")
+    else:
+        src = src.withColumn("_group", _group_expr(n_groups))
+
+    done = read_manifest(out_dir)
+    pending = [g for g in range(n_groups) if g not in done]
+    processed = []
+
+    for g in pending[: (max_groups if max_groups is not None else len(pending))]:
+        part = src.filter(F.col("_group") == g).drop("_group")
+        checked = with_quality(part, now=now, num_partitions=num_partitions)
+        checked = checked.persist()
+
+        clean = checked.filter("keep").select(*CLEAN_COLS)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "clean", f"group={g}")
+        )
+        lineage = checked.filter("has_issues").select(*LINEAGE_COLS)
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineage", f"group={g}")
+        )
+        # the group=N directory carries the group key (hive-style), so the
+        # file payload stays key-free — no duplicate-column clash on read
+        stats = window_stats(checked, [])
+        stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics", f"group={g}")
+        )
+        alerts = check_alerts(stats)
+        alerts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "alerts", f"group={g}")
+        )
+
+        # content checksum: order-independent sum of row hashes over the
+        # decision-relevant columns — lets a resume assert reproducibility
+        summary = checked.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+            # decimal(38,0) sum: order-independent and overflow-free under
+            # ANSI mode at any row count (long-sum overflows at ~1e10 rows)
+            F.sum(
+                F.xxhash64("conv_id", "turn_idx", "keep", "overall_score").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("checksum"),
+        ).collect()[0]
+        checked.unpersist()
+
+        _write_manifest(
+            out_dir,
+            {
+                "group": g,
+                "total": summary["total"],
+                "kept": summary["kept"],
+                "checksum": str(summary["checksum"]),
+                "now": now.isoformat(),
+            },
+        )
+        processed.append(g)
+
+    done = read_manifest(out_dir)
+    return {
+        "processed_groups": processed,
+        "completed_groups": sorted(done),
+        "n_groups": n_groups,
+        "total": sum(r["total"] for r in done.values()),
+        "kept": sum(r["kept"] for r in done.values()),
+        "finished": len(done) == n_groups,
+    }
+
+
+def read_output(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Read one of the pipeline sinks (clean / lineage / metrics / alerts)."""
+    return spark.read.option("basePath", os.path.join(out_dir, table)).parquet(
+        os.path.join(out_dir, table, "group=*")
+    )

@@ -1,0 +1,139 @@
+"""Metrics aggregates, alert thresholds, and kill-and-resume equivalence."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_data_quality_monitor_spark.operators.metrics import (
+    check_alerts,
+    dimension_breakdown,
+    severity_summary,
+    window_stats,
+    window_stats_time,
+)
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.plans import pipeline
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def checked(spark):
+    df = generate_transcripts(spark, n_convs=150, dup_rate=0.02)
+    return with_quality(df).persist()
+
+
+def test_window_stats_math(checked):
+    stats = window_stats(checked.withColumn("g", F.lit(0)), ["g"]).collect()[0]
+    rows = checked.collect()
+    assert stats["total_records"] == len(rows)
+    assert stats["clean_records"] == sum(1 for r in rows if not r["has_issues"])
+    assert stats["issues_found"] == sum(1 for r in rows if r["has_issues"])
+    assert stats["critical_issues"] == sum(
+        1 for r in rows if r["has_issues"] and r["is_critical"]
+    )
+    assert stats["clean_records"] + stats["issues_found"] == stats["total_records"]
+    # issue_rate = issues/total*100 (kafka_consumer.py:146)
+    assert stats["issue_rate"] == pytest.approx(
+        stats["issues_found"] / stats["total_records"] * 100, abs=0.01
+    )
+    for c in [f"avg_{x}" for x in ("completeness_score", "overall_score")]:
+        assert 0.0 <= stats[c] <= 100.0
+
+
+def test_window_stats_time(checked):
+    stats = window_stats_time(checked, "60 seconds")
+    rows = stats.collect()
+    assert len(rows) >= 2  # clean event times span ~280s => >=4 windows
+    assert sum(r["total_records"] for r in rows) == checked.filter(
+        F.col("ts").isNotNull()
+    ).count()
+
+
+def test_alert_thresholds(spark):
+    """Reference alert fixture scenarios (alerting.py:227-255)."""
+    mk = lambda total, clean, crit: spark.createDataFrame(
+        [(0, total, clean, total - clean, crit, round((total - clean) / total * 100, 2))],
+        "g int, total_records long, clean_records long, issues_found long,"
+        " critical_issues long, issue_rate double",
+    )
+    # 85.5% clean -> WARNING (below 90)
+    a = check_alerts(mk(1000, 855, 0)).collect()
+    assert [(r.alert_type, r.level) for r in a] == [("low_quality_score", "WARNING")]
+    # 79% clean -> CRITICAL, and 21% issue rate is below the 40% rate alarm
+    a = check_alerts(mk(1000, 790, 0)).collect()
+    assert [(r.alert_type, r.level) for r in a] == [("low_quality_score", "CRITICAL")]
+    # 45/100 issue rate -> low_quality WARNING? 55% clean -> CRITICAL + rate WARNING
+    a = check_alerts(mk(100, 55, 0)).collect()
+    assert ("high_issue_rate", "WARNING") in [(r.alert_type, r.level) for r in a]
+    # 150 criticals -> CRITICAL
+    a = check_alerts(mk(10000, 9800, 150)).collect()
+    assert ("critical_issues", "CRITICAL") in [(r.alert_type, r.level) for r in a]
+    # healthy window -> no alerts
+    assert check_alerts(mk(1000, 950, 0)).count() == 0
+
+
+def test_severity_summary_ordering(checked):
+    lineage = checked.filter("has_issues")
+    rows = severity_summary(lineage).collect()
+    sevs = [r["severity"] for r in rows]
+    order = ["critical", "high", "medium", "low"]
+    assert sevs == [s for s in order if s in sevs]
+
+
+def test_dimension_breakdown(checked):
+    rows = {r["dimension"]: r for r in dimension_breakdown(checked).collect()}
+    assert set(rows) == {
+        "completeness", "timeliness", "accuracy", "consistency",
+        "uniqueness", "validity",
+    }
+    n = checked.count()
+    for r in rows.values():
+        assert r["n"] == n
+        assert r["critical_count"] + r["warning_count"] + r["good_count"] == n
+
+
+def test_resume_equals_fresh_run(spark, tmp_path):
+    """Kill-and-resume: run 2 of 6 groups, 'crash', resume; outputs must
+    equal a fresh uninterrupted run (north_star resume contract)."""
+    src = str(tmp_path / "src")
+    write_transcripts(
+        generate_transcripts(spark, n_convs=80, dup_rate=0.02), src, buckets=6
+    )
+
+    out_a = str(tmp_path / "interrupted")
+    r1 = pipeline.run(spark, src, out_a, max_groups=2)
+    assert not r1["finished"] and len(r1["processed_groups"]) == 2
+    r2 = pipeline.run(spark, src, out_a)  # resume
+    assert r2["finished"]
+    assert sorted(r2["processed_groups"]) == [
+        g for g in range(6) if g not in r1["processed_groups"]
+    ]
+
+    out_b = str(tmp_path / "fresh")
+    r3 = pipeline.run(spark, src, out_b)
+    assert r3["finished"]
+
+    for table in ("clean", "lineage", "metrics", "alerts"):
+        a = pipeline.read_output(spark, out_a, table).drop("group")
+        b = pipeline.read_output(spark, out_b, table).drop("group")
+        assert a.count() == b.count(), table
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+
+    # manifest checksums agree between interrupted+resumed and fresh
+    ma = pipeline.read_manifest(out_a)
+    mb = pipeline.read_manifest(out_b)
+    assert {g: m["checksum"] for g, m in ma.items()} == {
+        g: m["checksum"] for g, m in mb.items()
+    }
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_transcripts(generate_transcripts(spark, n_convs=20), src, buckets=3)
+    out = str(tmp_path / "out")
+    pipeline.run(spark, src, out)
+    again = pipeline.run(spark, src, out)
+    assert again["processed_groups"] == [] and again["finished"]
