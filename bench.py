@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set:
+  * pipeline_rules  — the full transcript quality pipeline (rules + UDF
+    stack + scrub) over a deterministic synthetic transcript table sized
+    ~2x the sf's lineitem rows, materialized via the noop sink (measures
+    compute, not disk);
+  * q1/p7/j1/d2/s1  — representative entry-catalog queries (scan-agg,
+    rule-agg, join, inverted-index near-dup, vector top-k).
+
+The transcript table is generated once per (sf, size) into /tmp and
+reused, so repeated bench runs time the pipeline, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402
+from realtime_data_quality_monitor_spark.queries.entry_queries import (  # noqa: E402
+    q_d2_jaccard_pairs_documents,
+    q_j1_segment_order_stats,
+    q_p7_overall_quality_events,
+    q_q1_pricing_summary,
+    q_s1_ann_cosine_topk,
+)
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+from realtime_data_quality_monitor_spark.sources.transcripts import (  # noqa: E402
+    generate_transcripts,
+    write_transcripts,
+)
+
+SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_transcripts(spark, sf_name: str) -> str:
+    n_rows_target = 2 * SF_ROWS.get(sf_name, 600_000)
+    n_convs = n_rows_target // 10
+    path = f"/tmp/rdqm_bench_transcripts_{sf_name}_{n_convs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = generate_transcripts(
+            spark, n_convs=n_convs, hot_conv_every=max(2, n_convs // 8),
+            hot_conv_len=2000, dup_rate=0.02,
+        )
+        write_transcripts(df.drop("_defect"), path)
+        open(os.path.join(path, "_SUCCESS"), "a").close()
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name="rdqm-bench")
+
+    tpath = ensure_transcripts(spark, sf_name)
+    n_turns = spark.read.parquet(tpath).count()
+
+    timings = {}
+
+    # warmup: start Python workers + JIT the pipeline plan on a small slice
+    _noop(with_quality(spark.read.parquet(tpath).limit(5000)))
+
+    t0 = time.perf_counter()
+    _noop(with_quality(spark.read.parquet(tpath)))
+    timings["pipeline_rules"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in [
+        ("q1_pricing_summary", q_q1_pricing_summary),
+        ("p7_overall_quality_events", q_p7_overall_quality_events),
+        ("j1_segment_order_stats", q_j1_segment_order_stats),
+        ("d2_jaccard_pairs_documents", q_d2_jaccard_pairs_documents),
+        ("s1_ann_cosine_topk", q_s1_ann_cosine_topk),
+    ]:
+        t0 = time.perf_counter()
+        _noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "pipeline_turns": n_turns,
+        "pipeline_turns_per_sec": round(n_turns / timings["pipeline_rules"], 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,11 @@ LM_CORPUS = (
 LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 LM_OOV_LOG10 = -4.0  # log10 prob assigned to bigrams unseen in the corpus
 
+# langid + NLL features are computed on the first N chars of a turn —
+# pinned contract constant (bounds per-row UDF cost on pathological texts;
+# 2000 chars is ample signal for both features).
+FEATURE_MAX_CHARS = 2000
+
 
 def _build_bigram_log10() -> dict:
     """Deterministic add-one-smoothed char-bigram model from LM_CORPUS.

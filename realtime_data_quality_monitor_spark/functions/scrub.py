@@ -25,6 +25,22 @@ _TOX_UNION = re.compile(
 )
 
 
+def scrub_prefilter_regex() -> str:
+    """Java-regex SUPERSET test for "this text might need scrubbing".
+
+    Evaluated JVM-side (rlike) so the Python scrub UDF only ever sees
+    candidate rows — on clean corpora that's a few percent, which removes
+    the UDF from the hot path entirely. Superset proof: every email has
+    '@'; every SSN/phone has 3 consecutive digits; every API-key pattern
+    starts with sk-/AKIA/ghp_ or contains api[_-]?key|secret|token; every
+    lexicon hit contains its own word. Tested in tests/test_text_functions.
+    """
+    assert all(w.isalnum() for w in TOXICITY_LEXICON)  # no escaping needed
+    alts = ["@", r"\d{3}", "sk-", "AKIA", "ghp_", r"api[_-]?key", "secret",
+            "token"] + list(TOXICITY_LEXICON)
+    return "(?i)" + "|".join(alts)
+
+
 def scrub_text(text: str) -> str:
     """Apply every PII pattern in order, then the toxicity union."""
     for _name, rx, repl in _COMPILED_PII:

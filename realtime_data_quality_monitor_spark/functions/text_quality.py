@@ -19,6 +19,7 @@ Spark UDF and the pure-Python test oracle (no libm calls at runtime).
 from __future__ import annotations
 
 from .constants import (
+    FEATURE_MAX_CHARS,
     LANGID_LANGS,
     LANGID_STOPWORDS,
     LM_BIGRAM_LOG10,
@@ -37,9 +38,10 @@ def detect_language(text: str) -> str:
     """Stopword-profile argmax over LANGID_LANGS.
 
     Exact token match after lowercasing. Ties break in LANGID_LANGS
-    order; zero hits across all profiles -> "unknown".
+    order; zero hits across all profiles -> "unknown". Operates on the
+    first FEATURE_MAX_CHARS chars (pinned contract).
     """
-    tokens = [t.lower() for t in tokenize(text)]
+    tokens = [t.lower() for t in tokenize(text[:FEATURE_MAX_CHARS])]
     if not tokens:
         return "unknown"
     best_lang = "unknown"
@@ -77,9 +79,10 @@ def avg_neg_logprob(text: str) -> float:
     The KenLM-perplexity stand-in: higher = less English-like. Framed
     with leading/trailing space like the training pass; empty normalized
     text scores 0.0 (the "absent" case is handled upstream by the
-    silent-miss rule semantics).
+    silent-miss rule semantics). Operates on the first FEATURE_MAX_CHARS
+    chars (pinned contract).
     """
-    norm = lm_normalize(text)
+    norm = lm_normalize(text[:FEATURE_MAX_CHARS])
     if not norm:
         return 0.0
     framed = " " + norm + " "

@@ -1,0 +1,229 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact, token-Jaccard, MinHash+LSH, and SimHash near-dup detection, all as
+DataFrame compositions (shuffle-conscious: candidate generation is always a
+bucket/band equi-join, never a cartesian product).
+
+Scale notes (the part that matters at 100 TB):
+  * exact dedup = one hash aggregate on the fingerprint — map-side partial
+    aggregation makes this shuffle only distinct fingerprints;
+  * token-Jaccard generates candidates through an inverted-index self-join
+    on tokens (shuffle keyed by token; hot tokens are the skew risk —
+    callers should drop stopword-frequency tokens via ``max_token_df``);
+  * MinHash-LSH shuffles once to build signatures (narrow) and once per
+    band join (keyed by (band, band_hash) — bounded fan-out);
+  * SimHash joins on 16-bit sub-keys (4 sub-keys -> Hamming<=3 candidates
+    by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, tokens_col
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """First-wins exact dedup on the md5 fingerprint of lowercased text.
+    Returns the input plus (fingerprint, is_duplicate) — deterministic
+    first occurrence by id wins (the P5 window-dedup pattern)."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return df.withColumn("fingerprint", fingerprint(F.col(text_col))).withColumn(
+        "is_duplicate", F.row_number().over(w) > 1
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All-pairs token-set Jaccard >= threshold via inverted-index join.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|); intersection sizes come from
+    a groupBy on (id_a, id_b) over the token self-join — the classic
+    shuffle-friendly formulation (no cartesian)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    )
+    if max_token_df:
+        heavy = (
+            toks.groupBy("token")
+            .count()
+            .filter(F.col("count") > max_token_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(heavy), "token", "left_anti")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over tokens of
+    xxhash64(token, seed=i). Pure column algebra: one aggregate over the
+    exploded token set, no UDF."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, equi-join on
+    (band_idx, band_hash) to get candidates, then verify with the exact
+    token Jaccard of the candidate pair only."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("signature")[bi * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band", "b.band_hash"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (join back to token sets)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("tokset"),
+    )
+    verified = (
+        cand.join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("tokset", "set_a"), "id_a")
+        .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("tokset", "set_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash of the token multiset: per-token xxhash64, sum the
+    per-bit +1/-1 votes with bitwise column algebra (no UDF)."""
+    toks = tokens_col(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        mask = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)).cast("long")
+        out = out + F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dups: candidates share one of 4 16-bit sub-keys
+    (pigeonhole guarantees recall for Hamming distance <= 3), then exact
+    Hamming verification via bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("simhash")
+    )
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("piece"),
+                F.shiftrightunsigned(F.col("simhash"), p * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("piece_val"),
+            )
+            for p in range(4)
+        ]
+    )
+    keyed = sh.select("id", "simhash", F.explode(pieces).alias("p")).select(
+        "id", "simhash", "p.piece", "p.piece_val"
+    )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["piece", "piece_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
+from ..functions.scrub import scrub_prefilter_regex
 from ..functions.udfs import scrub_udf, text_features_udf
 
 _US = 1_000_000
@@ -308,8 +309,18 @@ def with_quality(
             "severity_max": severity_max_col(F.col("issues")),
         }
     )
+    # scrub only kept rows, and only those a JVM-side superset prefilter
+    # marks as candidates (functions/scrub.scrub_prefilter_regex). The
+    # gating must happen in the UDF *input* (null for non-candidates):
+    # Spark extracts Python UDFs out of CASE WHEN branches and evaluates
+    # them unconditionally, so `when(cond, udf(x))` does NOT skip rows.
+    needs_scrub = F.col("keep") & text.rlike(scrub_prefilter_regex())
     df = df.withColumn(
-        "scrubbed_text", scrub_udf(F.when(F.col("keep"), text))
+        "scrubbed_text",
+        F.coalesce(
+            scrub_udf(F.when(needs_scrub, text)),
+            F.when(F.col("keep"), text),
+        ),
     )
     return df.drop(
         "_prev_turn_idx",

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is
+sign-random-projection LSH bucketing (deterministic literal hyperplanes, so
+the same buckets come out on any engine — which also makes the operator
+ANSI-SQL expressible for the correctness oracle).
+
+Scale notes: brute-force is a broadcast of the (small) query set against
+the corpus — one pass, no shuffle on the corpus side, per-partition top-k
+via window row_number (TakeOrderedAndProject does the global k). The LSH
+variant turns the corpus×queries product into an equi-join on bucket id.
+All vector math is native column algebra (zip_with/aggregate fold), kept
+in float64 with a fixed left-to-right accumulation order.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in float64 (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast); ties break on neighbor id
+    for determinism. Self-matches (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _deterministic_hyperplanes(n_planes: int, dim: int) -> list:
+    """Literal pseudo-random hyperplanes from a counter-based generator
+    (SplitMix64 over (plane, dim) -> uniform in [-1, 1]); identical values
+    can be regenerated in any language, which keeps the LSH operator
+    oracle-checkable."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            z = (p * 1_000_003 + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            # 53-bit mantissa -> [0,1) -> [-1,1); exact in float64
+            row.append((z >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
+    planes = _deterministic_hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        sign = (dot(vec, plane) >= 0).cast("int")
+        bucket = bucket + sign * (1 << p)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the LSH bucket, then
+    exact cosine rescoring within the bucket. Recall < 1 by design; the
+    equi-join on bucket replaces the full cross product."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "rank", "cos")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
+    cosine verification (the embedding analog of MinHash-LSH dedup)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    return (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .withColumn("cos", cosine(F.col("x.vec"), F.col("y.vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            "bucket",
+            "cos",
+        )
+    )

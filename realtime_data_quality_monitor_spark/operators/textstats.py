@@ -1,0 +1,87 @@
+"""Text-analysis operators for training-data pipelines — all native Columns.
+
+Language-ID (SQL-expressible n-gram/stopword heuristic), quality scoring,
+token counting and document fingerprinting over a `documents`-shaped table
+(doc_id, text, ...). Everything here stays inside whole-stage codegen: no
+UDFs, so the same logic is expressible as ANSI SQL for the DuckDB oracle.
+
+(The transcript pipeline's langid/NLL UDF stack in functions/ is the
+Arrow-batched variant used where model tables are involved; these are the
+pure-Column equivalents a 100 TB corpus scan would prefer.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
+
+
+def tokens_col(text: Column) -> Column:
+    """Single-space tokenization (documents fixture is single-spaced);
+    empty tokens dropped so blank/trailing spaces don't count."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_col(text)))
+
+
+def token_diversity(text: Column) -> Column:
+    """distinct/total tokens — the lexical-diversity quality signal."""
+    n = token_count(text)
+    return F.when(n > 0, distinct_token_count(text) / n).otherwise(F.lit(0.0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased text
+    (engine-portable, unlike xxhash64)."""
+    return F.md5(F.lower(text))
+
+
+def langid_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that hit the language's stopword profile
+    (count-based, not set-based, for exact cross-engine parity)."""
+    toks = F.transform(tokens_col(text), F.lower)
+    stop = F.array(*[F.lit(w) for w in LANGID_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def langid_col(text: Column) -> Column:
+    """Argmax language with LANGID_LANGS tie-break order; zero hits ->
+    'unknown'. Mirrors functions/text_quality.detect_language."""
+    hits = {lang: langid_hits(text, lang) for lang in LANGID_LANGS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("unknown"))
+    for lang in LANGID_LANGS:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Heuristic 0-100 quality score: 40 length-in-bounds + 30 lexical
+    diversity + 30 reasonable token length (exact integer arithmetic)."""
+    len_ok = n_chars.between(100, 450).cast("int") * 40
+    div_ok = (token_diversity(text) >= 0.3).cast("int") * 30
+    ntok = token_count(text)
+    avg_tok_len = F.when(ntok > 0, F.length(text) / ntok).otherwise(F.lit(0.0))
+    tok_ok = avg_tok_len.between(3.0, 9.0).cast("int") * 30
+    return (len_ok + div_ok + tok_ok).alias("quality")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_distinct_tokens": distinct_token_count(t),
+            "diversity": token_diversity(t),
+            "detected_lang": langid_col(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

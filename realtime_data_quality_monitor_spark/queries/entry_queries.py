@@ -1,0 +1,850 @@
+"""Driver-facing query catalog: every entry pairs a Spark DataFrame query
+with an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Keys are prefixed with the SURVEY.md §2 operator id they exercise
+(p*=predicates/projections, a*=aggregations, o*=sorts/top-k, j*=joins,
+d*=dedup family, s*=similarity, t*=text analysis).
+
+Cross-engine value-parity rules used throughout (the driver hash-compares
+values):
+
+  * double aggregations go through DECIMAL sums — ``SUM(CAST(x AS
+    DECIMAL(18,6)))`` is exact and order-independent, so Spark and DuckDB
+    produce bit-identical results regardless of partial-aggregation order
+    (a raw double SUM/AVG differs in the last ulp between engines);
+  * per-row scores use integer arithmetic with one final division by a
+    power of two or ten with dyadic result (exact in IEEE 754);
+  * stddev is computed manually from integer SUM/SUM-of-squares (built-in
+    stddev uses engine-specific streaming algorithms);
+  * top-k always carries a unique tie-break key.
+
+Quality-rule semantics here are the events-table remap of the transcript
+rule engine (operators/rules.py), which itself mirrors the reference
+(flink/src/quality_checker.py); see each query's comment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
+from ..operators import dedup, similarity, textstats
+
+# pinned job clock for the events table (data spans Jan 2024)
+NOW_EVENTS_US = 1_706_745_600 * 1_000_000  # 2024-02-01T00:00:00Z
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_DAY_US = 86_400 * 1_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col) -> F.Column:
+    """epoch micros of a (possibly NTZ) timestamp column; session tz is
+    pinned to UTC so NTZ->LTZ cast matches DuckDB epoch_us on naive ts."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# events-table quality rule columns (shared by several queries)
+# ---------------------------------------------------------------------------
+
+def _event_quality(df: DataFrame) -> DataFrame:
+    """Per-event quality columns with exact integer arithmetic.
+
+    completeness (P1): 5 required fields, 20 points each;
+    freshness (P2): age vs pinned NOW in 7-day buckets;
+    accuracy (P3): 4 checks, 25 points each;
+    overall (P7): (4*comp + 3*fresh + 3*acc)/10 — dyadic-exact."""
+    missing = (
+        F.col("event_id").isNull().cast("int")
+        + F.col("ts").isNull().cast("int")
+        + F.col("user_id").isNull().cast("int")
+        + F.col("value").isNull().cast("int")
+        + F.col("props").isNull().cast("int")
+    )
+    comp = (F.lit(5) - missing) * 20
+    lat_us = F.lit(NOW_EVENTS_US) - _us("ts")
+    fresh = (
+        F.when(F.col("ts").isNull(), 0)
+        .when(lat_us <= 7 * _DAY_US, 100)
+        .when(lat_us <= 14 * _DAY_US, 75)
+        .when(lat_us <= 21 * _DAY_US, 50)
+        .when(lat_us <= 28 * _DAY_US, 25)
+        .otherwise(0)
+    )
+    a1 = (F.col("value").isNotNull() & (F.col("value") > 0)).cast("int")
+    a2 = F.col("event_type").isin(EVENT_TYPES).cast("int")
+    a3 = (F.col("user_id").isNotNull() & (F.col("user_id") >= 0)).cast("int")
+    a4 = (F.col("props").isNotNull() & F.col("props").startswith("{")).cast("int")
+    acc = (a1 + a2 + a3 + a4) * 25
+    overall = (comp * 4 + fresh * 3 + acc * 3) / F.lit(10.0)
+    issues = F.filter(
+        F.array(
+            F.when(F.col("event_id").isNull(), F.lit("missing_event_id")),
+            F.when(F.col("ts").isNull(), F.lit("missing_ts")),
+            F.when(F.col("user_id").isNull(), F.lit("missing_user_id")),
+            F.when(F.col("value").isNull(), F.lit("missing_value")),
+            F.when(F.col("props").isNull(), F.lit("missing_props")),
+            F.when(a1 == 0, F.lit("invalid_value")),
+            F.when(a2 == 0, F.lit("invalid_event_type")),
+            F.when(a3 == 0, F.lit("invalid_user_id")),
+            F.when(a4 == 0, F.lit("invalid_props")),
+            F.when(F.col("ts").isNotNull() & (fresh < 50), F.lit("stale_event")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumns(
+        {
+            "completeness": comp,
+            "freshness": fresh,
+            "accuracy": acc,
+            "overall": overall,
+            "n_issues": F.size(issues),
+            "keep": F.size(issues) == 0,
+        }
+    )
+
+
+_EVENT_QUALITY_SQL = """
+    SELECT *,
+           (5 - ((event_id IS NULL)::INT + (ts IS NULL)::INT
+                 + (user_id IS NULL)::INT + (value IS NULL)::INT
+                 + (props IS NULL)::INT)) * 20 AS completeness,
+           CASE WHEN ts IS NULL THEN 0
+                WHEN {NOW} - epoch_us(ts) <= 7  * 86400000000 THEN 100
+                WHEN {NOW} - epoch_us(ts) <= 14 * 86400000000 THEN 75
+                WHEN {NOW} - epoch_us(ts) <= 21 * 86400000000 THEN 50
+                WHEN {NOW} - epoch_us(ts) <= 28 * 86400000000 THEN 25
+                ELSE 0 END AS freshness,
+           ((value IS NOT NULL AND value > 0)::INT
+            + (event_type IN ('click','error','purchase','signup','view'))::INT
+            + (user_id IS NOT NULL AND user_id >= 0)::INT
+            + (props IS NOT NULL AND props LIKE '{%')::INT) * 25 AS accuracy
+    FROM events
+""".replace("{NOW}", str(NOW_EVENTS_US))
+
+_EVENT_OVERALL_SQL = f"""
+    SELECT *, (completeness * 4 + freshness * 3 + accuracy * 3) / 10.0e0 AS overall,
+           ((completeness = 100)::INT + (freshness >= 50)::INT
+            + (accuracy = 100)::INT) = 3 AS keep
+    FROM ({_EVENT_QUALITY_SQL})
+"""
+
+
+def q_p1_completeness_events(spark, sf_dir):
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("completeness").alias("avg_completeness"),
+        F.sum((F.col("completeness") < 100).cast("int")).alias("n_incomplete"),
+    )
+
+
+SQL_P1 = f"""
+    SELECT event_type, COUNT(*) AS n, AVG(completeness) AS avg_completeness,
+           SUM((completeness < 100)::INT) AS n_incomplete
+    FROM ({_EVENT_QUALITY_SQL}) GROUP BY event_type
+"""
+
+
+def q_p2_freshness_events(spark, sf_dir):
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.avg("freshness").alias("avg_freshness"),
+        F.sum((F.col("freshness") < 50).cast("int")).alias("n_stale"),
+        F.sum((F.col("freshness") == 100).cast("int")).alias("n_fresh"),
+    )
+
+
+SQL_P2 = f"""
+    SELECT event_type, AVG(freshness) AS avg_freshness,
+           SUM((freshness < 50)::INT) AS n_stale,
+           SUM((freshness = 100)::INT) AS n_fresh
+    FROM ({_EVENT_QUALITY_SQL}) GROUP BY event_type
+"""
+
+
+def q_p3_accuracy_events(spark, sf_dir):
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.avg("accuracy").alias("avg_accuracy"),
+        F.sum((F.col("accuracy") < 100).cast("int")).alias("n_inaccurate"),
+    )
+
+
+SQL_P3 = f"""
+    SELECT event_type, AVG(accuracy) AS avg_accuracy,
+           SUM((accuracy < 100)::INT) AS n_inaccurate
+    FROM ({_EVENT_QUALITY_SQL}) GROUP BY event_type
+"""
+
+
+def q_p7_overall_quality_events(spark, sf_dir):
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("overall").alias("avg_overall"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        (F.sum(F.col("keep").cast("int")) * 100.0 / F.count(F.lit(1))).alias(
+            "keep_rate"
+        ),
+    )
+
+
+SQL_P7 = f"""
+    SELECT event_type, COUNT(*) AS n, AVG(overall) AS avg_overall,
+           SUM(keep::INT) AS n_keep,
+           SUM(keep::INT) * 100.0e0 / COUNT(*) AS keep_rate
+    FROM ({_EVENT_OVERALL_SQL}) GROUP BY event_type
+"""
+
+
+def q_p8_severity_histogram_events(spark, sf_dir):
+    """Severity dispatch over issue strings + custom severity sort (A5)."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    sev = (
+        F.when(F.col("freshness") == 0, "critical")
+        .when(F.col("freshness") < 50, "high")
+        .when(F.col("accuracy") < 100, "medium")
+        .when(F.col("freshness") < 100, "low")
+        .otherwise("none")
+    )
+    rank = (
+        F.when(sev == "critical", 1)
+        .when(sev == "high", 2)
+        .when(sev == "medium", 3)
+        .when(sev == "low", 4)
+        .otherwise(5)
+    )
+    return (
+        ev.withColumn("severity", sev)
+        .withColumn("severity_rank", rank)
+        .groupBy("severity", "severity_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_P8 = f"""
+    WITH sev AS (
+      SELECT CASE WHEN freshness = 0 THEN 'critical'
+                  WHEN freshness < 50 THEN 'high'
+                  WHEN accuracy < 100 THEN 'medium'
+                  WHEN freshness < 100 THEN 'low'
+                  ELSE 'none' END AS severity
+      FROM ({_EVENT_QUALITY_SQL}))
+    SELECT severity,
+           CASE severity WHEN 'critical' THEN 1 WHEN 'high' THEN 2
+                WHEN 'medium' THEN 3 WHEN 'low' THEN 4 ELSE 5 END AS severity_rank,
+           COUNT(*) AS n
+    FROM sev GROUP BY severity
+"""
+
+
+def q_a1_window_stats_daily(spark, sf_dir):
+    """The 60s-window flush aggregate (A1/W1), batch-reinterpreted as
+    daily event-time windows."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.col("keep").cast("int")).alias("clean_records"),
+        F.sum((~F.col("keep")).cast("int")).alias("issues_found"),
+        F.avg("overall").alias("avg_overall"),
+        F.sum((F.col("overall") < 50).cast("int")).alias("critical_records"),
+    )
+
+
+SQL_A1 = f"""
+    SELECT date_trunc('day', ts) AS day, COUNT(*) AS total_records,
+           SUM(keep::INT) AS clean_records,
+           SUM((NOT keep)::INT) AS issues_found,
+           AVG(overall) AS avg_overall,
+           SUM((overall < 50)::INT) AS critical_records
+    FROM ({_EVENT_OVERALL_SQL}) GROUP BY 1
+"""
+
+
+def q_a4_dimension_breakdown_events(spark, sf_dir):
+    """Per-dimension stddev + bucketed conditional counts (api/main.py:197-212
+    analog). stddev is computed from integer sums for exact parity."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    long = ev.selectExpr(
+        "stack(3, 'completeness', completeness, 'freshness', freshness,"
+        " 'accuracy', accuracy) as (dimension, score)"
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("score").cast("long"))
+    ss = F.sum((F.col("score") * F.col("score")).cast("long"))
+    return long.groupBy("dimension").agg(
+        n.alias("n"),
+        F.avg("score").alias("avg_score"),
+        F.sqrt((ss - s * s / n) / (n - F.lit(1))).alias("stddev_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum((F.col("score") < 50).cast("int")).alias("bucket_critical"),
+        F.sum(((F.col("score") >= 50) & (F.col("score") < 80)).cast("int")).alias(
+            "bucket_warning"
+        ),
+        F.sum((F.col("score") >= 80).cast("int")).alias("bucket_good"),
+    )
+
+
+SQL_A4 = f"""
+    WITH long AS (
+      SELECT 'completeness' AS dimension, completeness AS score FROM ({_EVENT_QUALITY_SQL})
+      UNION ALL
+      SELECT 'freshness', freshness FROM ({_EVENT_QUALITY_SQL})
+      UNION ALL
+      SELECT 'accuracy', accuracy FROM ({_EVENT_QUALITY_SQL}))
+    SELECT dimension, COUNT(*) AS n, AVG(score) AS avg_score,
+           sqrt((SUM((score*score)::BIGINT) - SUM(score::BIGINT) * SUM(score::BIGINT) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_score,
+           MIN(score) AS min_score, MAX(score) AS max_score,
+           SUM((score < 50)::INT) AS bucket_critical,
+           SUM((score >= 50 AND score < 80)::INT) AS bucket_warning,
+           SUM((score >= 80)::INT) AS bucket_good
+    FROM long GROUP BY dimension
+"""
+
+
+def q_a7_pivot_daily_type_value(spark, sf_dir):
+    """Long->wide pivot (anomaly_detector.py:106-116 CASE-pivot analog):
+    avg event value per type per day, via exact decimal sums."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for et in EVENT_TYPES:
+        dec = F.sum(
+            F.when(F.col("event_type") == et, F.col("value")).cast("decimal(18,6)")
+        ).cast("double")
+        cnt = F.sum((F.col("event_type") == et).cast("int"))
+        aggs.append((dec / cnt).alias(f"avg_{et}_value"))
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(*aggs)
+
+
+def _pivot_sql_terms():
+    terms = []
+    for et in EVENT_TYPES:
+        terms.append(
+            f"CAST(SUM(CASE WHEN event_type = '{et}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+            f" / SUM((event_type = '{et}')::INT) AS avg_{et}_value"
+        )
+    return ", ".join(terms)
+
+
+SQL_A7 = f"""
+    SELECT date_trunc('day', ts) AS day, {_pivot_sql_terms()}
+    FROM events GROUP BY 1
+"""
+
+
+def q_o1_topk_recent_errors(spark, sf_dir):
+    """ORDER BY ts DESC LIMIT k with unique tie-break (api/main.py:238-258)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+SQL_O1 = """
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE event_type = 'error' ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_a6_user_value_topk(spark, sf_dir):
+    """Top-20 users by total event value (exact decimal sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+SQL_A6 = """
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_d0_dedup_first_wins_events(spark, sf_dir):
+    """First-wins window dedup (P5/W3): duplicates share (user_id,
+    event_type); the earliest (ts, event_id) row is kept."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_first"),
+        F.sum((F.col("rn") > 1).cast("int")).alias("n_duplicates"),
+    )
+
+
+SQL_D0 = """
+    WITH flagged AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*) AS n, SUM((rn = 1)::INT) AS n_first,
+           SUM((rn > 1)::INT) AS n_duplicates
+    FROM flagged GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style engine breadth
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    disc_price = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    charge = (
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).cast("decimal(18,6)")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_j1_segment_order_stats(spark, sf_dir):
+    """The system's one join (J1) writ TPC-H: orders x customer (broadcast
+    dim), grouped by market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias(
+                "total_price"
+            ),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+SQL_J1 = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def q_o2_top_orders_by_revenue(spark, sf_dir):
+    """3-table join + top-k on an exact decimal revenue (O2/J1)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderstatus", "c_mktsegment")
+    )
+
+
+SQL_O2 = """
+    WITH rev AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey, revenue, o_orderstatus, c_mktsegment
+    FROM rev JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_a10_lifetime_overview(spark, sf_dir):
+    """Global lifetime aggregate (dashboard/app.py:33-38 analog)."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum((~F.col("keep")).cast("int")).alias("total_issues"),
+        F.avg("overall").alias("avg_overall"),
+        (
+            (F.max(_us("ts")) - F.min(_us("ts")))
+            / F.lit(3_600_000_000.0)
+        ).alias("span_hours"),
+    )
+
+
+SQL_A10 = f"""
+    SELECT COUNT(*) AS total_records, SUM((NOT keep)::INT) AS total_issues,
+           AVG(overall) AS avg_overall,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 3600000000.0e0 AS span_hours
+    FROM ({_EVENT_OVERALL_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup family
+# ---------------------------------------------------------------------------
+
+def q_t1_langid_documents(spark, sf_dir):
+    """Stopword-profile language ID (native-Column variant) — confusion
+    matrix of labeled vs detected language."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.withColumn("detected_lang", textstats.langid_col(F.col("text")))
+    return out.groupBy("lang", "detected_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _stop_list_sql(lang: str) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in LANGID_STOPWORDS[lang])
+
+
+SQL_T1 = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, lower(t.tok) AS tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok != ''),
+    hits AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             SUM((tok IN ({_stop_list_sql('en')}))::INT) AS en_hits,
+             SUM((tok IN ({_stop_list_sql('es')}))::INT) AS es_hits,
+             SUM((tok IN ({_stop_list_sql('fr')}))::INT) AS fr_hits,
+             SUM((tok IN ({_stop_list_sql('de')}))::INT) AS de_hits
+      FROM toks GROUP BY doc_id),
+    det AS (
+      SELECT lang,
+             CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) <= 0 THEN 'unknown'
+                  WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+                  WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+                  WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+                  ELSE 'de' END AS detected_lang
+      FROM hits)
+    SELECT lang, detected_lang, COUNT(*) AS n FROM det GROUP BY lang, detected_lang
+"""
+
+
+def q_t2_token_stats_documents(spark, sf_dir):
+    docs = textstats.with_text_stats(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
+    )
+
+
+SQL_T2 = """
+    WITH stats AS (
+      SELECT source, n_chars, md5(lower(text)) AS fingerprint,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs, SUM(n_tokens::BIGINT) AS total_tokens,
+           AVG(n_tokens) AS avg_tokens, MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT fingerprint) AS n_distinct_fingerprints
+    FROM stats GROUP BY source
+"""
+
+
+def q_t3_quality_score_documents(spark, sf_dir):
+    """Heuristic doc quality score histogram (exact integer score)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "quality", textstats.quality_score(F.col("text"), F.col("n_chars"))
+    )
+    return scored.groupBy("quality").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_T3 = """
+    WITH s AS (
+      SELECT n_chars,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS ntok,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS ndis,
+             length(text) AS nlen
+      FROM documents),
+    q AS (
+      SELECT (n_chars BETWEEN 100 AND 450)::INT * 40
+             + (CASE WHEN ntok > 0 THEN (ndis::DOUBLE / ntok) ELSE 0.0e0 END >= 0.3e0)::INT * 30
+             + (CASE WHEN ntok > 0 THEN (nlen::DOUBLE / ntok) ELSE 0.0e0 END BETWEEN 3.0e0 AND 9.0e0)::INT * 30
+             AS quality
+      FROM s)
+    SELECT quality, COUNT(*) AS n FROM q GROUP BY quality
+"""
+
+
+def q_t4_fingerprint_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_T4 = "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+
+
+def q_d1_dedup_exact_documents(spark, sf_dir):
+    flagged = dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("n_duplicates"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    )
+
+
+SQL_D1 = """
+    WITH flagged AS (
+      SELECT source, md5(lower(text)) AS fingerprint,
+             row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) > 1 AS is_duplicate
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs, SUM(is_duplicate::INT) AS n_duplicates,
+           COUNT(DISTINCT fingerprint) AS n_unique
+    FROM flagged GROUP BY source
+"""
+
+
+def q_d2_jaccard_pairs_documents(spark, sf_dir):
+    """All-pairs token-set Jaccard near-dups via inverted-index join."""
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.82
+    )
+    return pairs.select("id_a", "id_b", "intersection", "jaccard")
+
+
+SQL_D2 = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, t.tok AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok != ''),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b, intersection,
+           intersection::DOUBLE / (sa.set_size + sb.set_size - intersection) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE intersection::DOUBLE / (sa.set_size + sb.set_size - intersection) >= 0.82e0
+"""
+
+
+def q_d3_minhash_lsh_documents(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, Jaccard-verified. xxhash64-based
+    signatures are not portable SQL -> rows-only correctness check."""
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.8
+    )
+
+
+def q_d4_simhash_documents(spark, sf_dir):
+    """SimHash near-dups (Hamming<=6 of 64-bit token-hash signature);
+    xxhash64-based -> rows-only check."""
+    return dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_Q = 10_000_000.0  # embedding quantization: floor(x * 1e7) -> exact int dot
+
+
+def _qvec(vec):
+    """Quantize a float vector to BIGINTs: floor(x * 1e7). The multiply and
+    floor are single IEEE ops on identical inputs, so every engine produces
+    the identical integers — integer dot products are then exact and
+    order-independent (a double->DECIMAL cast is NOT portable: DuckDB
+    rounds via an inexact double multiply, Spark via exact BigDecimal)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(_Q)).cast("long")
+    )
+
+
+def _idot(a, b):
+    """Exact integer dot product of two quantized vectors (fits BIGINT:
+    |x|<=2 => terms <= 4e14, 64 dims => <= 2.6e16 < 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+
+
+def q_s1_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 5, on the
+    1e-7-quantized embeddings (exact cross-engine parity; the scale factor
+    cancels in the cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _qvec(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _qvec(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _idot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_idot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_idot(F.col("cv"), F.col("cv")))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+SQL_S1 = """
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+    terms AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(UNNEST(qv)::DOUBLE * 10000000.0e0) AS BIGINT) AS qa,
+             CAST(floor(UNNEST(cv)::DOUBLE * 10000000.0e0) AS BIGINT) AS ca
+      FROM pairs),
+    dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(qa * ca) AS DOUBLE) AS dqc,
+             CAST(SUM(qa * qa) AS DOUBLE) AS dqq,
+             CAST(SUM(ca * ca) AS DOUBLE) AS dcc
+      FROM terms GROUP BY query_id, neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id, dqc / (sqrt(dqq) * sqrt(dcc)) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dqc / (sqrt(dqq) * sqrt(dcc)) DESC,
+                                         neighbor_id ASC) AS rank
+      FROM dots)
+    SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 5
+"""
+
+
+def q_s2_embedding_centroid_norms(spark, sf_dir):
+    """Per-label count + average vector norm, on quantized embeddings with
+    a second quantization of the per-row norm (exact integer averages)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _qvec(F.col("embedding"))
+    nrm = F.sqrt(_idot(qv, qv)) / F.lit(_Q)
+    nq = F.floor(nrm * F.lit(1e9)).cast("long")
+    return (
+        emb.withColumn("nq", nq)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("nq").cast("double") / F.count(F.lit(1)) / F.lit(1e9)
+            ).alias("avg_norm"),
+        )
+    )
+
+
+SQL_S2 = """
+    WITH terms AS (
+      SELECT vec_id, label,
+             CAST(floor(UNNEST(embedding)::DOUBLE * 10000000.0e0) AS BIGINT) AS qa
+      FROM embeddings),
+    norms AS (
+      SELECT label,
+             CAST(floor(sqrt(CAST(SUM(qa * qa) AS DOUBLE)) / 10000000.0e0 * 1000000000.0e0) AS BIGINT) AS nq
+      FROM terms GROUP BY vec_id, label)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(nq) AS DOUBLE) / COUNT(*) / 1000000000.0e0 AS avg_norm
+    FROM norms GROUP BY label
+"""
+
+
+def q_s3_lsh_ann_embeddings(spark, sf_dir):
+    """LSH-bucketed approximate neighbors (deterministic literal
+    hyperplanes); xxhash-free but the bucket SQL is impractically large ->
+    rows-only check; exactness of the shared bucket logic is covered by
+    the s1 overlap test in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+ENTRY_QUERIES = {
+    "p1_completeness_events": (q_p1_completeness_events, SQL_P1),
+    "p2_freshness_events": (q_p2_freshness_events, SQL_P2),
+    "p3_accuracy_events": (q_p3_accuracy_events, SQL_P3),
+    "p7_overall_quality_events": (q_p7_overall_quality_events, SQL_P7),
+    "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
+    "a1_window_stats_daily": (q_a1_window_stats_daily, SQL_A1),
+    "a4_dimension_breakdown_events": (q_a4_dimension_breakdown_events, SQL_A4),
+    "a6_user_value_topk": (q_a6_user_value_topk, SQL_A6),
+    "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
+    "a10_lifetime_overview": (q_a10_lifetime_overview, SQL_A10),
+    "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
+    "o2_top_orders_by_revenue": (q_o2_top_orders_by_revenue, SQL_O2),
+    "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
+    "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),
+    "d2_jaccard_pairs_documents": (q_d2_jaccard_pairs_documents, SQL_D2),
+    "d3_minhash_lsh_documents": (q_d3_minhash_lsh_documents, None),
+    "d4_simhash_documents": (q_d4_simhash_documents, None),
+    "t1_langid_documents": (q_t1_langid_documents, SQL_T1),
+    "t2_token_stats_documents": (q_t2_token_stats_documents, SQL_T2),
+    "t3_quality_score_documents": (q_t3_quality_score_documents, SQL_T3),
+    "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
+    "s1_ann_cosine_topk": (q_s1_ann_cosine_topk, SQL_S1),
+    "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
+    "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
+}

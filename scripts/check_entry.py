@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its DuckDB oracle, compare row count,
+schema and order-insensitive values. Exact equality for every cell (the
+whole catalog is engineered for bit-identical cross-engine results)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark(app_name="check-entry")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        spd = sdf.toPandas()
+        if name not in oracles:
+            print(f"{name:35s} rows-only: {len(spd)} rows, {len(spd.columns)} cols")
+            continue
+        opd = con.sql(oracles[name]).df()
+        a, b = normalize(spd), normalize(opd)
+        status = []
+        if len(a) != len(b):
+            status.append(f"ROWS {len(a)} vs {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"SCHEMA {list(a.columns)} vs {list(b.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            except AssertionError as e:
+                status.append("VALUES " + str(e).split("\n")[0])
+                # show first differing cells
+                neq = (a != b) & ~(a.isna() & b.isna())
+                for c in a.columns:
+                    if neq[c].any():
+                        i = neq[c].idxmax()
+                        status.append(f"  {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}")
+                        break
+        if status:
+            failures += 1
+            print(f"{name:35s} MISMATCH: {'; '.join(status[:3])}")
+        else:
+            print(f"{name:35s} OK ({len(a)} rows)")
+    spark.stop()
+    print(f"\n{failures} failures / {len(qs)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))

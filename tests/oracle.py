@@ -63,6 +63,7 @@ def _norm_text(text: str) -> str:
 # --- independent langid / nll implementations (same data, own logic) -------
 
 def oracle_langid(text: str) -> str:
+    text = text[:2000]  # FEATURE_MAX_CHARS contract
     toks = [t.lower() for t in text.split() if t]
     if not toks:
         return "unknown"
@@ -78,6 +79,7 @@ def oracle_langid(text: str) -> str:
 
 def oracle_nll(text: str) -> float:
     # pinned normalization: lowercase, non a-z -> space, collapse, strip
+    text = text[:2000]  # FEATURE_MAX_CHARS contract
     norm = re.sub(r"[^a-z]+", " ", text.lower()).strip(" ")
     if not norm:
         return 0.0
