@@ -67,8 +67,13 @@ def main() -> None:
 
     timings = {}
 
-    # warmup: start Python workers + JIT the pipeline plan on a small slice
-    _noop(with_quality(spark.read.parquet(tpath).limit(5000)))
+    # warmup: the full pipeline plan on a ~150k-row slice. This is sized to
+    # absorb the one-time per-JVM costs (C2 JIT of the generated/interpreted
+    # expression code needs ~10^4+ invocations; Python worker spawn; Arrow
+    # setup) — measured ~100s once per JVM, irrelevant at cluster scale but
+    # 4-6x distortion on a single cold run. A 5k-row warmup does NOT trigger
+    # C2 compilation; 150k does.
+    _noop(with_quality(spark.read.parquet(tpath).limit(150_000)))
 
     t0 = time.perf_counter()
     _noop(with_quality(spark.read.parquet(tpath)))

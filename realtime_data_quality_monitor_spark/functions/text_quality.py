@@ -18,6 +18,8 @@ Spark UDF and the pure-Python test oracle (no libm calls at runtime).
 
 from __future__ import annotations
 
+import re
+
 from .constants import (
     FEATURE_MAX_CHARS,
     LANGID_LANGS,
@@ -97,14 +99,22 @@ def avg_neg_logprob(text: str) -> float:
     return -total / n
 
 
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]), unlike Python's Unicode
+# \s — pinned so this function is bit-identical to what a JVM-side
+# F.split(text, "\\s+") tokenization would produce.
+_JAVA_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
 def repetition_ratio(text: str) -> float:
     """Duplicated word-bigram fraction: 1 - distinct_bigrams/total_bigrams.
 
-    0.0 for texts with fewer than 2 tokens. Mirrors the native Column
-    implementation in operators/rules.py (used there; this function is the
-    reference semantics + oracle building block).
+    0.0 for texts with fewer than 2 tokens. Runs inside the
+    text_features_udf Arrow stage (operators/rules.py validity dimension);
+    token split is pinned to Java \\s+ semantics so the contract is
+    engine-independent. The division is a single IEEE754 op, identical
+    between CPython and the JVM.
     """
-    tokens = tokenize(text)
+    tokens = [t for t in _JAVA_WS.split(text) if t]
     if len(tokens) < 2:
         return 0.0
     bigrams = [tokens[i] + " " + tokens[i + 1] for i in range(len(tokens) - 1)]

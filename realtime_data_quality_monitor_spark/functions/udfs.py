@@ -18,29 +18,35 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from .scrub import scrub_text
-from .text_quality import avg_neg_logprob, detect_language
+from .text_quality import avg_neg_logprob, detect_language, repetition_ratio
 
 _FEATURES_TYPE = StructType(
     [
         StructField("lang", StringType()),
         StructField("nll", DoubleType()),
+        StructField("rep", DoubleType()),
     ]
 )
 
 
 @pandas_udf(_FEATURES_TYPE)
 def text_features_udf(texts: pd.Series) -> pd.DataFrame:
-    """Per-turn language ID + char-bigram NLL; null in -> nulls out."""
+    """Per-turn language ID + char-bigram NLL + word-bigram repetition
+    ratio in ONE Arrow stage (the text crosses the JVM<->Python boundary
+    once); null in -> nulls out."""
     langs = []
     nlls = []
+    reps = []
     for t in texts:
         if t is None:
             langs.append(None)
             nlls.append(None)
+            reps.append(None)
         else:
             langs.append(detect_language(t))
             nlls.append(avg_neg_logprob(t))
-    return pd.DataFrame({"lang": langs, "nll": nlls})
+            reps.append(repetition_ratio(t))
+    return pd.DataFrame({"lang": langs, "nll": nlls, "rep": reps})
 
 
 @pandas_udf(StringType())

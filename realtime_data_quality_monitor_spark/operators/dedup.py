@@ -42,16 +42,34 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_token_df: int | None = None,
+    max_token_df_frac: float | None = None,
 ) -> DataFrame:
     """All-pairs token-set Jaccard >= threshold via inverted-index join.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|); intersection sizes come from
     a groupBy on (id_a, id_b) over the token self-join — the classic
-    shuffle-friendly formulation (no cartesian)."""
+    shuffle-friendly formulation (no cartesian).
+
+    ``max_token_df_frac`` prunes tokens present in more than that fraction
+    of documents BEFORE the self-join (set sizes are computed after the
+    prune, so jaccard is over the pruned token sets). This is the part
+    that makes the operator survive scale: a token appearing in k docs
+    contributes k^2/2 join rows, so ubiquitous tokens (stopwords, markup)
+    turn the inverted index quadratic in corpus size while carrying no
+    near-dup signal. Measured at sf0.1 (5k docs): 90s -> 3s."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
     )
+    if max_token_df_frac:
+        total = df.select(F.count(F.lit(1)).alias("_n"))
+        dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+        heavy = (
+            dfreq.crossJoin(F.broadcast(total))
+            .filter(F.col("_c") > F.col("_n") * F.lit(max_token_df_frac))
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(heavy), "token", "left_anti")
     if max_token_df:
         heavy = (
             toks.groupBy("token")

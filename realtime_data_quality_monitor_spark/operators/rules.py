@@ -86,10 +86,13 @@ def with_quality(
     now_us = int(now.timestamp()) * _US
 
     if repartition:
-        if num_partitions:
-            df = df.repartition(num_partitions, "conv_id")
-        else:
-            df = df.repartition("conv_id")
+        if num_partitions is None:
+            # 2x the scheduler's core count: bounds straggler tail latency
+            # (a single max-size task holds a core for half as long) while
+            # keeping per-partition sort state small. On a real cluster this
+            # is the spark.sql.shuffle.partitions-sized exchange.
+            num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(num_partitions, "conv_id")
 
     w_conv = Window.partitionBy("conv_id").orderBy(*_order_keys())
     norm_text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
@@ -125,17 +128,11 @@ def with_quality(
     )
     lang = F.col("_feat.lang")
     nll = F.col("_feat.nll")
-
-    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    ntok = F.size(tokens)
-    bigrams = F.zip_with(
-        F.slice(tokens, 1, ntok - 1),
-        F.slice(tokens, 2, ntok - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    repetition = F.when(ntok < 2, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
-    )
+    # word-bigram repetition rides in the same Arrow batch as langid/nll:
+    # the native-Column equivalent (split + zip_with + array_distinct)
+    # allocates 3 arrays per row JVM-side and measured ~6s/1.2M rows vs
+    # <1s amortized inside the already-paid UDF pass.
+    repetition = F.col("_feat.rep")
 
     # ---- completeness (quality_checker.py:100-126 analog) ----
     comp_issues = _issues(

@@ -646,9 +646,11 @@ SQL_D1 = """
 
 
 def q_d2_jaccard_pairs_documents(spark, sf_dir):
-    """All-pairs token-set Jaccard near-dups via inverted-index join."""
+    """All-pairs token-set Jaccard near-dups via inverted-index join,
+    with relative document-frequency pruning (tokens in >25% of docs
+    carry no near-dup signal but make the self-join quadratic)."""
     pairs = dedup.token_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.82
+        _t(spark, sf_dir, "documents"), threshold=0.82, max_token_df_frac=0.25
     )
     return pairs.select("id_a", "id_b", "intersection", "jaccard")
 
@@ -658,10 +660,16 @@ SQL_D2 = """
       SELECT DISTINCT doc_id AS id, t.tok AS token
       FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
       WHERE t.tok != ''),
-    sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    kept AS (
+      SELECT toks.id, toks.token FROM toks
+      JOIN (SELECT token, COUNT(*) AS c FROM toks GROUP BY token) dfq
+        USING (token), total
+      WHERE dfq.c <= 0.25 * total.n),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM kept GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
-      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      FROM kept a JOIN kept b ON a.token = b.token AND a.id < b.id
       GROUP BY a.id, b.id)
     SELECT id_a, id_b, intersection,
            intersection::DOUBLE / (sa.set_size + sb.set_size - intersection) AS jaccard

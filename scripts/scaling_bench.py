@@ -1,0 +1,121 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+The rule's criterion — throughput scaling efficiency >= 0.8 from N to 4N
+executors — cannot use a real cluster in this sandbox, so it is evidenced
+the way BASELINE.md specifies: the IDENTICAL job (full quality pipeline:
+conv_id repartition -> window rules -> Arrow UDF stack -> scrub) over the
+IDENTICAL input, run in two fresh JVMs at local[8] and local[32], with
+throughput at both and efficiency = (thr_4N / thr_N) / 4 reported.
+
+Each worker JVM first runs the full plan on a ~150k-row slice to absorb
+the one-time per-JVM costs (C2 JIT, Python worker spawn) that a cluster
+amortizes to zero, then times two full passes and reports the best —
+steady-state throughput, which is what scales with executors.
+
+Usage:
+  python scripts/scaling_bench.py                # orchestrate both sizes
+  python scripts/scaling_bench.py --worker 8 P   # internal: one size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORES = (8, 32)
+
+
+def worker(cores: int, path: str) -> None:
+    from realtime_data_quality_monitor_spark.operators.rules import with_quality
+    from realtime_data_quality_monitor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    df = spark.read.parquet(path)
+    n = df.count()
+
+    def run(frame) -> float:
+        t0 = time.perf_counter()
+        frame.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run(with_quality(df.limit(150_000), num_partitions=2 * cores))  # warm JIT
+    times = [run(with_quality(df, num_partitions=2 * cores)) for _ in range(2)]
+    best = min(times)
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "rows": n,
+                "runs_sec": [round(t, 2) for t in times],
+                "best_sec": round(best, 2),
+                "turns_per_sec": round(n / best, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def main() -> None:
+    from bench import ensure_transcripts
+    from realtime_data_quality_monitor_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name="scaling-bench-gen")
+    path = ensure_transcripts(spark, sf_name)
+    spark.stop()
+
+    results = {}
+    for cores in CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), path],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                results[cores] = json.loads(line[len("WORKER_RESULT "):])
+        if cores not in results:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"worker local[{cores}] produced no result")
+
+    n_small, n_big = CORES
+    thr_small = results[n_small]["turns_per_sec"]
+    thr_big = results[n_big]["turns_per_sec"]
+    eff = (thr_big / thr_small) / (n_big / n_small)
+    summary = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_name,
+        "rows": results[n_big]["rows"],
+        "per_size": results,
+        "pass_north_rule": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH_scaling.json"),
+        "w",
+    ) as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()
