@@ -1,0 +1,220 @@
+"""Window-level anomaly + drift detection (reference M1/M5 analogs).
+
+The reference trains an IsolationForest over 7 window-level features
+(flink/src/anomaly_detector.py:31-74,140-267) and runs per-feature
+two-sample Kolmogorov-Smirnov drift tests current-vs-reference
+(flink/src/drift_detector.py:34-144, ks_2samp at :101-104). Both operate
+on the AGGREGATED metrics stream (one row per window), never per record —
+the correct shape at 10^12 turns too: the feature matrix is tiny even
+when the input is not.
+
+Spark-first restatement:
+  * KS statistic — pure DataFrame algebra (sort + cumulative counts), no
+    scipy: D = max over union values of |ECDF_a - ECDF_b|. Exact: counts
+    are integers, each ECDF value is one integer division, the critical
+    value c(alpha)*sqrt((n1+n2)/(n1*n2)) is two IEEE ops — bit-identical
+    across engines, so it oracle-checks cell-exactly against DuckDB.
+  * Robust anomaly flag — median/MAD z-score per feature (the
+    deterministic stand-in for the contamination quantile; exact
+    percentile, not approx, because window counts are small by design).
+  * IsolationForest — numpy implementation inside a single applyInPandas
+    group (the window-stats frame is small; the reference equally
+    collects it into one sklearn fit, anomaly_detector.py:171-177).
+    Seeded rng -> deterministic; not SQL-expressible -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# two-sided KS critical coefficient at alpha=0.05 (the reference's drift
+# threshold p<0.05, drift_detector.py:107-110)
+KS_COEFF_05 = 1.358
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Two-sample KS test as native column algebra.
+
+    ``group_col`` must be a boolean split (reference sample vs current).
+    Returns one row: n_a, n_b, ks_d, ks_crit (alpha=.05), drift flag.
+
+    Shuffle shape: one groupBy on distinct values (map-side combine), one
+    single-partition cumulative window over DISTINCT values only — fine
+    because distinct score values are few; the raw rows are never sorted
+    globally."""
+    counts = (
+        df.select(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = counts.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    ).crossJoin(F.broadcast(totals))
+    return (
+        ecdf.agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.try_divide(F.col("cuma"), F.col("n_a"))
+                    - F.try_divide(F.col("cumb"), F.col("n_b"))
+                )
+            ).alias("ks_d"),
+        )
+        .withColumn(
+            "ks_crit",
+            F.lit(KS_COEFF_05)
+            * F.sqrt(
+                F.try_divide(
+                    F.col("n_a") + F.col("n_b"), F.col("n_a") * F.col("n_b")
+                )
+            ),
+        )
+        .withColumn("drift", F.col("ks_d") > F.col("ks_crit"))
+    )
+
+
+def mad_anomalies(
+    df: DataFrame, value_cols: list, k: float = 3.5
+) -> DataFrame:
+    """Robust per-window anomaly flags: |x - median| > k * MAD, per
+    feature column, plus an any-feature flag. Medians are EXACT
+    percentiles (window counts are small by construction); a zero MAD
+    (constant feature) never flags."""
+    med_exprs = [
+        F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}") for c in value_cols
+    ]
+    meds = df.agg(*med_exprs)
+    with_dev = df.crossJoin(F.broadcast(meds))
+    mad_exprs = [
+        F.expr(f"percentile(abs({c} - _med_{c}), 0.5)").alias(f"_mad_{c}")
+        for c in value_cols
+    ]
+    mads = with_dev.agg(*mad_exprs)
+    out = with_dev.crossJoin(F.broadcast(mads))
+    flags = []
+    for c in value_cols:
+        flag = (F.col(f"_mad_{c}") > 0) & (
+            F.abs(F.col(c) - F.col(f"_med_{c}"))
+            > F.lit(k) * F.col(f"_mad_{c}")
+        )
+        out = out.withColumn(f"{c}_anomaly", flag)
+        flags.append(F.col(f"{c}_anomaly"))
+    anyf = flags[0]
+    for f_ in flags[1:]:
+        anyf = anyf | f_
+    out = out.withColumn("any_anomaly", anyf)
+    return out.drop(
+        *[f"_med_{c}" for c in value_cols], *[f"_mad_{c}" for c in value_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# IsolationForest (numpy, deterministic) over the window-feature frame
+# ---------------------------------------------------------------------------
+
+
+def _c_factor(n: int) -> float:
+    if n <= 1:
+        return 0.0
+    h = np.log(n - 1) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _fit_tree(x: "np.ndarray", rng, depth: int, max_depth: int):
+    n = len(x)
+    if depth >= max_depth or n <= 1:
+        return ("leaf", n)
+    feat = int(rng.integers(0, x.shape[1]))
+    lo, hi = x[:, feat].min(), x[:, feat].max()
+    if lo == hi:
+        return ("leaf", n)
+    split = float(rng.uniform(lo, hi))
+    mask = x[:, feat] < split
+    return (
+        "node",
+        feat,
+        split,
+        _fit_tree(x[mask], rng, depth + 1, max_depth),
+        _fit_tree(x[~mask], rng, depth + 1, max_depth),
+    )
+
+
+def _path_length(tree, row, depth: int = 0) -> float:
+    if tree[0] == "leaf":
+        return depth + _c_factor(tree[1])
+    _, feat, split, left, right = tree
+    nxt = left if row[feat] < split else right
+    return _path_length(nxt, row, depth + 1)
+
+
+def isolation_forest_scores(
+    features: "np.ndarray",
+    n_trees: int = 100,
+    sample_size: int = 256,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Anomaly score in [0,1] per row (s = 2^(-E[h]/c(n)); > 0.5 ~
+    anomalous). Deterministic: seeded numpy Generator, fixed tree count —
+    mirrors the reference's IsolationForest(n_estimators=100,
+    random_state=42) (anomaly_detector.py:39-43)."""
+    x = np.asarray(features, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return np.empty(0)
+    rng = np.random.default_rng(seed)
+    psi = min(sample_size, n)
+    max_depth = int(np.ceil(np.log2(max(psi, 2))))
+    trees = []
+    for _ in range(n_trees):
+        idx = rng.choice(n, size=psi, replace=False)
+        trees.append(_fit_tree(x[idx], rng, 0, max_depth))
+    cn = _c_factor(psi)
+    scores = np.empty(n)
+    for i, row in enumerate(x):
+        e = np.mean([_path_length(t, row) for t in trees])
+        scores[i] = 2.0 ** (-e / cn) if cn > 0 else 0.5
+    return scores
+
+
+def with_isolation_scores(
+    df: DataFrame, feature_cols: list, n_trees: int = 100, seed: int = 42
+) -> DataFrame:
+    """Append an ``iforest_score`` column to a (small, window-level)
+    DataFrame. Runs as ONE mapInPandas group on a single partition — the
+    same topology as the reference's collect-into-sklearn fit; correct
+    here because the input is the aggregated window frame, not raw turns."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = list(df.columns)
+    schema = StructType(
+        [*df.schema.fields, StructField("iforest_score", DoubleType())]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=[*cols, "iforest_score"])
+            return
+        feats = pdf[feature_cols].to_numpy(dtype=np.float64)
+        pdf["iforest_score"] = isolation_forest_scores(
+            feats, n_trees=n_trees, seed=seed
+        )
+        yield pdf
+
+    return df.coalesce(1).mapInPandas(work, schema)

@@ -1,0 +1,226 @@
+"""Multimodal (image / audio / video) columns as opaque binary + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+Design for 100 TB: media bytes live in a ``binary`` column (at real scale,
+an Iceberg table with a blob column or content-addressed object refs);
+decode / feature-extract / resize / frame-sample run as mapInPandas stages
+so each Arrow batch moves a bounded number of blobs into Python once, and
+all control logic (partitioning, pruning, joins against decoded features)
+stays in native DataFrame ops. Schema contracts are explicit StructTypes —
+the plumbing the north-star pipeline needs for non-text turn payloads.
+
+The container ships no codec libraries (no PIL/opencv/librosa), so the
+REAL-codec path is an explicit stub (``decode_external``). The exercised
+path uses self-describing uncompressed formats that can be genuinely
+encoded AND parsed with stdlib + numpy — binary PPM (P6) images, RIFF/WAV
+PCM16 audio, and a trivial concatenated-frame video container — so the
+Spark-side plumbing (batch shape, binary round-trip, UDF signatures,
+partition behavior) is real and tested end-to-end, not mocked.
+
+Reference parity note: the reference has no media path; this extends its
+per-record check_all pattern (flink/src/quality_checker.py:360-426) to
+non-text payloads per the training-data-pipeline requirements.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# codecs: encode + parse for the three self-describing formats
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Binary PPM (P6, maxval 255). rgb: uint8 array (height, width, 3)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb.tobytes()
+
+
+def parse_ppm(blob: bytes) -> tuple:
+    """-> (width, height, pixels uint8 (h, w, 3)). Real header parsing."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) blob")
+    # header = magic, whitespace, width, height, maxval, single whitespace
+    parts = blob.split(b"\n", 3)
+    width, height = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raw = parts[3][: width * height * 3]
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    return width, height, px
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Canonical 44-byte RIFF/WAVE PCM16 mono header + int16 LE samples."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", n)
+    return hdr + data
+
+
+def parse_wav(blob: bytes) -> tuple:
+    """-> (sample_rate, samples int16 ndarray). Walks real RIFF chunks."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            if fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, samples
+
+
+# video container: b"VID0" + u8 n_frames + u16 w + u16 h + frames of
+# grayscale uint8 (h*w bytes each)
+def encode_video(width: int, height: int, frames: "np.ndarray") -> bytes:
+    hdr = b"VID0" + struct.pack("<BHH", len(frames), width, height)
+    return hdr + frames.astype(np.uint8).tobytes()
+
+
+def parse_video(blob: bytes) -> tuple:
+    if blob[:4] != b"VID0":
+        raise ValueError("not a VID0 blob")
+    n_frames, width, height = struct.unpack("<BHH", blob[4:9])
+    frames = np.frombuffer(
+        blob[9 : 9 + n_frames * width * height], dtype=np.uint8
+    ).reshape(n_frames, height, width)
+    return width, height, frames
+
+
+def decode_external(fmt: str) -> None:
+    """STUB for real codecs (JPEG/PNG/FLAC/MP4...). The container ships no
+    PIL/opencv/librosa; on a production cluster this dispatches to the
+    library decoder inside the same mapInPandas stage — the Spark-side
+    plumbing is identical to the exercised PPM/WAV/VID0 paths."""
+    raise NotImplementedError(
+        f"codec {fmt!r} needs an external library (PIL/opencv/librosa); "
+        "not shipped in this environment — use the PPM/WAV/VID0 paths, "
+        "whose Spark plumbing is identical"
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas operators
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id bigint, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode PPM blobs -> per-image metadata + channel means.
+
+    Input: (asset_id bigint, content binary). One Arrow batch of blobs
+    enters Python at a time; output is a narrow typed feature frame."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                w, h, px = parse_ppm(bytes(blob))
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append((asset_id, w, h, *map(float, means)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        decode, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(assets: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Nearest-neighbour resize, binary -> binary (schema-preserving).
+    src index per axis: floor(i * src_dim / out_dim)."""
+    schema = "asset_id bigint, content binary"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                w, h, px = parse_ppm(bytes(blob))
+                xs = (np.arange(out_width) * w) // out_width
+                ys = (np.arange(out_height) * h) // out_height
+                resized = px[ys][:, xs]
+                out.append((asset_id, encode_ppm(out_width, out_height, resized)))
+            yield pd.DataFrame(out, columns=["asset_id", "content"])
+
+    return assets.select("asset_id", "content").mapInPandas(work, schema)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples int, "
+    "peak int, mean_amp double"
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode WAV blobs -> (sample_rate, n_samples, peak=max|s|, mean
+    amplitude). Sum in int64 then one divide, so the double is exact and
+    engine-independent."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                rate, samples = parse_wav(bytes(blob))
+                s64 = samples.astype(np.int64)
+                rows.append(
+                    (
+                        asset_id,
+                        rate,
+                        len(samples),
+                        int(np.abs(s64).max()) if len(samples) else 0,
+                        float(s64.sum()) / len(samples) if len(samples) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "sample_rate", "n_samples", "peak", "mean_amp"],
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        decode, AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_idx int, frame_mean double"
+
+
+def sample_frames(assets: DataFrame, every_k: int) -> DataFrame:
+    """Sample every k-th frame of VID0 blobs -> one row per kept frame
+    with its mean intensity (the feature-extraction hook point)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                _w, _h, frames = parse_video(bytes(blob))
+                for idx in range(0, len(frames), every_k):
+                    mean = float(frames[idx].astype(np.int64).mean())
+                    rows.append((asset_id, idx, mean))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_mean"])
+
+    return assets.select("asset_id", "content").mapInPandas(work, FRAME_SAMPLE_SCHEMA)

@@ -74,6 +74,7 @@ def with_quality(
     expected_lang: str = config.EXPECTED_LANG,
     repartition: bool = True,
     num_partitions: int | None = None,
+    cross_turn: bool = True,
 ) -> DataFrame:
     """Append per-turn quality columns to a transcript DataFrame.
 
@@ -81,11 +82,18 @@ def with_quality(
     Output adds: completeness_score .. validity_score, latency_seconds,
     lang, overall_score, issues, issue_count, has_issues, keep,
     is_critical, severity_max, scrubbed_text.
+
+    ``cross_turn=False`` selects the STATELESS subset (no window
+    functions): duplicate-turn flags are all-false and the turn-order
+    contiguity check degrades to ``turn_idx >= 0``. This is the mode the
+    Structured Streaming wrapper uses (streaming/pipeline.py), where
+    uniqueness is instead enforced by dropDuplicatesWithinWatermark and
+    full-conversation checks belong to the batch pass.
     """
     now = now or config.NOW_UTC
     now_us = int(now.timestamp()) * _US
 
-    if repartition:
+    if repartition and cross_turn:
         if num_partitions is None:
             # 2x the scheduler's core count: bounds straggler tail latency
             # (a single max-size task holds a core for half as long) while
@@ -105,22 +113,32 @@ def with_quality(
     text_present = ~blank
 
     # ---- cross-turn features (single conv_id shuffle serves all three) ----
-    df = df.withColumns(
-        {
-            "_prev_turn_idx": F.lag("turn_idx").over(w_conv),
-            "_is_first_in_conv": F.row_number().over(w_conv) == 1,
-            "_dup_turn": (
-                conv_id.isNotNull()
-                & turn_idx.isNotNull()
-                & (F.lag("turn_idx").over(w_conv) == turn_idx)
-            ),
-            "_dup_text": (
-                conv_id.isNotNull()
-                & text_present
-                & (F.row_number().over(w_text) > 1)
-            ),
-        }
-    )
+    if cross_turn:
+        df = df.withColumns(
+            {
+                "_prev_turn_idx": F.lag("turn_idx").over(w_conv),
+                "_is_first_in_conv": F.row_number().over(w_conv) == 1,
+                "_dup_turn": (
+                    conv_id.isNotNull()
+                    & turn_idx.isNotNull()
+                    & (F.lag("turn_idx").over(w_conv) == turn_idx)
+                ),
+                "_dup_text": (
+                    conv_id.isNotNull()
+                    & text_present
+                    & (F.row_number().over(w_text) > 1)
+                ),
+            }
+        )
+    else:
+        df = df.withColumns(
+            {
+                "_prev_turn_idx": F.lit(None).cast("int"),
+                "_is_first_in_conv": F.lit(None).cast("boolean"),
+                "_dup_turn": F.lit(False),
+                "_dup_text": F.lit(False),
+            }
+        )
 
     # ---- per-turn text features (one Arrow UDF stage) ----
     df = df.withColumn(
@@ -215,9 +233,12 @@ def with_quality(
     )
     prev = F.col("_prev_turn_idx")
     contig_present = conv_id.isNotNull() & turn_idx.isNotNull()
-    c3_ok = F.when(F.col("_is_first_in_conv"), turn_idx == 0).otherwise(
-        prev.isNotNull() & (turn_idx - prev).isin(0, 1)
-    )
+    if cross_turn:
+        c3_ok = F.when(F.col("_is_first_in_conv"), turn_idx == 0).otherwise(
+            prev.isNotNull() & (turn_idx - prev).isin(0, 1)
+        )
+    else:
+        c3_ok = turn_idx >= 0  # order check deferred to the batch pass
     c3_pass = contig_present & c3_ok
     c3_issue = contig_present & ~c3_ok
     cons_issues = _issues(

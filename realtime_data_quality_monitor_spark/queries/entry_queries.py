@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
-from ..operators import dedup, similarity, textstats
+from ..operators import anomaly, dedup, multimodal, similarity, textstats
+from ..sources import multimodal_synth
 
 # pinned job clock for the events table (data spans Jan 2024)
 NOW_EVENTS_US = 1_706_745_600 * 1_000_000  # 2024-02-01T00:00:00Z
@@ -263,6 +264,48 @@ SQL_A1 = f"""
            AVG(overall) AS avg_overall,
            SUM((overall < 50)::INT) AS critical_records
     FROM ({_EVENT_OVERALL_SQL}) GROUP BY 1
+"""
+
+
+def q_a3_recent_dimension_summary(spark, sf_dir):
+    """The /metrics/latest endpoint (api/main.py:121-133): time-filtered
+    per-dimension COUNT / AVG / MIN / MAX / latest-ts summary, over the
+    last 7 days before the pinned NOW (the 5-minute window scaled to the
+    daily-grained fixture). AVG as exact integer sum / count."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    recent = ev.filter(
+        _us("ts") > F.lit(NOW_EVENTS_US - 7 * 24 * 3600 * 1_000_000)
+    )
+    long = recent.selectExpr(
+        "ts",
+        "stack(3, 'completeness', completeness, 'freshness', freshness,"
+        " 'accuracy', accuracy) as (dimension, score)",
+    )
+    return long.groupBy("dimension").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("score").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+SQL_A3 = f"""
+    WITH recent AS (
+      SELECT * FROM ({_EVENT_QUALITY_SQL})
+      WHERE epoch_us(ts) > {NOW_EVENTS_US - 7 * 24 * 3600 * 1_000_000}),
+    long AS (
+      SELECT ts, 'completeness' AS dimension, completeness AS score FROM recent
+      UNION ALL SELECT ts, 'freshness', freshness FROM recent
+      UNION ALL SELECT ts, 'accuracy', accuracy FROM recent)
+    SELECT dimension, COUNT(*) AS n,
+           CAST(SUM(score::BIGINT) AS DOUBLE) / COUNT(*) AS avg_score,
+           MIN(score) AS min_score, MAX(score) AS max_score,
+           MAX(ts) AS latest_ts
+    FROM long GROUP BY dimension
 """
 
 
@@ -824,6 +867,234 @@ def q_s3_lsh_ann_embeddings(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
 
 
+def q_d5_embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force exact baseline on the
+    1e-7-quantized vectors (the verifiable small-scale oracle; the 100 TB
+    path is the LSH-bucketed d6 variant which only joins within buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), _qvec(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _qvec(F.col("embedding")).alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _idot(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(_idot(F.col("va"), F.col("va")))
+                * F.sqrt(_idot(F.col("vb"), F.col("vb")))
+            ),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )
+    return pairs.select("id_a", "id_b", "cos")
+
+
+SQL_D5 = """
+    WITH terms AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(UNNEST(a.embedding)::DOUBLE * 10000000.0e0) AS BIGINT) AS qa,
+             CAST(floor(UNNEST(b.embedding)::DOUBLE * 10000000.0e0) AS BIGINT) AS qb
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+    dots AS (
+      SELECT id_a, id_b, CAST(SUM(qa * qb) AS DOUBLE) AS dab,
+             CAST(SUM(qa * qa) AS DOUBLE) AS daa,
+             CAST(SUM(qb * qb) AS DOUBLE) AS dbb
+      FROM terms GROUP BY id_a, id_b)
+    SELECT id_a, id_b, dab / (sqrt(daa) * sqrt(dbb)) AS cos
+    FROM dots WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.5e0
+"""
+
+
+def q_d6_embedding_lsh_dups(spark, sf_dir):
+    """LSH-bucketed embedding near-dups (scale path: join only within
+    hyperplane-sign buckets). Deterministic literal hyperplanes are not
+    practical SQL -> rows-only check; exact-cosine parity of the shared
+    dot/norm algebra is covered by d5/s1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold tuned to the synthetic fixture (random vectors, max pair
+    # cosine ~0.51): 0.3/2-plane yields a few hundred pairs at sf0.01
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.3, n_planes=2, dim=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary columns + mapInPandas decode (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_m1_image_decode_documents(spark, sf_dir):
+    """Binary round-trip: synthesize PPM image blobs from doc_id
+    (sources/multimodal_synth.py pinned formulas), push them through the
+    mapInPandas decoder, return recovered metadata + channel means. The
+    oracle recomputes the closed forms — any byte-level plumbing error
+    (header, stride, Arrow binary handling) breaks the match."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal_synth.synth_assets(docs, "image")
+    return multimodal.image_features(assets)
+
+
+SQL_M1 = """
+    SELECT doc_id AS asset_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 7 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5 + 17) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 11 + 29) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+"""
+
+
+def q_m2_audio_stats_documents(spark, sf_dir):
+    """WAV round-trip: synthesize PCM16 blobs, decode via mapInPandas,
+    return rate / sample count / peak / mean amplitude."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal_synth.synth_assets(docs, "audio")
+    return multimodal.audio_features(assets)
+
+
+SQL_M2 = """
+    WITH s AS (
+      SELECT d.doc_id, (d.doc_id * 7 + g.i * 13) % 4096 - 2048 AS v
+      FROM documents d JOIN generate_series(0, 127) g(i)
+        ON g.i <= 63 + d.doc_id % 64)
+    SELECT doc_id AS asset_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(MAX(ABS(v)) AS INT) AS peak,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_amp
+    FROM s GROUP BY doc_id
+"""
+
+
+def q_m3_video_frame_sample_documents(spark, sf_dir):
+    """Frame-sampling over a concatenated-frame video container: keep
+    every 2nd frame, emit per-frame mean intensity."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal_synth.synth_assets(docs, "video")
+    return multimodal.sample_frames(assets, every_k=2)
+
+
+SQL_M3 = """
+    SELECT d.doc_id AS asset_id, CAST(g.i AS INT) AS frame_idx,
+           CAST((d.doc_id + 31 * g.i) % 256 AS DOUBLE) AS frame_mean
+    FROM documents d JOIN generate_series(0, 8) g(i)
+      ON g.i % 2 = 0 AND g.i <= 2 + d.doc_id % 6
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomaly + drift layer (operators/anomaly.py; reference M1/M5 analogs)
+# ---------------------------------------------------------------------------
+
+
+def _daily_window_stats(spark, sf_dir):
+    """Shared daily window-feature frame (exact decimal avg so the double
+    is engine-identical)."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        (
+            F.sum(F.col("overall").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_overall"),
+        F.sum((F.col("overall") < 50).cast("int")).alias("critical_records"),
+    )
+
+
+_DAILY_SQL = f"""
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS total_records,
+             CAST(SUM(CAST(overall AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_overall,
+             SUM((overall < 50)::INT) AS critical_records
+      FROM ({_EVENT_OVERALL_SQL}) GROUP BY 1
+"""
+
+
+def q_m6_window_anomalies_daily(spark, sf_dir):
+    """Robust window-level anomaly flags (median/MAD z-score per feature)
+    over the daily window stats — the deterministic analog of the
+    reference's window anomaly counter (anomaly_detector.py predict path,
+    recomputed as grouped aggregates per the north star)."""
+    daily = _daily_window_stats(spark, sf_dir)
+    out = anomaly.mad_anomalies(
+        daily, ["total_records", "avg_overall", "critical_records"], k=3.5
+    )
+    return out.select(
+        "day",
+        "total_records",
+        "avg_overall",
+        "critical_records",
+        "total_records_anomaly",
+        "avg_overall_anomaly",
+        "critical_records_anomaly",
+        "any_anomaly",
+    )
+
+
+SQL_M6 = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (SELECT quantile_cont(total_records, 0.5) AS m_t,
+                   quantile_cont(avg_overall, 0.5) AS m_a,
+                   quantile_cont(critical_records, 0.5) AS m_c FROM daily),
+    mad AS (SELECT quantile_cont(abs(total_records - m_t), 0.5) AS d_t,
+                   quantile_cont(abs(avg_overall - m_a), 0.5) AS d_a,
+                   quantile_cont(abs(critical_records - m_c), 0.5) AS d_c
+            FROM daily, med)
+    SELECT day, total_records, avg_overall, critical_records,
+           (d_t > 0 AND abs(total_records - m_t) > 3.5e0 * d_t) AS total_records_anomaly,
+           (d_a > 0 AND abs(avg_overall - m_a) > 3.5e0 * d_a) AS avg_overall_anomaly,
+           (d_c > 0 AND abs(critical_records - m_c) > 3.5e0 * d_c) AS critical_records_anomaly,
+           ((d_t > 0 AND abs(total_records - m_t) > 3.5e0 * d_t)
+            OR (d_a > 0 AND abs(avg_overall - m_a) > 3.5e0 * d_a)
+            OR (d_c > 0 AND abs(critical_records - m_c) > 3.5e0 * d_c)) AS any_anomaly
+    FROM daily, med, mad
+"""
+
+
+def q_m7_ks_drift_events(spark, sf_dir):
+    """Two-sample KS drift test (drift_detector.py:101-110 analog) on the
+    per-event overall-score distribution, first half of January vs rest —
+    native sort + cumulative-count algebra, no scipy."""
+    ev = _event_quality(_t(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull()
+    )
+    split = F.col("ts").cast("timestamp") < F.to_timestamp(F.lit("2024-01-16"))
+    return anomaly.ks_statistic(ev.withColumn("g", split), "overall", "g")
+
+
+SQL_M7 = f"""
+    WITH ev AS (
+      SELECT overall, ts < TIMESTAMP '2024-01-16' AS g
+      FROM ({_EVENT_OVERALL_SQL}) WHERE ts IS NOT NULL),
+    counts AS (
+      SELECT overall AS v, SUM(g::INT) AS ca, SUM((NOT g)::INT) AS cb
+      FROM ev GROUP BY overall),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts),
+    ecdf AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM counts)
+    SELECT n_a, n_b,
+           MAX(ABS(cuma / n_a - cumb / n_b)) AS ks_d,
+           1.358e0 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) AS ks_crit,
+           MAX(ABS(cuma / n_a - cumb / n_b))
+             > 1.358e0 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) AS drift
+    FROM ecdf, tot GROUP BY n_a, n_b
+"""
+
+
+def q_m8_iforest_window_scores(spark, sf_dir):
+    """IsolationForest anomaly scores over the daily window-feature frame
+    (anomaly_detector.py:31-74 analog; deterministic seeded numpy forest
+    via one applyInPandas group). Tree randomness is not SQL -> rows-only
+    check; determinism is asserted in tests/."""
+    daily = _daily_window_stats(spark, sf_dir)
+    return anomaly.with_isolation_scores(
+        daily,
+        ["total_records", "avg_overall", "critical_records"],
+        n_trees=50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -835,6 +1106,7 @@ ENTRY_QUERIES = {
     "p7_overall_quality_events": (q_p7_overall_quality_events, SQL_P7),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a1_window_stats_daily": (q_a1_window_stats_daily, SQL_A1),
+    "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "a4_dimension_breakdown_events": (q_a4_dimension_breakdown_events, SQL_A4),
     "a6_user_value_topk": (q_a6_user_value_topk, SQL_A6),
     "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
@@ -855,4 +1127,12 @@ ENTRY_QUERIES = {
     "s1_ann_cosine_topk": (q_s1_ann_cosine_topk, SQL_S1),
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
     "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
+    "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
+    "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, None),
+    "m1_image_decode_documents": (q_m1_image_decode_documents, SQL_M1),
+    "m2_audio_stats_documents": (q_m2_audio_stats_documents, SQL_M2),
+    "m3_video_frame_sample_documents": (q_m3_video_frame_sample_documents, SQL_M3),
+    "m6_window_anomalies_daily": (q_m6_window_anomalies_daily, SQL_M6),
+    "m7_ks_drift_events": (q_m7_ks_drift_events, SQL_M7),
+    "m8_iforest_window_scores": (q_m8_iforest_window_scores, None),
 }

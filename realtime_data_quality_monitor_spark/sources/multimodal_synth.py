@@ -1,0 +1,76 @@
+"""Deterministic synthetic multimodal assets, derived from doc_id.
+
+Every byte is a closed-form function of doc_id, so a SQL oracle can
+recompute what the decode stage must recover WITHOUT parsing binary —
+the round-trip (encode -> binary column -> mapInPandas decode) is then
+verifiable cell-exactly against DuckDB (the driver correctness gate).
+
+Formulas (pinned contract, mirrored in the oracle SQL in
+queries/entry_queries.py):
+  image:  width = 4 + doc_id % 13 ; height = 4 + doc_id % 7
+          channel-constant pixels: r = doc_id % 256,
+          g = (doc_id*5 + 17) % 256, b = (doc_id*11 + 29) % 256
+  audio:  rate 8000 ; n = 64 + doc_id % 64 samples
+          sample[i] = ((doc_id*7 + i*13) % 4096) - 2048
+  video:  8x6 grayscale ; n_frames = 3 + doc_id % 6
+          frame f is constant (doc_id + 31*f) % 256
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..operators.multimodal import encode_ppm, encode_video, encode_wav
+
+ASSET_SCHEMA = "asset_id bigint, kind string, content binary"
+
+
+def _image_blob(doc_id: int) -> bytes:
+    w, h = 4 + doc_id % 13, 4 + doc_id % 7
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = doc_id % 256
+    px[:, :, 1] = (doc_id * 5 + 17) % 256
+    px[:, :, 2] = (doc_id * 11 + 29) % 256
+    return encode_ppm(w, h, px)
+
+
+def _audio_blob(doc_id: int) -> bytes:
+    n = 64 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    samples = (doc_id * 7 + i * 13) % 4096 - 2048
+    return encode_wav(8000, samples)
+
+
+def _video_blob(doc_id: int) -> bytes:
+    n_frames = 3 + doc_id % 6
+    f = np.arange(n_frames, dtype=np.int64)
+    frames = np.broadcast_to(
+        ((doc_id + 31 * f) % 256).astype(np.uint8)[:, None, None], (n_frames, 6, 8)
+    )
+    return encode_video(8, 6, frames)
+
+
+_BUILDERS = {"image": _image_blob, "audio": _audio_blob, "video": _video_blob}
+
+
+def synth_assets(docs: DataFrame, kind: str) -> DataFrame:
+    """(doc_id) -> (asset_id, kind, content binary), one asset per doc.
+    Runs as mapInPandas so blob construction is batched executor-side
+    (never collected to the driver)."""
+    build = _BUILDERS[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": kind,
+                    "content": [build(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)

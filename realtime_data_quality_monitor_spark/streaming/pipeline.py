@@ -1,0 +1,133 @@
+"""Structured Streaming restatement of the reference's streaming path.
+
+The reference consumes a Kafka topic record-at-a-time and flushes
+processing-time 60s windows (flink/src/kafka_consumer.py:115-218, window
+size flink/config.py:16); late data is never dropped — lateness is itself
+a quality dimension (W2, quality_checker.py:147-155). The north star
+replaces this with batch, but the engine keeps a genuine Structured
+Streaming surface for users arriving from the reference's streaming
+deployment:
+
+  * per-turn rules    -> the STATELESS rule subset (operators/rules.py
+                         with cross_turn=False; same scores, issue
+                         strings, scrub — identical codepath, so
+                         streaming and batch can't drift apart);
+  * uniqueness (P5)   -> dropDuplicatesWithinWatermark on
+                         (conv_id, turn_idx) — bounded state, the
+                         streaming analog of the reference's 10k-id set
+                         (quality_checker.py:26-27,89-98) with a
+                         watermark instead of arbitrary eviction;
+  * 60s window flush  -> event-time tumbling window + watermark
+                         (groupBy(window(ts, ...))), late rows folded in
+                         until the watermark passes — strictly stronger
+                         than the reference's processing-time flush;
+  * sinks             -> writeStream (parquet/foreachBatch); tests use
+                         Trigger.AvailableNow for deterministic drains.
+
+At the 10^12-turn target the batch pipeline (plans/pipeline.py) is the
+primary path; this module exists for parity of capability (W1/W2/W3) and
+incremental ingest of new partitions.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rules import with_quality
+
+# the input_hint contract (config.TRANSCRIPT_COLUMNS) as a DDL schema —
+# file-source streams must declare their schema up front
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+DEFAULT_WINDOW = "60 seconds"  # flink/config.py:16 WINDOW_SIZE_SECONDS
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a transcript parquet directory (the
+    sandbox stand-in for readStream.format('kafka') + from_json; the
+    downstream plan is identical either way)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_quality(
+    sdf: DataFrame,
+    now: datetime.datetime | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-turn quality columns on a streaming DataFrame: stateless rule
+    subset + watermarked first-wins dedup on (conv_id, turn_idx)."""
+    q = with_quality(
+        sdf, now=now, repartition=False, cross_turn=False
+    )
+    return q.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def stream_window_metrics(
+    sdf: DataFrame,
+    now: datetime.datetime | None = None,
+    window_duration: str = DEFAULT_WINDOW,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Event-time tumbling-window metrics — the A1/W1 flush aggregate
+    with watermarks instead of wall-clock flushes. Columns mirror the
+    batch metrics table (all 7 averages persisted; see SURVEY.md S6 note
+    on the reference's 4-column quirk)."""
+    q = streaming_quality(sdf, now=now, watermark=watermark)
+    return q.groupBy(F.window("ts", window_duration).alias("win")).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.col("keep").cast("int")).alias("clean_records"),
+        F.sum(F.col("has_issues").cast("int")).alias("issues_found"),
+        F.sum(F.col("is_critical").cast("int")).alias("critical_issues"),
+        F.avg("completeness_score").alias("avg_completeness"),
+        F.avg("timeliness_score").alias("avg_timeliness"),
+        F.avg("accuracy_score").alias("avg_accuracy"),
+        F.avg("consistency_score").alias("avg_consistency"),
+        F.avg("uniqueness_score").alias("avg_uniqueness"),
+        F.avg("validity_score").alias("avg_validity"),
+        F.avg("overall_score").alias("avg_overall"),
+    )
+
+
+def run_stream_to_parquet(
+    sdf_metrics: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Drain the metrics stream to parquet with a checkpoint (exactly-once
+    file sink). With available_now=True this processes everything
+    currently in the source then stops — the deterministic test/backfill
+    trigger; pass False for a continuously running query."""
+    writer = (
+        sdf_metrics.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = [
+    "read_transcript_stream",
+    "streaming_quality",
+    "stream_window_metrics",
+    "run_stream_to_parquet",
+    "DEFAULT_WINDOW",
+    "DEFAULT_WATERMARK",
+]

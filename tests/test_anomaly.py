@@ -1,0 +1,82 @@
+"""Anomaly + drift layer: KS statistic vs a hand-rolled ECDF oracle,
+MAD flags, IsolationForest determinism and outlier separation."""
+
+import numpy as np
+
+from realtime_data_quality_monitor_spark.operators import anomaly
+from pyspark.sql import functions as F
+
+
+def _ks_oracle(xs, ys):
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    d = 0.0
+    for v in vals:
+        fa = sum(1 for x in xs if x <= v) / na
+        fb = sum(1 for y in ys if y <= v) / nb
+        d = max(d, abs(fa - fb))
+    return d
+
+
+def test_ks_statistic_matches_ecdf_oracle(spark):
+    rng = np.random.default_rng(7)
+    xs = [round(float(v), 3) for v in rng.normal(0, 1, 300)]
+    ys = [round(float(v), 3) for v in rng.normal(0.6, 1, 200)]
+    df = spark.createDataFrame(
+        [(v, True) for v in xs] + [(v, False) for v in ys], "v double, g boolean"
+    )
+    row = anomaly.ks_statistic(df, "v", "g").collect()[0]
+    assert row.n_a == 300 and row.n_b == 200
+    assert abs(row.ks_d - _ks_oracle(xs, ys)) < 1e-12
+    assert row.drift  # 0.6 sigma shift at n=500 is detectable
+    # identical samples -> no drift
+    df2 = spark.createDataFrame(
+        [(v, True) for v in xs] + [(v, False) for v in xs], "v double, g boolean"
+    )
+    row2 = anomaly.ks_statistic(df2, "v", "g").collect()[0]
+    assert row2.ks_d == 0.0 and not row2.drift
+
+
+def test_mad_anomalies_flags_outlier_only(spark):
+    vals = [(float(v),) for v in [10, 11, 9, 10, 12, 10, 11, 9, 10, 500]]
+    df = spark.createDataFrame(vals, "x double")
+    out = {r.x: r for r in anomaly.mad_anomalies(df, ["x"], k=3.5).collect()}
+    assert out[500.0].x_anomaly and out[500.0].any_anomaly
+    assert not any(r.x_anomaly for v, r in out.items() if v != 500.0)
+
+
+def test_mad_constant_feature_never_flags(spark):
+    df = spark.createDataFrame([(5.0,)] * 10, "x double")
+    assert not any(
+        r.x_anomaly for r in anomaly.mad_anomalies(df, ["x"]).collect()
+    )
+
+
+def test_isolation_forest_deterministic_and_separates():
+    rng = np.random.default_rng(0)
+    inliers = rng.normal(0, 1, (200, 3))
+    outliers = np.array([[25.0, 25.0, 25.0], [-30.0, 40.0, 0.0]])
+    x = np.vstack([inliers, outliers])
+    s1 = anomaly.isolation_forest_scores(x, n_trees=50, seed=42)
+    s2 = anomaly.isolation_forest_scores(x, n_trees=50, seed=42)
+    assert np.array_equal(s1, s2)  # bit-deterministic
+    assert s1[-1] > s1[:200].max() and s1[-2] > s1[:200].max()
+    assert s1[-1] > 0.6
+
+
+def test_with_isolation_scores_spark(spark):
+    rng = np.random.default_rng(1)
+    rows = [(float(a), float(b)) for a, b in rng.normal(0, 1, (50, 2))]
+    rows.append((50.0, 50.0))
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = anomaly.with_isolation_scores(df, ["a", "b"], n_trees=50)
+    collected = out.collect()
+    assert len(collected) == 51
+    top = max(collected, key=lambda r: r.iforest_score)
+    assert (top.a, top.b) == (50.0, 50.0)
+
+
+def test_ks_on_empty_group(spark):
+    df = spark.createDataFrame([(1.0, True), (2.0, True)], "v double, g boolean")
+    row = anomaly.ks_statistic(df, "v", "g").collect()[0]
+    assert row.n_b == 0  # degenerate split surfaces as zero count, no crash

@@ -1,0 +1,85 @@
+"""Multimodal binary-column plumbing: encode -> binary column ->
+mapInPandas decode round-trips, resize, frame sampling, codec stub."""
+
+import numpy as np
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import multimodal as mm
+from realtime_data_quality_monitor_spark.sources import multimodal_synth as ms
+
+
+def test_ppm_roundtrip_pure():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+    w, h, px = mm.parse_ppm(mm.encode_ppm(2, 3, rgb))
+    assert (w, h) == (2, 3)
+    assert np.array_equal(px, rgb)
+
+
+def test_wav_roundtrip_pure():
+    samples = np.array([0, -5, 17, 32767, -32768], dtype=np.int16)
+    rate, out = mm.parse_wav(mm.encode_wav(16000, samples))
+    assert rate == 16000
+    assert np.array_equal(out, samples)
+
+
+def test_video_roundtrip_pure():
+    frames = np.arange(2 * 4 * 5, dtype=np.uint8).reshape(2, 4, 5)
+    w, h, out = mm.parse_video(mm.encode_video(5, 4, frames))
+    assert (w, h) == (5, 4)
+    assert np.array_equal(out, frames)
+
+
+def test_decode_external_is_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_external("jpeg")
+
+
+def _docs(spark, n=40):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_image_features_recovers_formulas(spark):
+    assets = ms.synth_assets(_docs(spark), "image")
+    rows = {r.asset_id: r for r in mm.image_features(assets).collect()}
+    assert len(rows) == 40
+    for d in (0, 7, 13, 39):
+        r = rows[d]
+        assert (r.width, r.height) == (4 + d % 13, 4 + d % 7)
+        assert r.mean_r == float(d % 256)
+        assert r.mean_g == float((d * 5 + 17) % 256)
+        assert r.mean_b == float((d * 11 + 29) % 256)
+
+
+def test_resize_images_binary_to_binary(spark):
+    assets = ms.synth_assets(_docs(spark, 10), "image")
+    resized = mm.resize_images(assets, 5, 3)
+    feats = {r.asset_id: r for r in mm.image_features(resized).collect()}
+    assert all((r.width, r.height) == (5, 3) for r in feats.values())
+    # channel-constant image -> means survive nearest-neighbour resize
+    assert feats[4].mean_r == 4.0
+
+
+def test_audio_features_exact(spark):
+    assets = ms.synth_assets(_docs(spark, 20), "audio")
+    rows = {r.asset_id: r for r in mm.audio_features(assets).collect()}
+    for d in (0, 5, 19):
+        n = 64 + d % 64
+        vals = [(d * 7 + i * 13) % 4096 - 2048 for i in range(n)]
+        r = rows[d]
+        assert r.sample_rate == 8000
+        assert r.n_samples == n
+        assert r.peak == max(abs(v) for v in vals)
+        assert r.mean_amp == float(sum(vals)) / n
+
+
+def test_sample_frames_every_k(spark):
+    assets = ms.synth_assets(_docs(spark, 12), "video")
+    rows = mm.sample_frames(assets, every_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.asset_id, []).append(r)
+    for d, frames in by_doc.items():
+        n_frames = 3 + d % 6
+        assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))
+        for f in frames:
+            assert f.frame_mean == float((d + 31 * f.frame_idx) % 256)

@@ -1,0 +1,136 @@
+"""Structured Streaming surface: file-source stream -> stateless rules +
+watermarked dedup, drained with Trigger.AvailableNow.
+
+Per-turn outputs (no aggregation) flow in append mode and are compared
+row-exactly against the batch codepath. Windowed metrics hold state until
+the watermark passes the window end, so the deterministic drain for them
+is the memory sink in complete mode."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+)
+from realtime_data_quality_monitor_spark.streaming import pipeline as sp
+
+
+def _write_source(spark, tmp_path, n_convs=120, dup_rate=0.10):
+    # defect_rate=0 keeps ts non-null (watermark ops drop null event
+    # times; the batch pipeline is the path for null-ts rows)
+    df = generate_transcripts(
+        spark, n_convs=n_convs, defect_rate=0.0, dup_rate=dup_rate
+    ).drop("_defect")
+    src = str(tmp_path / "stream_src")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_streaming_rows_match_batch_exactly(spark, tmp_path):
+    # dup_rate=0 so dedup is a no-op: every per-turn column must then be
+    # IDENTICAL between the streaming and batch codepaths (same
+    # with_quality(cross_turn=False) plan underneath).
+    src = _write_source(spark, tmp_path, dup_rate=0.0)
+    out = str(tmp_path / "rows_out")
+    q = sp.run_stream_to_parquet(
+        sp.streaming_quality(sp.read_transcript_stream(spark, src)),
+        out,
+        str(tmp_path / "ckpt_rows"),
+    )
+    q.awaitTermination(300)
+
+    cols = [
+        "conv_id",
+        "turn_idx",
+        "overall_score",
+        "uniqueness_score",
+        "keep",
+        "scrubbed_text",
+    ]
+    got = (
+        spark.read.parquet(out)
+        .select(cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        with_quality(spark.read.parquet(src), repartition=False, cross_turn=False)
+        .select(cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_drops_exact_dups(spark, tmp_path):
+    src = _write_source(spark, tmp_path, n_convs=60)
+    raw = spark.read.parquet(src)
+    n_raw = raw.count()
+    n_unique = raw.dropDuplicates(["conv_id", "turn_idx"]).count()
+    assert n_unique < n_raw  # dup_rate planted real duplicates
+
+    out = str(tmp_path / "dedup_out")
+    q = sp.run_stream_to_parquet(
+        sp.streaming_quality(sp.read_transcript_stream(spark, src)),
+        out,
+        str(tmp_path / "ckpt_dedup"),
+    )
+    q.awaitTermination(300)
+    kept = spark.read.parquet(out)
+    assert kept.count() == n_unique
+    assert kept.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_stream_window_metrics_complete_mode(spark, tmp_path):
+    src = _write_source(spark, tmp_path, dup_rate=0.0)
+    metrics = sp.stream_window_metrics(
+        sp.read_transcript_stream(spark, src), window_duration="1 hour"
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("win_metrics")
+        .select(
+            F.col("win.start").alias("ws"),
+            "total_records",
+            "clean_records",
+            "avg_overall",
+        )
+        .toPandas()
+        .sort_values("ws")
+        .reset_index(drop=True)
+    )
+    want = (
+        with_quality(spark.read.parquet(src), repartition=False, cross_turn=False)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.sum(F.col("keep").cast("int")).alias("clean_records"),
+            F.avg("overall_score").alias("avg_overall"),
+        )
+        .select(
+            F.col("win.start").alias("ws"),
+            "total_records",
+            "clean_records",
+            "avg_overall",
+        )
+        .toPandas()
+        .sort_values("ws")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["ws", "total_records", "clean_records"]],
+        want[["ws", "total_records", "clean_records"]],
+    )
+    assert (got["avg_overall"] - want["avg_overall"]).abs().max() < 1e-9
