@@ -17,16 +17,11 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def ship_package(spark: SparkSession) -> None:
-    """Make this package importable on executors regardless of driver cwd.
-
-    The spark-submit equivalent is ``--py-files rdqm_spark.zip`` (north
-    star); in-process we zip the package once and ``addPyFile`` it, the
-    same distribution path Spark uses for --py-files.
-    """
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package for distribution (``spark-submit --py-files``)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join(
+    zip_path = dest or os.path.join(
         tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip"
     )
     if not os.path.exists(zip_path):
@@ -41,7 +36,17 @@ def ship_package(spark: SparkSession) -> None:
                         )
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of driver cwd.
+
+    The spark-submit equivalent is ``--py-files rdqm_spark.zip`` (north
+    star); in-process we zip the package once and ``addPyFile`` it, the
+    same distribution path Spark uses for --py-files.
+    """
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
 
 
 def get_spark(

@@ -1,0 +1,71 @@
+"""spark-submit driver for the batch quality pipeline (north-star run
+mode: ``spark-submit --py-files <pkg>.zip scripts/run_pipeline.py ...``).
+
+The package reaches executors through --py-files (built by
+scripts/submit.py or session.build_pyfiles_zip); this script only needs
+it importable on the DRIVER, which --py-files also provides. On a real
+cluster, --master/--num-executors come from spark-submit; in the sandbox,
+scripts/submit.py passes local[N].
+
+Example:
+  python scripts/submit.py --input /tmp/transcripts --output /tmp/out \
+      --cores 32                       # wraps spark-submit
+  # or directly:
+  spark-submit --py-files /tmp/rdqm.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      scripts/run_pipeline.py --input /tmp/transcripts --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="transcript parquet path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--now", default=None, help="pinned job clock (ISO-8601)")
+    p.add_argument("--groups", type=int, default=8, help="resume groups")
+    p.add_argument(
+        "--max-groups", type=int, default=None,
+        help="process at most this many pending groups (kill-and-resume)",
+    )
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from realtime_data_quality_monitor_spark.plans.pipeline import run
+    from realtime_data_quality_monitor_spark.session import ship_package
+
+    # spark-submit provides master/executors; only job-level conf here
+    spark = (
+        SparkSession.builder.appName("rdqm-quality-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    ship_package(spark)  # idempotent if --py-files already supplied it
+
+    now = (
+        datetime.datetime.fromisoformat(args.now.replace("Z", "+00:00"))
+        if args.now
+        else None
+    )
+    summary = run(
+        spark,
+        args.input,
+        args.output,
+        now=now,
+        n_groups=args.groups,
+        max_groups=args.max_groups,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Build the --py-files zip and spark-submit the pipeline driver.
+
+The sandbox stand-in for the north-star deployment command:
+
+  spark-submit --py-files rdqm.zip --master <cluster> \
+      scripts/run_pipeline.py --input ... --output ...
+
+Usage:
+  python scripts/submit.py --input <parquet> --output <dir> [--cores 32]
+  (extra args after -- are forwarded to run_pipeline.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from realtime_data_quality_monitor_spark.session import build_pyfiles_zip  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--cores", type=int, default=32)
+    p.add_argument("--driver-memory", default="8g")
+    p.add_argument("rest", nargs="*", help="extra run_pipeline.py args")
+    args = p.parse_args()
+
+    zip_path = build_pyfiles_zip()
+    driver = os.path.join(os.path.dirname(os.path.abspath(__file__)), "run_pipeline.py")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{args.cores}]",
+        "--driver-memory", args.driver_memory,
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={2 * args.cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        driver,
+        "--input", args.input,
+        "--output", args.output,
+        *args.rest,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    return subprocess.call(cmd)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
