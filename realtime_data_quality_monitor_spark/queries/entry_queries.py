@@ -547,6 +547,54 @@ SQL_O2 = """
 """
 
 
+def q_a9_ffill_tail_hourly_error_value(spark, sf_dir):
+    """A9/O5: long->wide time series with forward-fill + tail-k.
+    Hourly avg 'error' event value (42/720 hours are gaps at sf0.01);
+    gaps forward-filled via last(ignorenulls) over an ordered window
+    (lstm_detector.py:111-126 ffill analog; leading nulls -> 100.0 like
+    its fillna), then tail-24 by hour re-sorted ascending (O5). The
+    global window runs over the 720-row AGGREGATED frame — tiny by
+    construction, never over raw events."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    is_err = F.col("event_type") == "error"
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (
+            F.sum(F.when(is_err, F.col("value")).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.nullif(F.sum(is_err.cast("int")), F.lit(0))
+        ).alias("avg_raw")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    filled = hourly.withColumn(
+        "avg_filled",
+        F.coalesce(F.last("avg_raw", ignorenulls=True).over(w), F.lit(100.0)),
+    )
+    return (
+        filled.orderBy(F.desc("hour"))
+        .limit(24)
+        .orderBy("hour")
+        .select("hour", "avg_raw", "avg_filled")
+    )
+
+
+SQL_A9 = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               / NULLIF(SUM((event_type = 'error')::INT), 0) AS avg_raw
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    filled AS (
+      SELECT hour, avg_raw,
+             COALESCE(last_value(avg_raw IGNORE NULLS)
+                        OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING),
+                      100.0e0) AS avg_filled
+      FROM hourly)
+    SELECT hour, avg_raw, avg_filled FROM filled ORDER BY hour DESC LIMIT 24
+"""
+
+
 def q_a10_lifetime_overview(spark, sf_dir):
     """Global lifetime aggregate (dashboard/app.py:33-38 analog)."""
     ev = _event_quality(_t(spark, sf_dir, "events"))
@@ -1110,6 +1158,7 @@ ENTRY_QUERIES = {
     "a4_dimension_breakdown_events": (q_a4_dimension_breakdown_events, SQL_A4),
     "a6_user_value_topk": (q_a6_user_value_topk, SQL_A6),
     "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
+    "a9_ffill_tail_hourly_error_value": (q_a9_ffill_tail_hourly_error_value, SQL_A9),
     "a10_lifetime_overview": (q_a10_lifetime_overview, SQL_A10),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
     "o2_top_orders_by_revenue": (q_o2_top_orders_by_revenue, SQL_O2),
