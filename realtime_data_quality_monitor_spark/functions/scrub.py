@@ -28,17 +28,32 @@ _TOX_UNION = re.compile(
 def scrub_prefilter_regex() -> str:
     """Java-regex SUPERSET test for "this text might need scrubbing".
 
-    Evaluated JVM-side (rlike) so the Python scrub UDF only ever sees
-    candidate rows — on clean corpora that's a few percent, which removes
-    the UDF from the hot path entirely. Superset proof: every email has
-    '@'; every SSN/phone has 3 consecutive digits; every API-key pattern
-    starts with sk-/AKIA/ghp_ or contains api[_-]?key|secret|token; every
-    lexicon hit contains its own word. Tested in tests/test_text_functions.
+    Superset proof: every email has '@'; every SSN/phone has 3 consecutive
+    digits; every API-key pattern starts with sk-/AKIA/ghp_ or contains
+    api[_-]?key|secret|token; every lexicon hit contains its own word.
+    Tested in tests/test_text_functions.
+
+    NOTE: kept for tests/reference; the hot path uses
+    ``scrub_prefilter_terms()`` + literal contains instead — a 20-branch
+    case-insensitive regex alternation costs more JVM time than the whole
+    pandas-UDF stack (measured 16.6s vs 9.6s per 5M rows).
     """
     assert all(w.isalnum() for w in TOXICITY_LEXICON)  # no escaping needed
     alts = ["@", r"\d{3}", "sk-", "AKIA", "ghp_", r"api[_-]?key", "secret",
             "token"] + list(TOXICITY_LEXICON)
     return "(?i)" + "|".join(alts)
+
+
+def scrub_prefilter_terms() -> list:
+    """Lowercase literal substrings for the fast JVM prefilter: text is a
+    scrub candidate iff lower(text) contains one of these OR has a 3-digit
+    run (see scrub_prefilter_regex for the superset argument; 'api_key'
+    variants enumerate the api[_-]?key alternation)."""
+    assert all(w.isalnum() for w in TOXICITY_LEXICON)
+    return [
+        "@", "sk-", "akia", "ghp_", "apikey", "api_key", "api-key",
+        "secret", "token",
+    ] + [w.lower() for w in TOXICITY_LEXICON]
 
 
 def scrub_text(text: str) -> str:

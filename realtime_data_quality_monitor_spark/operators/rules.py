@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
-from ..functions.scrub import scrub_prefilter_regex
+from ..functions.scrub import scrub_prefilter_terms
 from ..functions.udfs import scrub_udf, text_features_udf
 
 _US = 1_000_000
@@ -328,11 +328,19 @@ def with_quality(
         }
     )
     # scrub only kept rows, and only those a JVM-side superset prefilter
-    # marks as candidates (functions/scrub.scrub_prefilter_regex). The
+    # marks as candidates (functions/scrub.scrub_prefilter_terms). The
     # gating must happen in the UDF *input* (null for non-candidates):
     # Spark extracts Python UDFs out of CASE WHEN branches and evaluates
     # them unconditionally, so `when(cond, udf(x))` does NOT skip rows.
-    needs_scrub = F.col("keep") & text.rlike(scrub_prefilter_regex())
+    # One lower() + literal contains chain (JVM indexOf) + a single \d{3}
+    # rlike — the equivalent 20-branch (?i) regex alternation costs more
+    # than the entire pandas-UDF stack (16.6s vs 9.6s per 5M rows).
+    df = df.withColumn("_lt", F.lower(text))
+    lt = F.col("_lt")
+    candidate = text.rlike(r"\d{3}")
+    for term in scrub_prefilter_terms():
+        candidate = candidate | lt.contains(term)
+    needs_scrub = F.col("keep") & candidate
     df = df.withColumn(
         "scrubbed_text",
         F.coalesce(
@@ -341,6 +349,7 @@ def with_quality(
         ),
     )
     return df.drop(
+        "_lt",
         "_prev_turn_idx",
         "_is_first_in_conv",
         "_dup_turn",
