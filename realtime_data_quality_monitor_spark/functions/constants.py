@@ -108,7 +108,12 @@ def _build_bigram_log10() -> dict:
     table = {}
     for bigram, c in counts.items():
         p = (c + 1) / (prev_totals[bigram[0]] + v)
-        table[bigram] = round(math.log10(p), 6)
+        # quantize to multiples of 2^-20 (dyadic): values in (-4, 0] then
+        # need <= 23 significand bits, and a sum of <= 2001 of them stays
+        # an exact multiple of 2^-20 below 2^13 -> float64 addition is
+        # EXACT in any order, so vectorized (numpy) and left-to-right
+        # (pure-Python oracle) summation are bit-identical by construction
+        table[bigram] = round(math.log10(p) * 1048576.0) / 1048576.0
     return table
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 from .constants import (
     FEATURE_MAX_CHARS,
     LANGID_LANGS,
@@ -29,6 +31,15 @@ from .constants import (
 )
 
 _STOPSETS = [(lang, frozenset(LANGID_STOPWORDS[lang])) for lang in LANGID_LANGS]
+
+# token -> tuple of language indices containing it: ONE dict probe per
+# token instead of len(LANGID_LANGS) set probes (hit counts are identical
+# to the per-language loop, so argmax/tie semantics are unchanged)
+_SW_MAP: dict = {}
+for _i, (_lang, _sset) in enumerate(_STOPSETS):
+    for _t in _sset:
+        _SW_MAP.setdefault(_t, []).append(_i)
+_SW_MAP = {k: tuple(v) for k, v in _SW_MAP.items()}
 
 
 def tokenize(text: str) -> list:
@@ -43,36 +54,46 @@ def detect_language(text: str) -> str:
     order; zero hits across all profiles -> "unknown". Operates on the
     first FEATURE_MAX_CHARS chars (pinned contract).
     """
-    tokens = [t.lower() for t in tokenize(text[:FEATURE_MAX_CHARS])]
-    if not tokens:
+    hits = [0] * len(LANGID_LANGS)
+    get = _SW_MAP.get
+    n_tokens = 0
+    for t in text[:FEATURE_MAX_CHARS].split():
+        if t:
+            n_tokens += 1
+            langs = get(t.lower())
+            if langs is not None:
+                for i in langs:
+                    hits[i] += 1
+    if n_tokens == 0:
         return "unknown"
-    best_lang = "unknown"
-    best_hits = 0
-    for lang, stopset in _STOPSETS:
-        hits = 0
-        for t in tokens:
-            if t in stopset:
-                hits += 1
-        if hits > best_hits:  # strict > keeps first-listed lang on ties
-            best_hits = hits
-            best_lang = lang
-    return best_lang
+    best = max(hits)
+    if best == 0:
+        return "unknown"
+    return LANGID_LANGS[hits.index(best)]  # first max = LANGID_LANGS order
+
+
+_NON_AZ = re.compile("[^a-z]+")
 
 
 def lm_normalize(text: str) -> str:
-    """Pinned normalization for the bigram model (see constants)."""
-    out = []
-    prev_space = True
-    for ch in text.lower():
-        if "a" <= ch <= "z":
-            out.append(ch)
-            prev_space = False
-        else:
-            if not prev_space:
-                out.append(" ")
-            prev_space = True
-    s = "".join(out)
-    return s[:-1] if s.endswith(" ") else s
+    """Pinned normalization for the bigram model: lowercase, every run of
+    non-[a-z] becomes one space, outer spaces stripped. (Regex form of
+    the original char loop; equivalent because runs collapse to exactly
+    one space and at most one outer space exists per side.)"""
+    return _NON_AZ.sub(" ", text.lower()).strip(" ")
+
+
+def _build_lm_matrix():
+    """128x128 float64 lookup: M[prev_byte, cur_byte] = bigram log10 prob
+    (OOV elsewhere). Normalized text is pure ASCII [a-z ], so byte codes
+    index it directly."""
+    m = np.full((128, 128), LM_OOV_LOG10, dtype=np.float64)
+    for bigram, lp in LM_BIGRAM_LOG10.items():
+        m[ord(bigram[0]), ord(bigram[1])] = lp
+    return m
+
+
+_LM_MATRIX = _build_lm_matrix()
 
 
 def avg_neg_logprob(text: str) -> float:
@@ -83,20 +104,19 @@ def avg_neg_logprob(text: str) -> float:
     text scores 0.0 (the "absent" case is handled upstream by the
     silent-miss rule semantics). Operates on the first FEATURE_MAX_CHARS
     chars (pinned contract).
+
+    Vectorized: the table values are exact multiples of 2^-20 (see
+    constants._build_bigram_log10), so the numpy gather+sum is
+    bit-identical to the oracle's left-to-right Python loop — float64
+    addition of dyadic values this small is exact in any order.
     """
     norm = lm_normalize(text[:FEATURE_MAX_CHARS])
     if not norm:
         return 0.0
-    framed = " " + norm + " "
-    total = 0.0
-    n = 0
-    get = LM_BIGRAM_LOG10.get
-    prev = framed[0]
-    for ch in framed[1:]:
-        total += get(prev + ch, LM_OOV_LOG10)
-        n += 1
-        prev = ch
-    return -total / n
+    framed = (" " + norm + " ").encode("ascii")
+    a = np.frombuffer(framed, dtype=np.uint8)
+    total = float(_LM_MATRIX[a[:-1], a[1:]].sum())
+    return -total / (len(framed) - 1)
 
 
 # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]), unlike Python's Unicode
