@@ -31,13 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config
-from ..operators.metrics import check_alerts, window_stats
+from ..operators.metrics import check_alerts, window_stats, window_stats_time
 from ..operators.rules import with_quality
 
 CLEAN_COLS = ["conv_id", "turn_idx", "role", "scrubbed_text", "tool", "ts"]
 LINEAGE_COLS = [
     "conv_id",
     "turn_idx",
+    "ts",
     "issues",
     "issue_count",
     "severity_max",
@@ -131,6 +132,12 @@ def run(
         stats = window_stats(checked, [])
         stats.write.mode("overwrite").parquet(
             os.path.join(out_dir, "metrics", f"group={g}")
+        )
+        # time-windowed stats: the reference's 60s quality_stats grain
+        # (postgres/init.sql:27-39) — what the API read path serves
+        # (queries/endpoints.py); still an aggregate, never per-record
+        window_stats_time(checked).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics_time", f"group={g}")
         )
         alerts = check_alerts(stats)
         alerts.write.mode("overwrite").parquet(

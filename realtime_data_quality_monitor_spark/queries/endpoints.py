@@ -1,0 +1,182 @@
+"""The reference's REST read path as DataFrame functions (SURVEY M4).
+
+Each FastAPI endpoint (api/main.py) and dashboard query (dashboard/app.py)
+is a 1-to-5-line SQL-to-Postgres handler in the reference; here each is a
+DataFrame expression over the pipeline's OUTPUT tables
+(plans/pipeline.py: clean / lineage / metrics / metrics_time / alerts),
+shipped as a query module instead of an HTTP service (SURVEY §3.2).
+
+Every function takes (spark, out_dir) where out_dir is a pipeline output
+directory, and returns a DataFrame — callers compose/collect as needed.
+Time-relative endpoints take ``now`` (pinned clock) like the pipeline
+itself; the reference's NOW() - INTERVAL predicates are irreproducible.
+
+Scale note: all of these read the AGGREGATED tables (window/group grain),
+which stay small regardless of input size — except issues_recent, which
+is a top-k on lineage (TakeOrderedAndProject: no global sort)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.metrics import severity_summary
+from ..plans.pipeline import read_manifest, read_output
+
+SCORE_DIMS = [
+    "completeness",
+    "timeliness",
+    "accuracy",
+    "consistency",
+    "uniqueness",
+    "validity",
+    "overall",
+]
+
+
+def health(spark: SparkSession, out_dir: str) -> DataFrame:
+    """/health (api/main.py:58-110): the latest time window's stats plus
+    pipeline completion status from the resume manifest."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    n_groups = len(read_manifest(out_dir))
+    latest = mt.orderBy(F.desc("window_end")).limit(1)
+    return latest.withColumn("completed_groups", F.lit(n_groups))
+
+
+def metrics_latest(
+    spark: SparkSession,
+    out_dir: str,
+    now: datetime.datetime | None = None,
+    last_minutes: int = 5,
+) -> DataFrame:
+    """/metrics/latest (api/main.py:113-147): per-dimension COUNT / AVG /
+    MIN / MAX over windows ending in the last ``last_minutes`` (relative
+    to ``now``, or to the newest window when now is None)."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    if now is None:
+        cutoff = F.max("window_end").over(Window.partitionBy()) - F.expr(
+            f"INTERVAL {last_minutes} MINUTES"
+        )
+    else:
+        cutoff = F.lit(now) - F.expr(f"INTERVAL {last_minutes} MINUTES")
+    recent = mt.withColumn("_cut", cutoff).filter(F.col("window_end") > F.col("_cut"))
+    long = recent.selectExpr(
+        "window_end",
+        "stack({}, {}) as (metric_name, value)".format(
+            len(SCORE_DIMS),
+            ", ".join(f"'{d}_score', avg_{d}_score" for d in SCORE_DIMS),
+        ),
+    )
+    return long.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.max("window_end").alias("latest_window_end"),
+    )
+
+
+def metrics_history(
+    spark: SparkSession,
+    out_dir: str,
+    now: datetime.datetime,
+    hours: int = 24,
+) -> DataFrame:
+    """/metrics/history (api/main.py:150-186): windows in the last
+    ``hours``, newest first (param-bounded interval)."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    return mt.filter(
+        F.col("window_end") > F.lit(now) - F.expr(f"INTERVAL {hours} HOURS")
+    ).orderBy(F.desc("window_end"))
+
+
+def metrics_dimensions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """/metrics/dimensions (api/main.py:189-225): stddev + bucketed
+    conditional counts per dimension across all time windows."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    long = mt.selectExpr(
+        "stack({}, {}) as (dimension, score)".format(
+            len(SCORE_DIMS),
+            ", ".join(f"'{d}', avg_{d}_score" for d in SCORE_DIMS),
+        ),
+    )
+    return long.groupBy("dimension").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 2).alias("avg_score"),
+        F.stddev("score").alias("stddev_score"),
+        F.sum((F.col("score") < 50).cast("int")).alias("bucket_critical"),
+        F.sum(((F.col("score") >= 50) & (F.col("score") < 80)).cast("int")).alias(
+            "bucket_warning"
+        ),
+        F.sum((F.col("score") >= 80).cast("int")).alias("bucket_good"),
+    )
+
+
+def issues_recent(
+    spark: SparkSession,
+    out_dir: str,
+    limit: int = 100,
+    severity: str | None = None,
+) -> DataFrame:
+    """/issues/recent (api/main.py:228-291): newest issue rows, optional
+    severity filter, top-k by ts with (conv_id, turn_idx) tie-break."""
+    lin = read_output(spark, out_dir, "lineage")
+    if severity is not None:
+        lin = lin.filter(F.col("severity_max") == severity)
+    return lin.orderBy(
+        F.desc_nulls_last("ts"), F.asc("conv_id"), F.asc("turn_idx")
+    ).limit(limit)
+
+
+def issue_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """/issues severity histogram with custom sort (api/main.py:262-276 /
+    A5) over the lineage table."""
+    return severity_summary(read_output(spark, out_dir, "lineage"))
+
+
+def stats_window(
+    spark: SparkSession, out_dir: str, last_n: int = 10
+) -> DataFrame:
+    """/stats/window (api/main.py:294-350): the last N time windows plus
+    the Python-side post-aggregation restated as a second groupBy (A6)."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    lastn = mt.orderBy(F.desc("window_end")).limit(last_n)
+    return lastn.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("total_records").alias("total_records"),
+        F.sum("issues_found").alias("issues_found"),
+        F.round(F.avg("avg_overall_score"), 2).alias("avg_overall_score"),
+        F.min("window_start").alias("from_ts"),
+        F.max("window_end").alias("to_ts"),
+    )
+
+
+def lifetime_overview(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Dashboard lifetime overview (dashboard/app.py:33-38 / A10):
+    lifetime totals + uptime hours from window bounds."""
+    mt = read_output(spark, out_dir, "metrics_time")
+    return mt.agg(
+        F.sum("total_records").alias("total_records"),
+        F.sum("issues_found").alias("issues_found"),
+        F.round(F.avg("avg_overall_score"), 2).alias("avg_overall_score"),
+        (
+            (
+                F.unix_timestamp(F.max("window_end"))
+                - F.unix_timestamp(F.min("window_start"))
+            )
+            / 3600.0
+        ).alias("span_hours"),
+    )
+
+
+def register_views(spark: SparkSession, out_dir: str) -> list:
+    """Register the output tables as temp views so all of the above are
+    also reachable as plain ``spark.sql`` — the 'SQL views' form of the
+    query module (SURVEY §3.2)."""
+    names = []
+    for table in ("clean", "lineage", "metrics", "metrics_time", "alerts"):
+        read_output(spark, out_dir, table).createOrReplaceTempView(table)
+        names.append(table)
+    return names

@@ -1,0 +1,98 @@
+"""API read-path module (queries/endpoints.py) over real pipeline output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark import config
+from realtime_data_quality_monitor_spark.plans import pipeline as pl
+from realtime_data_quality_monitor_spark.queries import endpoints as ep
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def out_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ep")
+    src = str(base / "src")
+    out = str(base / "out")
+    df = generate_transcripts(spark, n_convs=300, dup_rate=0.03)
+    write_transcripts(df.drop("_defect"), src)
+    summary = pl.run(spark, src, out, n_groups=4)
+    assert summary["finished"]
+    return out
+
+
+def test_health_latest_window(spark, out_dir):
+    row = ep.health(spark, out_dir).collect()[0]
+    assert row.completed_groups == 4
+    assert row.total_records > 0
+    mt = pl.read_output(spark, out_dir, "metrics_time")
+    assert row.window_end == mt.agg(F.max("window_end")).collect()[0][0]
+
+
+def test_metrics_latest_dimensions_present(spark, out_dir):
+    rows = ep.metrics_latest(spark, out_dir, now=None, last_minutes=10**6).collect()
+    names = {r.metric_name for r in rows}
+    assert names == {f"{d}_score" for d in ep.SCORE_DIMS}
+    for r in rows:
+        assert 0.0 <= r.avg_value <= 100.0
+        assert r.min_value <= r.avg_value <= r.max_value
+
+
+def test_metrics_history_bounded(spark, out_dir):
+    hist = ep.metrics_history(spark, out_dir, now=config.NOW_UTC, hours=48)
+    rows = hist.collect()
+    assert len(rows) > 0
+    ends = [r.window_end for r in rows]
+    assert ends == sorted(ends, reverse=True)  # newest first
+
+
+def test_metrics_dimensions_buckets_sum(spark, out_dir):
+    for r in ep.metrics_dimensions(spark, out_dir).collect():
+        assert r.bucket_critical + r.bucket_warning + r.bucket_good == r.n
+
+
+def test_issues_recent_topk_and_severity_filter(spark, out_dir):
+    top = ep.issues_recent(spark, out_dir, limit=10).collect()
+    assert 0 < len(top) <= 10
+    crit = ep.issues_recent(spark, out_dir, limit=50, severity="critical").collect()
+    assert all(r.severity_max == "critical" for r in crit)
+
+
+def test_issue_summary_custom_sort(spark, out_dir):
+    sevs = [r.severity for r in ep.issue_summary(spark, out_dir).collect()]
+    order = {"critical": 1, "high": 2, "medium": 3, "low": 4}
+    ranks = [order[s] for s in sevs]
+    assert ranks == sorted(ranks)
+
+
+def test_stats_window_aggregate(spark, out_dir):
+    row = ep.stats_window(spark, out_dir, last_n=5).collect()[0]
+    assert row.n_windows <= 5
+    assert row.total_records > 0 and row.from_ts <= row.to_ts
+
+
+def test_lifetime_overview(spark, out_dir):
+    row = ep.lifetime_overview(spark, out_dir).collect()[0]
+    lin = pl.read_output(spark, out_dir, "lineage")
+    # lineage rows with non-null ts are exactly the windowed issues_found
+    assert row.issues_found == lin.filter("ts IS NOT NULL").count()
+    assert row.span_hours >= 0
+
+
+def test_register_views_sql_surface(spark, out_dir):
+    names = ep.register_views(spark, out_dir)
+    assert set(names) == {"clean", "lineage", "metrics", "metrics_time", "alerts"}
+    # a key present in BOTH tables must be a planted duplicate: its first
+    # copy was kept, the later copy carries a duplicate_* issue
+    rows = spark.sql(
+        """
+        SELECT l.issues FROM clean c JOIN lineage l
+        USING (conv_id, turn_idx)
+        """
+    ).collect()
+    assert len(rows) > 0  # dup_rate planted such keys
+    for r in rows:
+        assert any(i.startswith("duplicate_") for i in r.issues)
