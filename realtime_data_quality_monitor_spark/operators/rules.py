@@ -75,6 +75,7 @@ def with_quality(
     repartition: bool = True,
     num_partitions: int | None = None,
     cross_turn: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Append per-turn quality columns to a transcript DataFrame.
 
@@ -89,11 +90,31 @@ def with_quality(
     Structured Streaming wrapper uses (streaming/pipeline.py), where
     uniqueness is instead enforced by dropDuplicatesWithinWatermark and
     full-conversation checks belong to the batch pass.
+
+    ``skew_safe=True`` computes the SAME cross-turn semantics without any
+    window partitioned by conv_id alone (SURVEY.md §7.5 hard part 1: a
+    window over one irreducibly huge conversation cannot be split by AQE
+    — the whole conv must sort in one task). Equivalent reformulation:
+      * duplicate-turn  = row_number within (conv_id, turn_idx) > 1 —
+        same-turn_idx rows are contiguous under the pinned ordering, so
+        the lag-based flag marks exactly the non-first rows of each group;
+      * duplicate-text  = row_number within (conv_id, norm_text) > 1
+        (already fine-grained);
+      * contiguity      = evaluated at the DISTINCT (conv_id, turn_idx)
+        level (one row per distinct turn — bounded by real conversation
+        length, never by duplicate volume) and joined back; non-first
+        rows of a turn group always pass (their predecessor shares their
+        turn_idx, diff 0), matching the lag semantics.
+    Costs one extra shuffle + a join (AQE skew-split applies to joins);
+    equality with the default mode is pinned by tests.
     """
     now = now or config.NOW_UTC
     now_us = int(now.timestamp()) * _US
 
-    if repartition and cross_turn:
+    # skew_safe must NOT pre-cluster by conv_id: hashpartitioning(conv_id)
+    # satisfies the fine-grained windows' distributions, which would pull
+    # entire hot conversations back into single tasks
+    if repartition and cross_turn and not skew_safe:
         if num_partitions is None:
             # 2x the scheduler's core count: bounds straggler tail latency
             # (a single max-size task holds a core for half as long) while
@@ -113,7 +134,49 @@ def with_quality(
     text_present = ~blank
 
     # ---- cross-turn features (single conv_id shuffle serves all three) ----
-    if cross_turn:
+    if cross_turn and skew_safe:
+        # fine-grained windows + distinct-level contiguity (see docstring)
+        tie = [
+            F.col("ts").asc_nulls_last(),
+            F.col("role").asc_nulls_last(),
+            F.col("text").asc_nulls_last(),
+        ]
+        w_group = Window.partitionBy("conv_id", "turn_idx").orderBy(*tie)
+        distinct = (
+            df.filter(conv_id.isNotNull() & turn_idx.isNotNull())
+            .select("conv_id", "turn_idx")
+            .distinct()
+        )
+        wd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+        dflags = distinct.withColumns(
+            {
+                "_prev_d": F.lag("turn_idx").over(wd),
+                "_first_d": F.row_number().over(wd) == 1,
+            }
+        )
+        df = df.join(dflags, ["conv_id", "turn_idx"], "left")
+        df = df.withColumns(
+            {
+                "_group_first": F.row_number().over(w_group) == 1,
+                "_dup_text": (
+                    conv_id.isNotNull()
+                    & text_present
+                    & (F.row_number().over(w_text) > 1)
+                ),
+            }
+        )
+        df = df.withColumns(
+            {
+                "_prev_turn_idx": F.lit(None).cast("int"),  # unused in this mode
+                "_is_first_in_conv": F.lit(None).cast("boolean"),
+                "_dup_turn": (
+                    conv_id.isNotNull()
+                    & turn_idx.isNotNull()
+                    & ~F.col("_group_first")
+                ),
+            }
+        )
+    elif cross_turn:
         df = df.withColumns(
             {
                 "_prev_turn_idx": F.lag("turn_idx").over(w_conv),
@@ -233,7 +296,16 @@ def with_quality(
     )
     prev = F.col("_prev_turn_idx")
     contig_present = conv_id.isNotNull() & turn_idx.isNotNull()
-    if cross_turn:
+    if cross_turn and skew_safe:
+        # non-first rows of a turn group pass (predecessor shares their
+        # turn_idx: diff 0); group-first rows check the distinct-level lag
+        c3_ok = F.when(~F.col("_group_first"), F.lit(True)).otherwise(
+            F.when(F.col("_first_d"), turn_idx == 0).otherwise(
+                F.col("_prev_d").isNotNull()
+                & (turn_idx - F.col("_prev_d") == 1)
+            )
+        )
+    elif cross_turn:
         c3_ok = F.when(F.col("_is_first_in_conv"), turn_idx == 0).otherwise(
             prev.isNotNull() & (turn_idx - prev).isin(0, 1)
         )
@@ -350,6 +422,9 @@ def with_quality(
     )
     return df.drop(
         "_lt",
+        "_group_first",
+        "_prev_d",
+        "_first_d",
         "_prev_turn_idx",
         "_is_first_in_conv",
         "_dup_turn",

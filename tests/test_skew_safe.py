@@ -1,0 +1,97 @@
+"""skew_safe mode: identical semantics to the conv_id-window mode, and
+survives a conversation too hot for a single-task window sort."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+)
+
+CMP_COLS = [
+    "conv_id",
+    "turn_idx",
+    "completeness_score",
+    "timeliness_score",
+    "accuracy_score",
+    "consistency_score",
+    "uniqueness_score",
+    "validity_score",
+    "overall_score",
+    "issues",
+    "keep",
+    "severity_max",
+    "scrubbed_text",
+]
+
+
+def _key(r):
+    return (r.conv_id, r.turn_idx, r.ts, r.role, r.text)
+
+
+def test_skew_safe_equals_default_mode(spark):
+    df = generate_transcripts(
+        spark, n_convs=250, defect_rate=0.3, dup_rate=0.05, hot_conv_every=100
+    ).drop("_defect")
+    base = {
+        _key(r): r
+        for r in with_quality(df).select("ts", "role", "text", *CMP_COLS).collect()
+    }
+    safe = {
+        _key(r): r
+        for r in with_quality(df, skew_safe=True)
+        .select("ts", "role", "text", *CMP_COLS)
+        .collect()
+    }
+    assert base.keys() == safe.keys()
+    diffs = []
+    for k, a in base.items():
+        b = safe[k]
+        for c in CMP_COLS:
+            if a[c] != b[c]:
+                diffs.append((k, c, a[c], b[c]))
+    assert not diffs, diffs[:5]
+
+
+def test_skew_safe_handles_monster_conversation(spark):
+    # one conversation holding 60% of all rows: the conv_id window mode
+    # must sort it in ONE task; skew_safe distributes it across tasks
+    n = 150_000
+    monster = spark.range(n).select(
+        F.lit("CONV-FFFFFFFF").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("turn text number "), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_micros(
+            F.lit(1786924800_000000) + F.col("id") * 1000
+        ).alias("ts"),
+    )
+    rest = generate_transcripts(spark, n_convs=1000, defect_rate=0.1).drop(
+        "_defect"
+    )
+    df = monster.unionByName(rest)
+    t0 = time.perf_counter()
+    out = with_quality(df, skew_safe=True)
+    counts = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.sum(
+            (
+                (F.col("conv_id") == "CONV-FFFFFFFF")
+                & (F.col("uniqueness_score") < 100)
+            ).cast("int")
+        ).alias("monster_dups"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert counts.n == n + rest.count()
+    assert counts.monster_dups == 0  # monster turns are all distinct
+    # contiguity holds across the whole monster conv (0,1,2,... pattern)
+    bad_contig = out.filter(
+        (F.col("conv_id") == "CONV-FFFFFFFF")
+        & F.exists("issues", lambda i: i.startswith("inconsistent_turn_order"))
+    ).count()
+    assert bad_contig == 0
+    assert dt < 300  # sanity: completes without a single-task blowup
