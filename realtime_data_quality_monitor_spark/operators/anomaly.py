@@ -124,6 +124,42 @@ def mad_anomalies(
     )
 
 
+def ensemble_anomalies(
+    df: DataFrame,
+    score_cols: list,
+    weights: list | None = None,
+    score_threshold: float = 0.5,
+    min_votes: int = 2,
+    vote_threshold: float = 0.5,
+) -> DataFrame:
+    """Ensemble voter (ensemble_detector.py:32-36,54-92 analog): each
+    detector contributes a normalized [0,1] score; ensemble_score is the
+    weighted sum (reference weights 0.4/0.3/0.3), each score >
+    ``vote_threshold`` is one vote, and a window is anomalous iff
+    ensemble_score > ``score_threshold`` OR votes >= ``min_votes``.
+    Pure column arithmetic over detector-output columns — exactly the
+    reference's shape with our detector stand-ins (iforest / MAD / KS)."""
+    if weights is None:
+        weights = [0.4, 0.3, 0.3][: len(score_cols)]
+        weights += [0.0] * (len(score_cols) - len(weights))
+    total_w = sum(weights) or 1.0
+    score = None
+    votes = None
+    for c, w in zip(score_cols, weights):
+        term = F.col(c) * F.lit(w / total_w)
+        vote = (F.col(c) > F.lit(vote_threshold)).cast("int")
+        score = term if score is None else score + term
+        votes = vote if votes is None else votes + vote
+    return df.withColumns(
+        {
+            "ensemble_score": score,
+            "ensemble_votes": votes,
+            "ensemble_anomaly": (score > F.lit(score_threshold))
+            | (votes >= F.lit(min_votes)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # IsolationForest (numpy, deterministic) over the window-feature frame
 # ---------------------------------------------------------------------------

@@ -54,13 +54,17 @@ def window_stats(df: DataFrame, keys: list) -> DataFrame:
     )
 
 
-def window_stats_time(df: DataFrame, window_duration: str = "60 seconds") -> DataFrame:
+def window_stats_time(
+    df: DataFrame, window_duration: str = "60 seconds", keys: list | None = None
+) -> DataFrame:
     """Event-time tumbling-window variant of the reference's 60 s
     processing-time window (W1, kafka_consumer.py:115-118); null-ts rows
-    are excluded (they have no event time) and counted by the caller."""
+    are excluded (they have no event time) and counted by the caller.
+    ``keys`` adds grouping columns ahead of the time window (e.g. the
+    resume-group id for partitioned batch writes)."""
     out = (
         df.filter(F.col("ts").isNotNull())
-        .groupBy(F.window("ts", window_duration).alias("w"))
+        .groupBy(*(keys or []), F.window("ts", window_duration).alias("w"))
         .agg(*_stats_aggs())
         .select(
             F.col("w.start").alias("window_start"),

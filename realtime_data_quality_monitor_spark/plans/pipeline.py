@@ -88,11 +88,18 @@ def run(
     n_groups: int = 8,
     max_groups: int | None = None,
     num_partitions: int | None = None,
+    skew_safe: bool = False,
+    batch_groups: int = 1,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a summary dict.
 
     ``max_groups`` caps how many pending groups this invocation processes —
-    used by tests to simulate a killed run.
+    used by tests to simulate a killed run. ``skew_safe`` selects the
+    hot-conversation-robust rule formulation (operators/rules.py) — use it
+    when single conversations can exceed a task's sort budget.
+    ``batch_groups`` processes that many resume groups per Spark job
+    (dynamic-partition-overwrite writes) — amortizes per-job fixed cost
+    while keeping the manifest, and therefore resume, per-group.
     """
     now = now or config.NOW_UTC
     src = spark.read.parquet(input_path)
@@ -114,62 +121,86 @@ def run(
     pending = [g for g in range(n_groups) if g not in done]
     processed = []
 
-    for g in pending[: (max_groups if max_groups is not None else len(pending))]:
-        part = src.filter(F.col("_group") == g).drop("_group")
-        checked = with_quality(part, now=now, num_partitions=num_partitions)
+    cap = max_groups if max_groups is not None else len(pending)
+    todo = pending[:cap]
+
+    def _write_grouped(df, table: str) -> None:
+        # dynamic partition overwrite: only the group=N directories present
+        # in df are replaced — a re-run of a half-written batch is
+        # idempotent and completed groups are untouched. Layout is
+        # identical to a direct per-group write (payload stays key-free).
+        (
+            df.withColumnRenamed("_group", "group")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("group")
+            .parquet(os.path.join(out_dir, table))
+        )
+
+    # batch_groups groups share one pass over the data: the per-job fixed
+    # cost (scheduling, scan setup, shuffle setup) is amortized across the
+    # batch while the MANIFEST stays per-group — resume granularity is
+    # decoupled from job granularity. Measured on a 19.6M-turn soak:
+    # 64 one-group jobs spend ~300s of 508s on per-job overhead.
+    for i in range(0, len(todo), max(1, batch_groups)):
+        batch = todo[i : i + max(1, batch_groups)]
+        part = src.filter(F.col("_group").isin([int(g) for g in batch]))
+        checked = with_quality(
+            part, now=now, num_partitions=num_partitions, skew_safe=skew_safe
+        )
         checked = checked.persist()
 
-        clean = checked.filter("keep").select(*CLEAN_COLS)
-        clean.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "clean", f"group={g}")
+        _write_grouped(
+            checked.filter("keep").select(*CLEAN_COLS, "_group"), "clean"
         )
-        lineage = checked.filter("has_issues").select(*LINEAGE_COLS)
-        lineage.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "lineage", f"group={g}")
+        _write_grouped(
+            checked.filter("has_issues").select(*LINEAGE_COLS, "_group"),
+            "lineage",
         )
-        # the group=N directory carries the group key (hive-style), so the
-        # file payload stays key-free — no duplicate-column clash on read
-        stats = window_stats(checked, [])
-        stats.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "metrics", f"group={g}")
-        )
+        stats = window_stats(checked, ["_group"])
+        _write_grouped(stats, "metrics")
         # time-windowed stats: the reference's 60s quality_stats grain
         # (postgres/init.sql:27-39) — what the API read path serves
         # (queries/endpoints.py); still an aggregate, never per-record
-        window_stats_time(checked).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "metrics_time", f"group={g}")
-        )
-        alerts = check_alerts(stats)
-        alerts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "alerts", f"group={g}")
-        )
+        _write_grouped(window_stats_time(checked, keys=["_group"]), "metrics_time")
+        _write_grouped(check_alerts(stats), "alerts")
 
         # content checksum: order-independent sum of row hashes over the
         # decision-relevant columns — lets a resume assert reproducibility
-        summary = checked.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-            # decimal(38,0) sum: order-independent and overflow-free under
-            # ANSI mode at any row count (long-sum overflows at ~1e10 rows)
-            F.sum(
-                F.xxhash64("conv_id", "turn_idx", "keep", "overall_score").cast(
-                    "decimal(38,0)"
-                )
-            ).alias("checksum"),
-        ).collect()[0]
+        summaries = {
+            int(r["_group"]): r
+            for r in checked.groupBy("_group")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+                # decimal(38,0) sum: order-independent and overflow-free
+                # under ANSI mode at any row count (long sums overflow at
+                # ~1e10 rows)
+                F.sum(
+                    F.xxhash64(
+                        "conv_id", "turn_idx", "keep", "overall_score"
+                    ).cast("decimal(38,0)")
+                ).alias("checksum"),
+            )
+            .collect()
+        }
         checked.unpersist()
 
-        _write_manifest(
-            out_dir,
-            {
-                "group": g,
-                "total": summary["total"],
-                "kept": summary["kept"],
-                "checksum": str(summary["checksum"]),
-                "now": now.isoformat(),
-            },
-        )
-        processed.append(g)
+        # manifest rows commit only after every write in the batch has
+        # committed; a group with zero rows still completes
+        for g in batch:
+            r = summaries.get(int(g))
+            _write_manifest(
+                out_dir,
+                {
+                    "group": g,
+                    "total": r["total"] if r else 0,
+                    "kept": r["kept"] if r else 0,
+                    "checksum": str(r["checksum"]) if r else "0",
+                    "now": now.isoformat(),
+                },
+            )
+            processed.append(g)
 
     done = read_manifest(out_dir)
     return {

@@ -33,6 +33,15 @@ def main() -> None:
         "--max-groups", type=int, default=None,
         help="process at most this many pending groups (kill-and-resume)",
     )
+    p.add_argument(
+        "--skew-safe", action="store_true",
+        help="hot-conversation-robust rule formulation (no conv_id-wide windows)",
+    )
+    p.add_argument(
+        "--batch-groups", type=int, default=1,
+        help="resume groups processed per Spark job (amortizes job overhead; "
+        "manifest/resume stays per-group)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +71,8 @@ def main() -> None:
         now=now,
         n_groups=args.groups,
         max_groups=args.max_groups,
+        skew_safe=args.skew_safe,
+        batch_groups=args.batch_groups,
     )
     print(json.dumps(summary))
     spark.stop()

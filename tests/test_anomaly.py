@@ -80,3 +80,29 @@ def test_ks_on_empty_group(spark):
     df = spark.createDataFrame([(1.0, True), (2.0, True)], "v double, g boolean")
     row = anomaly.ks_statistic(df, "v", "g").collect()[0]
     assert row.n_b == 0  # degenerate split surfaces as zero count, no crash
+
+
+def test_ensemble_voter_reference_semantics(spark):
+    # (ensemble_detector.py:32-36,54-92): weighted 0.4/0.3/0.3 score with
+    # anomaly iff score > 0.5 OR >= 2 individual votes
+    rows = [
+        (0.9, 0.9, 0.9),   # all agree -> anomaly (score and votes)
+        (0.9, 0.6, 0.0),   # 2 votes, score 0.54 -> anomaly
+        (0.95, 0.0, 0.0),  # 1 vote, score 0.38 -> clean
+        (0.6, 0.6, 0.0),   # 2 votes, score 0.42 -> anomaly via votes
+        (0.1, 0.2, 0.3),   # nothing fires
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = anomaly.ensemble_anomalies(df, ["a", "b", "c"])
+    got = {
+        (round(r.a, 2), round(r.b, 2), round(r.c, 2)): (
+            r.ensemble_anomaly,
+            r.ensemble_votes,
+        )
+        for r in out.collect()
+    }
+    assert got[(0.9, 0.9, 0.9)] == (True, 3)
+    assert got[(0.9, 0.6, 0.0)] == (True, 2)
+    assert got[(0.95, 0.0, 0.0)] == (False, 1)
+    assert got[(0.6, 0.6, 0.0)] == (True, 2)
+    assert got[(0.1, 0.2, 0.3)] == (False, 0)

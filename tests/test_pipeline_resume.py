@@ -137,3 +137,33 @@ def test_rerun_is_noop(spark, tmp_path):
     pipeline.run(spark, src, out)
     again = pipeline.run(spark, src, out)
     assert again["processed_groups"] == [] and again["finished"]
+
+
+def test_batched_groups_equal_one_by_one(spark, tmp_path):
+    """batch_groups amortizes job overhead but must not change any output
+    or manifest checksum; resume after a mid-batch kill still works."""
+    src = str(tmp_path / "bsrc")
+    write_transcripts(
+        generate_transcripts(spark, n_convs=90, dup_rate=0.03), src, buckets=6
+    )
+
+    out_one = str(tmp_path / "one")
+    assert pipeline.run(spark, src, out_one, batch_groups=1)["finished"]
+    out_bat = str(tmp_path / "bat")
+    r1 = pipeline.run(spark, src, out_bat, batch_groups=4, max_groups=4)
+    assert not r1["finished"] and len(r1["processed_groups"]) == 4
+    r2 = pipeline.run(spark, src, out_bat, batch_groups=4)  # resume rest
+    assert r2["finished"]
+
+    for table in ("clean", "lineage", "metrics", "metrics_time", "alerts"):
+        a = pipeline.read_output(spark, out_one, table)
+        b = pipeline.read_output(spark, out_bat, table)
+        assert a.count() == b.count(), table
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+
+    ma = pipeline.read_manifest(out_one)
+    mb = pipeline.read_manifest(out_bat)
+    assert {g: m["checksum"] for g, m in ma.items()} == {
+        g: m["checksum"] for g, m in mb.items()
+    }
