@@ -1,0 +1,99 @@
+"""Large-scale parity evidence: keep/drop F1 + scrubbed-text byte
+equality vs the pure-Python oracle (BASELINE.json headline metric),
+on a ~200k-turn fixture with the full defect/dup/skew mix.
+
+The pytest suite asserts EXACT agreement on ~1.2k rows; this run reports
+the same comparison at 170x that size as a measured F1 (expected 1.0 —
+any deviation is a bug, not tolerance)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from realtime_data_quality_monitor_spark import config  # noqa: E402
+from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+from realtime_data_quality_monitor_spark.sources.transcripts import (  # noqa: E402
+    generate_transcripts,
+)
+from tests.oracle import oracle_check  # noqa: E402
+
+
+def main() -> None:
+    n_convs = int(os.environ.get("PARITY_CONVS", "20000"))
+    spark = get_spark(app_name="parity-f1")
+    df = generate_transcripts(
+        spark,
+        n_convs=n_convs,
+        defect_rate=0.30,
+        hot_conv_every=2000,
+        hot_conv_len=1000,
+        dup_rate=0.03,
+    ).withColumn("_ts_us", F.unix_micros("ts"))
+
+    out = with_quality(df).collect()
+    rows = [
+        {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            "role": r["role"],
+            "text": r["text"],
+            "tool": r["tool"],
+            "ts_us": r["_ts_us"],
+        }
+        for r in out
+    ]
+    expected = oracle_check(rows, config.NOW_EPOCH * 1_000_000)
+
+    tp = fp = fn = tn = 0
+    scrub_eq = scrub_n = 0
+    score_mismatch = 0
+    for r, e in zip(out, expected):
+        got_keep, want_keep = bool(r["keep"]), bool(e["keep"])
+        if got_keep and want_keep:
+            tp += 1
+        elif got_keep and not want_keep:
+            fp += 1
+        elif not got_keep and want_keep:
+            fn += 1
+        else:
+            tn += 1
+        if want_keep:
+            scrub_n += 1
+            if r["scrubbed_text"] == e["scrubbed_text"]:
+                scrub_eq += 1
+        if r["overall_score"] != e["overall_score"]:
+            score_mismatch += 1
+
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "keep_drop_f1_vs_oracle",
+                "rows": len(rows),
+                "f1": round(f1, 6),
+                "precision": round(precision, 6),
+                "recall": round(recall, 6),
+                "kept": tp + fp,
+                "scrubbed_text_byte_equal": f"{scrub_eq}/{scrub_n}",
+                "overall_score_mismatches": score_mismatch,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
