@@ -61,11 +61,59 @@ def token_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
     )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    return _jaccard_from_inverted(
+        toks, n_docs, threshold, max_token_df, max_token_df_frac
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_df: int | None = None,
+    max_token_df_frac: float | None = None,
+) -> DataFrame:
+    """All-pairs n-gram (word-shingle) Jaccard >= threshold.
+
+    Same inverted-index machinery as token_jaccard_pairs but over the set
+    of n-token shingles — word ORDER matters, so a doc that merely reuses
+    the same vocabulary no longer pairs; only shared phrasing does. The
+    standard near-dup signal for training corpora (shingles feed MinHash
+    at full scale; this is the exact formulation)."""
+    toks = tokens_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    sh = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("token")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    return _jaccard_from_inverted(
+        sh, n_docs, threshold, max_token_df, max_token_df_frac
+    )
+
+
+def _jaccard_from_inverted(
+    toks: DataFrame,
+    n_docs: DataFrame,
+    threshold: float,
+    max_token_df: int | None,
+    max_token_df_frac: float | None,
+) -> DataFrame:
+    """Shared core: (id, token) inverted index -> DF pruning ->
+    token-keyed self-join -> exact jaccard."""
     if max_token_df_frac:
-        total = df.select(F.count(F.lit(1)).alias("_n"))
         dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
         heavy = (
-            dfreq.crossJoin(F.broadcast(total))
+            dfreq.crossJoin(F.broadcast(n_docs))
             .filter(F.col("_c") > F.col("_n") * F.lit(max_token_df_frac))
             .select("token")
         )

@@ -915,6 +915,36 @@ def q_s3_lsh_ann_embeddings(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
 
 
+def q_d7_ngram_jaccard_documents(spark, sf_dir):
+    """Word-3-gram (shingle) Jaccard near-dups: word order matters, so
+    only shared phrasing pairs — the exact formulation MinHash
+    approximates at full scale."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+    return pairs.select("id_a", "id_b", "intersection", "jaccard")
+
+
+SQL_D7 = """
+    WITH arr AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id AS id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 2),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b, intersection,
+           intersection::DOUBLE / (sa.set_size + sb.set_size - intersection) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE intersection::DOUBLE / (sa.set_size + sb.set_size - intersection) >= 0.6e0
+"""
+
+
 def q_d5_embedding_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force exact baseline on the
     1e-7-quantized vectors (the verifiable small-scale oracle; the 100 TB
@@ -1177,6 +1207,7 @@ ENTRY_QUERIES = {
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
     "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
     "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
+    "d7_ngram_jaccard_documents": (q_d7_ngram_jaccard_documents, SQL_D7),
     "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, None),
     "m1_image_decode_documents": (q_m1_image_decode_documents, SQL_M1),
     "m2_audio_stats_documents": (q_m2_audio_stats_documents, SQL_M2),
