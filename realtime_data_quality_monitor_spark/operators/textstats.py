@@ -74,6 +74,47 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     return (len_ok + div_ok + tok_ok).alias("quality")
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling window over char k-grams,
+    Schleimer/Wilkerson/Aiken scheme): one fingerprint per window of w
+    consecutive k-grams = the window's MINIMUM gram. This lexicographic-
+    min variant replaces the usual Karp-Rabin rolling hash so the result
+    is engine-portable (hash functions are not); selectivity is the same.
+    Any substring match of length >= k + w - 1 between two docs guarantees
+    a shared fingerprint — the standard near-dup/plagiarism primitive.
+
+    Scale shape: explode to (id, pos, gram) then a window min per doc —
+    the window partitions by doc (bounded by doc length), and the
+    distinct() is a hash aggregate keyed by (id, fingerprint)."""
+    from pyspark.sql import Window
+
+    length = F.length(F.col(text_col))
+    npos = length - k + 1
+    grams = df.filter(npos >= w).select(
+        F.col(id_col).alias("id"),
+        npos.alias("_maxpos"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: F.col(text_col).substr(i, F.lit(k)),
+            )
+        ).alias("_pos0", "gram"),
+    )
+    wspec = Window.partitionBy("id").orderBy("_pos0").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fingerprint", F.min("gram").over(wspec))
+        .filter(F.col("_pos0") <= F.col("_maxpos") - w)
+        .select("id", "fingerprint")
+        .distinct()
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

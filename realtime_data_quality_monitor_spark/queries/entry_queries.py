@@ -422,6 +422,38 @@ SQL_A6 = """
 """
 
 
+def q_t5_winnowing_fingerprints_documents(spark, sf_dir):
+    """Winnowing (rolling-window k-gram) fingerprints per doc: count +
+    lexicographic extremes (textstats.winnowing_fingerprints)."""
+    fp = textstats.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=16
+    )
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+SQL_T5 = """
+    WITH grams AS (
+      SELECT doc_id, g.i AS pos, substr(text, g.i, 8) AS gram,
+             len(text) - 8 + 1 AS maxpos
+      FROM documents JOIN generate_series(1, 100000) g(i)
+        ON g.i <= len(text) - 8 + 1
+      WHERE len(text) - 8 + 1 >= 16),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM grams QUALIFY pos <= maxpos - 15),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+"""
+
+
 def q_d0_dedup_first_wins_events(spark, sf_dir):
     """First-wins window dedup (P5/W3): duplicates share (user_id,
     event_type); the earliest (ts, event_id) row is kept."""
@@ -1203,6 +1235,10 @@ ENTRY_QUERIES = {
     "t2_token_stats_documents": (q_t2_token_stats_documents, SQL_T2),
     "t3_quality_score_documents": (q_t3_quality_score_documents, SQL_T3),
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
+    "t5_winnowing_fingerprints_documents": (
+        q_t5_winnowing_fingerprints_documents,
+        SQL_T5,
+    ),
     "s1_ann_cosine_topk": (q_s1_ann_cosine_topk, SQL_S1),
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
     "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),

@@ -94,3 +94,30 @@ def test_exact_duplicates_first_wins(spark):
     rows = {r.doc_id: r.is_duplicate for r in dedup.exact_duplicates(df).collect()}
     # fingerprint is case-insensitive; lowest doc_id wins
     assert rows == {3: False, 7: True, 10: True, 1: False}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k + w - 1
+    (= 23 here) produces at least one shared fingerprint; unrelated texts
+    share none."""
+    from realtime_data_quality_monitor_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "totally unrelated content with zero overlap at all here"),
+            (4, "tiny"),  # shorter than k + w - 1 -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(df, k=8, w=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, set()).add(r.fingerprint)
+    assert by_id[1] & by_id[2]
+    assert not by_id[1] & by_id.get(3, set())
+    assert 4 not in by_id
