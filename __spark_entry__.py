@@ -8,8 +8,10 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 The catalog lives in
 realtime_data_quality_monitor_spark/queries/entry_queries.py; keys are
 prefixed with the SURVEY.md §2 operator ids they exercise. Entries with a
-None oracle (minhash/simhash/LSH — engine-specific hash functions) get the
-weaker rows-only check by design.
+None oracle get the weaker rows-only check by design — they are exactly
+the engine-specific-randomness ops (minhash/simhash/LSH xxhash64
+signatures, d6 hyperplane buckets, m8 seeded isolation forest), each
+pinned instead by property tests in tests/.
 """
 
 from __future__ import annotations
