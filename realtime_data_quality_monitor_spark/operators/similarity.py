@@ -163,3 +163,87 @@ def embedding_near_duplicates(
             "cos",
         )
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    cos_fn=None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF coarse
+    quantizer). Centroids are broadcast; argmax ties break on centroid id
+    (deterministic). Returns (id, vec, centroid_id)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    c = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        F.col(centroid_vec_col).alias("cvec"),
+    )
+    cos_fn = cos_fn or cosine
+    scored = v.join(F.broadcast(c)).withColumn(
+        "sim", cos_fn(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "vec", F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_fn=None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (inverted file); each query searches only its ``n_probe``
+    nearest centroid buckets. The 100 TB shape: the centroid table is
+    tiny and broadcast, the corpus shuffles ONCE by centroid_id, and each
+    query's candidate set is |corpus| * n_probe / n_centroids.
+
+    With deterministic centroids and exact (quantized) cosine this is
+    fully reproducible — the catalog entry (s4) pins it against a DuckDB
+    oracle cell-exactly."""
+    cos_fn = cos_fn or cosine
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, cos_fn=cos_fn)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cvec")
+    )
+    qprobe = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", cos_fn(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("centroid_id"))
+    )
+    cand = assigned.join(qprobe, "centroid_id").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cos_fn(F.col("qvec"), F.col("vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "centroid_id",
+            "rank",
+            "cos",
+        )
+    )

@@ -1092,6 +1092,77 @@ SQL_M3 = """
 """
 
 
+def _qcos(a, b):
+    """Quantized cosine (engine-exact, see _qvec)."""
+    qa, qb = _qvec(a), _qvec(b)
+    return _idot(qa, qb) / (F.sqrt(_idot(qa, qa)) * F.sqrt(_idot(qb, qb)))
+
+
+def q_s4_ivf_ann_embeddings(spark, sf_dir):
+    """IVF approximate top-k (the LSH alternative on the ANN scale path):
+    corpus bucketed by nearest of 8 deterministic centroids (vec_id < 8),
+    queries (vec_id 100..104) probe their 2 nearest buckets. Quantized
+    cosine throughout -> cell-exact DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.ivf_topk(
+        emb, q, cents, k=5, n_probe=2, cos_fn=_qcos
+    ).select("query_id", "neighbor_id", "centroid_id", "rank", "cos")
+
+
+SQL_S4 = """
+    WITH qv0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000000.0e0) AS BIGINT)) AS ql
+      FROM embeddings),
+    selfd AS (
+      SELECT vec_id, CAST(SUM(ql[g.i] * ql[g.i]) AS DOUBLE) AS selfdot
+      FROM qv0 JOIN generate_series(1, 10000) g(i) ON g.i <= len(ql)
+      GROUP BY vec_id),
+    v AS (SELECT qv0.vec_id, ql, selfdot FROM qv0 JOIN selfd USING (vec_id)),
+    cents AS (SELECT vec_id AS cid, ql AS cl, selfdot AS cself
+              FROM v WHERE vec_id < 8),
+    asgn AS (
+      SELECT a.vec_id AS id, c.cid,
+             CAST(SUM(a.ql[g.i] * c.cl[g.i]) AS DOUBLE)
+               / (sqrt(a.selfdot) * sqrt(c.cself)) AS sim
+      FROM v a, cents c, generate_series(1, 10000) g(i)
+      WHERE g.i <= len(a.ql)
+      GROUP BY a.vec_id, c.cid, a.selfdot, c.cself),
+    best AS (
+      SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid ASC) AS r
+      FROM asgn),
+    bucket AS (SELECT id, cid FROM best WHERE r = 1),
+    probes AS (
+      SELECT id AS query_id, cid FROM best
+      WHERE r <= 2 AND id >= 100 AND id < 105),
+    cand AS (
+      SELECT p.query_id, b.id AS neighbor_id, b.cid AS centroid_id
+      FROM probes p JOIN bucket b ON b.cid = p.cid AND b.id != p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.centroid_id,
+             CAST(SUM(vq.ql[g.i] * vn.ql[g.i]) AS DOUBLE)
+               / (sqrt(vq.selfdot) * sqrt(vn.selfdot)) AS cos
+      FROM cand c
+      JOIN v vq ON vq.vec_id = c.query_id
+      JOIN v vn ON vn.vec_id = c.neighbor_id,
+      generate_series(1, 10000) g(i)
+      WHERE g.i <= len(vq.ql)
+      GROUP BY c.query_id, c.neighbor_id, c.centroid_id, vq.selfdot, vn.selfdot),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, centroid_id, rank, cos
+    FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # anomaly + drift layer (operators/anomaly.py; reference M1/M5 analogs)
 # ---------------------------------------------------------------------------
@@ -1242,6 +1313,7 @@ ENTRY_QUERIES = {
     "s1_ann_cosine_topk": (q_s1_ann_cosine_topk, SQL_S1),
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
     "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
+    "s4_ivf_ann_embeddings": (q_s4_ivf_ann_embeddings, SQL_S4),
     "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
     "d7_ngram_jaccard_documents": (q_d7_ngram_jaccard_documents, SQL_D7),
     "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, None),

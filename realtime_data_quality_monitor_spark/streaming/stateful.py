@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: per-conversation sessionization
+via ``applyInPandasWithState`` (the Arrow-batched arbitrary-state API).
+
+The reference keeps cross-record state in a Python set + running lists
+(flink/src/quality_checker.py:26-27, kafka_consumer.py:56-69); its
+streaming restatement here is bounded keyed state with an EVENT-TIME
+timeout: a conversation's running aggregate lives in GroupState and is
+emitted as one session row when the watermark passes its last turn plus
+``gap`` — i.e. the conversation went quiet. This is the session-window
+primitive a transcript pipeline needs (conversation boundaries are not
+known in advance at ingest time).
+
+State per key is a fixed-width tuple (count, min_ts, max_ts, issue-ish
+counter) — O(1) per conversation regardless of turn volume, the property
+that makes it safe at 10^12 turns / 10^9 conversations with state-store
+backed executors."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("duration_s", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", IntegerType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "first_ts_us": [first_us],
+                    "last_ts_us": [last_us],
+                    "duration_s": [(last_us - first_us) // 1_000_000],
+                }
+            )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        # fire once the event-time watermark passes last turn + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield from ()
+
+    return fn
+
+
+def conversation_sessions(
+    sdf: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming DataFrame of per-conversation session summaries, emitted
+    when a conversation has seen no turn for ``gap`` of event time.
+
+    Input needs (conv_id, ts); extra columns are ignored. The gap string
+    accepts '<n> minutes|seconds|hours'."""
+    qty, unit = gap.split()
+    mult = {"seconds": 1, "minutes": 60, "hours": 3600}[
+        unit if unit.endswith("s") else unit + "s"
+    ]
+    gap_ms = int(qty) * mult * 1000
+    return (
+        sdf.select("conv_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_fn(gap_ms),
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

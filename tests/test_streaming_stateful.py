@@ -1,0 +1,68 @@
+"""applyInPandasWithState sessionization: conversations emit one session
+row once the event-time watermark passes their last turn + gap."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.streaming.stateful import (
+    conversation_sessions,
+)
+
+T0 = datetime.datetime(2026, 8, 15, 12, 0, 0)
+
+
+def _rows(conv, start_min, n, step_s=30):
+    return [
+        (conv, i, "user", f"turn {i}", None,
+         T0 + datetime.timedelta(minutes=start_min, seconds=i * step_s))
+        for i in range(n)
+    ]
+
+
+def test_sessions_emit_on_event_time_gap(spark, tmp_path):
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # file A: two early conversations; B advances the watermark 2h; C
+    # advances it further so B-batch timeouts definitely evaluate
+    spark.createDataFrame(
+        _rows("conv-1", 0, 4) + _rows("conv-2", 1, 6), schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(_rows("conv-3", 120, 2), schema).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    spark.createDataFrame(_rows("conv-4", 240, 2), schema).coalesce(1).write.parquet(
+        str(src / "c")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sessions = conversation_sessions(stream, gap="10 minutes", watermark="1 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.conv_id: r for r in spark.table("sessions").collect()}
+
+    # conv-1/2 went quiet hours before the final watermark -> emitted
+    assert "conv-1" in got and "conv-2" in got
+    assert got["conv-1"].n_turns == 4
+    assert got["conv-2"].n_turns == 6
+    assert got["conv-1"].duration_s == 3 * 30
+    # the final conversation is still "open" (watermark never passed it)
+    assert "conv-4" not in got
+    # session bounds are the min/max event times
+    t0_us = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    assert got["conv-1"].first_ts_us == t0_us
+    assert got["conv-1"].last_ts_us == t0_us + 90 * 1_000_000
