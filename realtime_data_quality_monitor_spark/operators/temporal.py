@@ -1,0 +1,226 @@
+"""Temporal relational operators: as-of join, interval (range) join,
+gap sessionization, hierarchical rollup helpers.
+
+These are the time-series companions to the quality pipeline (the
+reference joins each record's metrics to "the most recent window stats" in
+its dashboard layer, dashboard/app.py's latest-window lookup; here the
+semantics are generalized to proper scalable operators).
+
+Scale notes (the whole point of these implementations):
+
+  * ``asof_join`` uses the union + ordered-window formulation: ONE shuffle
+    hash-partitioned by the join key, a sort within partitions, and a
+    running ``last(ignorenulls)`` — no range-predicate join, no candidate
+    explosion, no broadcast requirement on either side. Cost is
+    O(|L|+|R|) rows through one exchange, which survives a 100x scale-up
+    as long as a single key's rows fit a partition (same invariant every
+    window op in this repo documents; salt upstream if a key is that hot).
+  * ``interval_bin_join`` is the scalable range-join pattern: intervals are
+    exploded to coarse time bins, facts computedly equi-join on the bin,
+    and the exact range predicate filters afterwards. Equi-join means
+    Catalyst can hash-partition both sides (or broadcast the interval
+    side when small — pass ``broadcast_intervals=True``); a naive
+    ``ts BETWEEN start AND end`` join is a BroadcastNestedLoopJoin that
+    dies at scale.
+  * ``sessionize`` is lag + running-sum over the per-key window: one
+    shuffle, map-side nothing — the batch twin of
+    streaming/stateful.py's applyInPandasWithState sessionizer.
+
+All integer time arithmetic is in microseconds (``unix_micros``) so
+results are engine-exact (doubles never touch a boundary decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US = 1_000_000
+
+
+def _us(col) -> F.Column:
+    """epoch micros of a (possibly NTZ) timestamp column; callers pin the
+    session tz to UTC (session.py) so the NTZ->LTZ cast is the identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list | None = None,
+    prefix: str = "asof_",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` (inclusive) sharing the ``on`` keys.
+
+    Left rows with no prior right row keep nulls (as-of LEFT join).
+    ``tolerance_s`` additionally nulls out matches older than the
+    tolerance, like pandas ``merge_asof(tolerance=...)``.
+
+    Implementation: tag sides, union, and take a running
+    ``last(ignorenulls)`` of the right payload over (key) ordered by
+    (ts, side) — right sorts before left at equal ts, which makes the
+    match inclusive. Exactly one exchange, no join node at all.
+
+    If the right side can hold several rows at the same (key, ts), the
+    caller should pre-dedupe to make "the" match deterministic (see
+    q_j2 for the row_number pattern).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *on,
+        "_ats",
+        "_side",
+        *lcols,
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("_side") == 1)
+
+    if tolerance_s is not None and right_ts in right_cols:
+        age = _us("_ats") - _us(f"{prefix}{right_ts}")
+        too_old = age > F.lit(int(tolerance_s) * US)
+        filled = filled.select(
+            *on,
+            "_ats",
+            *lcols,
+            *[
+                F.when(too_old, F.lit(None)).otherwise(F.col(f"{prefix}{c}")).alias(
+                    f"{prefix}{c}"
+                )
+                for c in right_cols
+            ],
+        )
+    else:
+        filled = filled.drop("_side")
+    return filled.withColumnRenamed("_ats", left_ts)
+
+
+def explode_interval_bins(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_s: int,
+) -> DataFrame:
+    """One row per (interval, coarse time bin) covering [start, end).
+
+    Bin ids are integer-µs floor divisions (``div``), never double math —
+    a double quotient could round across a bin boundary.
+    """
+    w_us = int(bin_s) * US
+    return intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(cast({start_col} as timestamp)) div {w_us}"),
+                F.expr(f"(unix_micros(cast({end_col} as timestamp)) - 1) div {w_us}"),
+            )
+        ),
+    )
+
+
+def interval_bin_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_s: int = 3600,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Inner-join facts to the intervals containing them: the scalable
+    range join (bin equi-join + exact residual filter). Half-open
+    semantics: ``start <= ts < end``.
+
+    ``bin_s`` trades replication for selectivity: each interval is
+    replicated ceil(len/bin_s)+1 times; each fact probes one bin. Pick
+    bin_s on the order of the typical interval length.
+    """
+    iv = explode_interval_bins(intervals, start_col, end_col, bin_s)
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    fx = facts.withColumn(
+        "_bin", F.expr(f"unix_micros(cast({fact_ts} as timestamp)) div {int(bin_s) * US}")
+    )
+    joined = fx.join(iv, on="_bin", how="inner").filter(
+        (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    gap since the previous event exceeds ``gap_s``. Returns the input
+    plus ``session_idx`` (0-based per key, in ts order).
+
+    Batch twin of streaming/stateful.py::conversation_sessions — the
+    streaming version holds open-session state; this one is a lag +
+    running sum in a single per-key window (one shuffle).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    gap_us = int(gap_s) * US
+    prev = F.lag(_us(ts_col)).over(w)
+    boundary = F.when(
+        prev.isNull() | (_us(ts_col) - prev > gap_us), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_b", boundary).withColumn(
+        "session_idx", (F.sum("_b").over(run) - 1).cast("long")
+    ).drop("_b")
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-session aggregates: n_events, start/end ts, duration in µs."""
+    s = sessionize(df, key_cols, ts_col=ts_col, gap_s=gap_s)
+    return s.groupBy(*key_cols, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            _us(F.max(ts_col)) - _us(F.min(ts_col))
+        ).alias("duration_us"),
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
-from ..operators import anomaly, dedup, multimodal, similarity, textstats
+from ..operators import anomaly, dedup, multimodal, similarity, temporal, textstats
 from ..sources import multimodal_synth
 
 # pinned job clock for the events table (data spans Jan 2024)
@@ -1277,6 +1277,174 @@ def q_m8_iforest_window_scores(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temporal operators: as-of join, range join, sessions, rollup
+# ---------------------------------------------------------------------------
+
+
+def q_j2_asof_purchase_last_error(spark, sf_dir):
+    """As-of join (operators/temporal.py): every purchase event picks up
+    the latest at-or-before error event of the same user — the scalable
+    union+window formulation (one shuffle, no range join). Right side is
+    deduped to one row per (user_id, ts) so the match is deterministic;
+    DuckDB's native ASOF LEFT JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = temporal.asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        right_cols=["event_id", "ts", "value"],
+        prefix="err_",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("err_event_id").alias("err_id"),
+        F.col("err_ts").alias("err_ts"),
+        (_us("ts") - _us("err_ts")).alias("age_us"),
+    )
+
+
+SQL_J2 = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'error'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) = 1)
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           e.event_id AS err_id, e.ts AS err_ts,
+           epoch_us(p.ts) - epoch_us(e.ts) AS age_us
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+def q_j3_incident_window_events(spark, sf_dir):
+    """Range (interval) join via the bin equi-join pattern
+    (operators/temporal.py::interval_bin_join): incident windows are
+    derived from error-heavy days, then every event falling inside a
+    window is aggregated per window. The oracle is the naive inequality
+    join, which DuckDB can afford at sf0.01 but Spark shouldn't at
+    100 TB — hence the binned formulation."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("inc_day"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 76)
+        .select(
+            "inc_day",
+            F.expr("inc_day + INTERVAL 2 HOUR").alias("w_start"),
+            F.expr("inc_day + INTERVAL 8 HOUR").alias("w_end"),
+        )
+    )
+    joined = temporal.interval_bin_join(
+        ev,
+        intervals,
+        fact_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_s=3600,
+    )
+    return joined.groupBy("inc_day", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+SQL_J3 = """
+    WITH iv AS (
+      SELECT date_trunc('day', ts) AS inc_day,
+             date_trunc('day', ts) + INTERVAL 2 HOUR AS w_start,
+             date_trunc('day', ts) + INTERVAL 8 HOUR AS w_end
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING COUNT(*) >= 76)
+    SELECT inc_day, w_start, w_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_a11_rollup_type_day(spark, sf_dir):
+    """Hierarchical rollup (event_type, day) with grouping id — the
+    subtotal/grand-total aggregation the reference's dashboard recomputes
+    client-side (dashboard/app.py summary cards), done engine-side in one
+    pass."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    return d.rollup("event_type", "day").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+SQL_A11 = """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h: median inter-event gap ~7.3h
+
+
+def q_w1_session_stats_events(spark, sf_dir):
+    """Batch gap-sessionization (operators/temporal.py::session_stats):
+    lag + running-sum per user (one shuffle), 12h gap; per-session count,
+    bounds, integer-µs duration. The batch twin of the
+    applyInPandasWithState sessionizer in streaming/stateful.py."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.session_stats(ev, ["user_id"], ts_col="ts", gap_s=12 * 3600)
+
+
+SQL_W1 = f"""
+    WITH b AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS bnd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(bnd) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM b)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -1296,6 +1464,10 @@ ENTRY_QUERIES = {
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
     "o2_top_orders_by_revenue": (q_o2_top_orders_by_revenue, SQL_O2),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
+    "j2_asof_purchase_last_error": (q_j2_asof_purchase_last_error, SQL_J2),
+    "j3_incident_window_events": (q_j3_incident_window_events, SQL_J3),
+    "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
+    "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
     "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),

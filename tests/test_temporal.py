@@ -1,0 +1,170 @@
+"""operators/temporal.py: as-of join, interval bin join, sessionization.
+
+The catalog queries (j2/j3/a11/w1) are hash-compared against DuckDB by the
+driver gate; these tests pin the operator semantics the gate can't see —
+tie inclusivity, tolerance nulling, bin-boundary exactness, gap edges —
+on tiny frames with hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import temporal
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_join_inclusive_and_left_nulls(spark):
+    left = _mk(
+        spark,
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 1),
+            ("a", _ts("2024-01-01T12:00:00"), 2),
+            ("b", _ts("2024-01-01T09:00:00"), 3),  # no prior right row
+        ],
+        "k string, ts timestamp_ntz, lid int",
+    )
+    right = _mk(
+        spark,
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 100),  # equal ts -> inclusive
+            ("a", _ts("2024-01-01T11:30:00"), 101),
+            ("b", _ts("2024-01-01T09:30:00"), 102),  # after left -> no match
+        ],
+        "k string, ts timestamp_ntz, rid int",
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in temporal.asof_join(
+            left, right, on=["k"], right_cols=["rid", "ts"]
+        ).collect()
+    }
+    assert out == {1: 100, 2: 101, 3: None}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = _mk(
+        spark,
+        [("a", _ts("2024-01-01T12:00:00"), 1)],
+        "k string, ts timestamp_ntz, lid int",
+    )
+    right = _mk(
+        spark,
+        [("a", _ts("2024-01-01T10:00:00"), 100)],
+        "k string, ts timestamp_ntz, rid int",
+    )
+    loose = temporal.asof_join(
+        left, right, on=["k"], right_cols=["rid", "ts"], tolerance_s=3 * 3600
+    ).collect()[0]
+    tight = temporal.asof_join(
+        left, right, on=["k"], right_cols=["rid", "ts"], tolerance_s=3600
+    ).collect()[0]
+    assert loose["asof_rid"] == 100
+    assert tight["asof_rid"] is None and tight["asof_ts"] is None
+
+
+def test_interval_bin_join_half_open_boundaries(spark):
+    # interval [10:00, 11:00); facts at 09:59:59.999999, 10:00, 10:59:59.999999, 11:00
+    iv = _mk(
+        spark,
+        [(_ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"), "w1")],
+        "start timestamp_ntz, end timestamp_ntz, wid string",
+    )
+    facts = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T09:59:59.999999")),
+            (2, _ts("2024-01-01T10:00:00")),
+            (3, _ts("2024-01-01T10:59:59.999999")),
+            (4, _ts("2024-01-01T11:00:00")),
+        ],
+        "fid int, ts timestamp_ntz",
+    )
+    # bin smaller than the interval so it spans several bins
+    got = sorted(
+        r["fid"]
+        for r in temporal.interval_bin_join(
+            facts, iv, fact_ts="ts", start_col="start", end_col="end", bin_s=600
+        ).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_interval_bin_join_matches_naive_join(spark):
+    # random-ish deterministic facts vs the naive range join on the same data
+    facts = spark.range(500).select(
+        F.col("id").alias("fid"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + F.col("id") * 137_000_000
+        ).alias("ts"),
+    )
+    iv = spark.range(7).select(
+        F.col("id").alias("wid"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + F.col("id") * 9_000_000_000
+        ).alias("start"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + F.col("id") * 9_000_000_000 + 3_600_000_000
+        ).alias("end"),
+    )
+    binned = {
+        (r["fid"], r["wid"])
+        for r in temporal.interval_bin_join(
+            facts, iv, fact_ts="ts", start_col="start", end_col="end", bin_s=1800
+        ).collect()
+    }
+    naive = {
+        (r["fid"], r["wid"])
+        for r in facts.join(
+            iv, (facts.ts >= iv.start) & (facts.ts < iv.end)
+        ).collect()
+    }
+    assert binned == naive and len(binned) > 0
+
+
+def test_sessionize_gap_edges(spark):
+    # gaps of exactly gap_s stay in-session; gap_s + 1us starts a new one
+    base = 1_704_067_200_000_000
+    gap_us = 600 * 1_000_000
+    rows = [
+        ("u", 0),
+        ("u", gap_us),          # exactly the gap -> same session
+        ("u", 2 * gap_us + 1),  # gap + 1us -> new session
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime.utcfromtimestamp(0) + dt.timedelta(microseconds=base + o)) for k, o in rows],
+        "k string, ts timestamp_ntz",
+    )
+    out = temporal.sessionize(df, ["k"], gap_s=600).orderBy("ts").collect()
+    assert [r["session_idx"] for r in out] == [0, 0, 1]
+
+
+def test_session_stats_counts_and_duration(spark):
+    df = _mk(
+        spark,
+        [
+            ("u", _ts("2024-01-01T10:00:00")),
+            ("u", _ts("2024-01-01T10:05:00")),
+            ("u", _ts("2024-01-01T20:00:00")),
+            ("v", _ts("2024-01-01T00:00:00")),
+        ],
+        "k string, ts timestamp_ntz",
+    )
+    out = {
+        (r["k"], r["session_idx"]): (r["n_events"], r["duration_us"])
+        for r in temporal.session_stats(df, ["k"], gap_s=3600).collect()
+    }
+    assert out == {
+        ("u", 0): (2, 300 * 1_000_000),
+        ("u", 1): (1, 0),
+        ("v", 0): (1, 0),
+    }
