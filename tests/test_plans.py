@@ -1,0 +1,115 @@
+"""Physical-plan shape assertions: the scale properties this repo claims
+(broadcast joins for small dims, no nested-loop range joins, single-shuffle
+window operators, map-side partial aggregation, whole-stage codegen) are
+pinned here so a refactor can't silently regress them. Plans are compiled,
+never executed — the suite stays cheap.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import temporal
+from realtime_data_quality_monitor_spark.queries import entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _n_shuffles(spark, df) -> int:
+    return len(
+        re.findall(r"Exchange hashpartitioning", _plan(spark, df, "simple"))
+    )
+
+
+def test_j1_broadcasts_customer_dim(spark):
+    p = _plan(spark, eq.q_j1_segment_order_stats(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_j3_range_join_is_hash_not_nested_loop(spark):
+    p = _plan(spark, eq.q_j3_incident_window_events(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_o1_topk_is_take_ordered(spark):
+    p = _plan(spark, eq.q_o1_topk_recent_errors(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_aggregation_is_partial_then_final(spark):
+    df = eq.q_q1_pricing_summary(spark, SF)
+    p = _plan(spark, df)
+    assert "partial_sum" in p  # map-side combine before the shuffle
+    assert _n_shuffles(spark, df) == 1
+
+
+def test_asof_join_is_single_shuffle_no_join_node(spark):
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10), 1)],
+        "k string, ts timestamp_ntz, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 9), 2)],
+        "k string, ts timestamp_ntz, rid int",
+    )
+    out = temporal.asof_join(left, right, on=["k"], right_cols=["rid", "ts"])
+    p = _plan(spark, out)
+    assert _n_shuffles(spark, out) == 1
+    assert "Join" not in p  # the whole point: a window, not a range join
+
+
+def test_session_stats_reuses_window_partitioning(spark):
+    # window shuffles on user_id; the (user_id, session_idx) groupBy must
+    # NOT add a second exchange (subset partitioning satisfies it)
+    df = eq.q_w1_session_stats_events(spark, SF)
+    assert _n_shuffles(spark, df) == 1
+
+
+def test_p7_scan_prunes_unused_columns(spark):
+    # p8 severity histogram needs no `props` accuracy check input columns
+    # beyond what its rules read; assert the parquet scan schema equals the
+    # rule inputs, i.e. column pruning reached the scan
+    p = _plan(spark, eq.q_a6_user_value_topk(spark, SF), "formatted")
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "props" not in rs[0]
+
+
+def test_rules_stay_in_wholestage_codegen(spark):
+    # AQE only materializes codegen stages at execution, so run the query
+    # (sf0.001, ~1k rows) and inspect the final plan
+    df = eq.q_p7_overall_quality_events(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N) HashAggregate" markers = operators fused into codegen stages
+    assert re.search(r"\*\(\d+\) HashAggregate", executed)
+
+
+@pytest.mark.parametrize("broadcast_flag", [True, False])
+def test_interval_bin_join_modes_compile(spark, broadcast_flag):
+    iv = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 11), "w")],
+        "start timestamp_ntz, end timestamp_ntz, wid string",
+    )
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 30))], "fid int, ts timestamp_ntz"
+    )
+    out = temporal.interval_bin_join(
+        facts, iv, broadcast_intervals=broadcast_flag
+    )
+    p = _plan(spark, out)
+    if broadcast_flag:
+        assert "BroadcastHashJoin" in p
+    else:
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
