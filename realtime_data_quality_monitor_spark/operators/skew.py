@@ -1,0 +1,116 @@
+"""Skew-safe aggregation and deterministic sampling.
+
+Hot keys (a conversation with millions of turns, an event_type holding
+half the table) make a plain ``groupBy(key)`` reduce to a handful of
+straggler tasks. The operators here spread a hot key across the cluster
+without changing the result:
+
+  * ``salted_agg`` — two-phase algebraic aggregation: phase 1 groups on
+    (key, salt) so a hot key's rows land on ``buckets`` different
+    reducers; phase 2 merges the per-salt partials by key. Exact for
+    count / sum / min / max (sums ride DECIMAL so the extra merge step
+    cannot change the value). The salt is a deterministic hash of a
+    caller-named high-cardinality column — no ``rand()``, so a re-run
+    (or a resumed partition) produces identical results.
+  * ``skew_safe_count_distinct`` — the standard two-step: distinct on
+    (key, value) first (that shuffle is spread by the value), then a
+    plain count per key.
+  * ``hash_sample`` — deterministic Bernoulli-style sampling by md5 of a
+    key column. Unlike ``df.sample``, membership is a pure function of
+    the key: stable across runs, engines (DuckDB computes the same md5),
+    cluster sizes, and partitionings — which is what a resumable
+    pipeline and a cross-engine oracle both need.
+
+The rule engine has its own skew story (conv_id salting + AQE, see
+operators/rules.py skew_safe mode); these are the reusable standalone
+pieces for ad-hoc aggregations over the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# aggregation spec name -> (phase-1 partial, phase-2 merge)
+_PARTIAL = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c.cast("decimal(28,6)")),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+_MERGE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list,
+    aggs: dict,
+    salt_src: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase groupBy that survives hot keys.
+
+    ``aggs`` maps output column name -> ("count"|"sum"|"min"|"max",
+    column). "sum" is computed in DECIMAL(28,6) and returned as double —
+    cell-exact regardless of how many partials the merge sees.
+    ``salt_src`` names a high-cardinality column used to derive the
+    deterministic salt.
+    """
+    for name, (kind, _c) in aggs.items():
+        if kind not in _PARTIAL:
+            raise ValueError(f"{name}: unsupported agg kind {kind!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets)).alias("_salt")
+    phase1 = df.groupBy(*keys, salt).agg(
+        *[
+            _PARTIAL[kind](col).alias(f"_p_{name}")
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    merged = phase1.groupBy(*keys).agg(
+        *[
+            _MERGE[kind](F.col(f"_p_{name}")).alias(f"_m_{name}")
+            for name, (kind, _col) in aggs.items()
+        ]
+    )
+    outs = []
+    for name, (kind, _col) in aggs.items():
+        c = F.col(f"_m_{name}")
+        outs.append(c.cast("double").alias(name) if kind == "sum" else c.alias(name))
+    return merged.select(*keys, *outs)
+
+
+def skew_safe_count_distinct(
+    df: DataFrame, keys: list, value_col: str, out_name: str = "n_distinct"
+) -> DataFrame:
+    """COUNT(DISTINCT value) per key without a single-reducer hot key:
+    the distinct's shuffle is on (key, value), so a hot key spreads over
+    as many reducers as it has distinct values."""
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_name))
+    )
+
+
+def hash_bucket(col: Column | str, modulus: int = 100) -> Column:
+    """Deterministic bucket in [0, modulus) from the md5 of the column's
+    string form. Matches DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % modulus``."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(modulus))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, modulus: int = 100
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``pct`` of ``modulus``
+    buckets — a deterministic, engine-portable ~pct% sample keyed on
+    ``key_col`` (same key always samples the same way)."""
+    return df.filter(hash_bucket(key_col, modulus) < F.lit(pct))

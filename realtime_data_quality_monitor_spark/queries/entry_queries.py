@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
-from ..operators import anomaly, dedup, multimodal, similarity, temporal, textstats
+from ..operators import anomaly, dedup, multimodal, similarity, skew, temporal, textstats
 from ..sources import multimodal_synth
 
 # pinned job clock for the events table (data spans Jan 2024)
@@ -1445,6 +1445,105 @@ SQL_W1 = f"""
 
 
 # ---------------------------------------------------------------------------
+# skew-safe aggregation + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def q_a12_salted_type_stats(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py::salted_agg) over
+    the deliberately-skewed grouping key event_type (5 values for the
+    whole table): phase 1 spreads each hot key over 16 salt buckets,
+    phase 2 merges — the oracle is the plain one-phase GROUP BY, proving
+    the salt never changes a value. Distinct users ride the two-step
+    (distinct then count) so the hot key's shuffle spreads by value."""
+    ev = _t(spark, sf_dir, "events")
+    base = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "sum_value": ("sum", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+        salt_src="event_id",
+        buckets=16,
+    )
+    nd = skew.skew_safe_count_distinct(ev, ["event_type"], "user_id", "n_users")
+    return base.join(nd, "event_type")
+
+
+SQL_A12 = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+"""
+
+
+def q_a13_exact_group_median(spark, sf_dir):
+    """Exact per-group median via middle-row selection (row_number +
+    group count), averaged in integer-exact arithmetic (sum of 1-2
+    two-decimal values as DECIMAL, one final dyadic division). The scale
+    path for quantiles is approx_percentile; this is the exact,
+    oracle-checkable variant (full sort only WITHIN each group)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("median_value"),
+        F.count(F.lit(1)).alias("n_mid"),
+    )
+
+
+SQL_A13 = """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS median_value,
+           COUNT(*) AS n_mid
+    FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY 1
+"""
+
+
+def q_t6_hash_sample_documents(spark, sf_dir):
+    """Deterministic ~10% document sample keyed on doc_id
+    (operators/skew.py::hash_sample): membership is md5(doc_id) % 100 <
+    10 — identical across engines, runs, and partitionings, unlike
+    df.sample. DuckDB computes the same md5 arithmetic as the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return skew.hash_sample(d, "doc_id", 10).select("doc_id", "lang", "n_chars")
+
+
+SQL_T6 = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 100 < 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -1468,6 +1567,9 @@ ENTRY_QUERIES = {
     "j3_incident_window_events": (q_j3_incident_window_events, SQL_J3),
     "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
+    "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
+    "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
+    "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
     "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),

@@ -1,0 +1,88 @@
+"""operators/skew.py: salted aggregation, skew-safe distinct, hash
+sampling. The catalog entries (a12/t6) pin cross-engine parity; these pin
+the operator-level invariants on a deliberately skewed frame."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import skew
+
+
+def _skewed(spark):
+    # one hot key holding ~90% of rows
+    return spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = _skewed(spark)
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "n": ("count", F.lit(1)),
+                "s": ("sum", F.col("v")),
+                "mn": ("min", F.col("v")),
+                "mx": ("max", F.col("v")),
+            },
+            salt_src="id",
+            buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_unknown_kind(spark):
+    df = _skewed(spark)
+    try:
+        skew.salted_agg(df, ["k"], {"a": ("avg", F.col("v"))}, salt_src="id")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_skew_safe_count_distinct_matches_builtin(spark):
+    df = _skewed(spark)
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew.skew_safe_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["nd"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+    }
+    assert got == want
+
+
+def test_hash_sample_is_deterministic_and_partitions_keyspace(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in skew.hash_sample(df, "doc_id", 10).collect()}
+    b = {r["doc_id"] for r in skew.hash_sample(df, "doc_id", 10).collect()}
+    assert a == b  # pure function of the key
+    # rate is approximately 10% (md5 is uniform; allow wide slack)
+    assert 300 <= len(a) <= 700
+    # complementary buckets partition the keyspace exactly
+    rest = {
+        r["doc_id"]
+        for r in df.filter(skew.hash_bucket("doc_id", 100) >= F.lit(10)).collect()
+    }
+    assert a | rest == set(range(5000)) and not (a & rest)
