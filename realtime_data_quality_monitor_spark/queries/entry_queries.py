@@ -1445,6 +1445,112 @@ SQL_W1 = f"""
 
 
 # ---------------------------------------------------------------------------
+# multi-table join queries (TPC-H Q3/Q5 shapes on the test tables)
+# ---------------------------------------------------------------------------
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join (broadcast customer dim into the
+    orders-lineitem shuffle join), date-range filters pushed to both fact
+    scans, exact decimal revenue, top-10 with full tie-break."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join — lineitem-orders shuffle join at the
+    core, every dim (customer, supplier, nation, region) broadcast, plus
+    the local-supplier residual (customer and supplier share a nation).
+    One shuffle for the fact join, one for the final groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # skew-safe aggregation + deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -1571,6 +1677,8 @@ ENTRY_QUERIES = {
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),
     "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
     "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),
     "d2_jaccard_pairs_documents": (q_d2_jaccard_pairs_documents, SQL_D2),

@@ -77,6 +77,26 @@ def test_session_stats_reuses_window_partitioning(spark):
     assert _n_shuffles(spark, df) == 1
 
 
+def test_q3_pushes_date_filters_and_broadcasts_customer(spark):
+    df = eq.q_q3_shipping_priority(spark, SF)
+    p = _plan(spark, df, "formatted")
+    assert "BroadcastHashJoin" in p
+    # the date-range filters must reach the parquet scans
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    assert any("l_shipdate" in ln for ln in pushed)
+
+
+def test_q5_six_table_join_broadcasts_all_dims(spark):
+    df = eq.q_q5_local_supplier_volume(spark, SF)
+    p = _plan(spark, df, "simple")
+    # all 4 dims broadcast (at sf0.001 orders broadcasts too — also right);
+    # no sort-merge cascade, at most the fact join + final agg shuffles
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 4
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 3
+
+
 def test_p7_scan_prunes_unused_columns(spark):
     # p8 severity histogram needs no `props` accuracy check input columns
     # beyond what its rules read; assert the parquet scan schema equals the
