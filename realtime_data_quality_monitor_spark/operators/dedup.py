@@ -293,3 +293,64 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: every node gets the MIN
+    node id of its connected component as ``cluster_rep``.
+
+    This is what turns a pair list (d2/d3/d4/d5/d7 outputs) into an
+    actionable dedup decision — keep ``cluster_rep``, drop the rest.
+
+    Implementation: iterative hash-min label propagation on DataFrames.
+    Each round every node takes the min label over itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup
+    components are shallow — a handful of rounds in practice; the
+    O(log n) alternating large-star/small-star variant is the upgrade
+    path if components with huge diameters ever appear). Each round is
+    two shuffles (neighbor groupBy + label join); lineage is cut with
+    localCheckpoint every round so the plan doesn't grow unboundedly.
+
+    Deterministic: labels are ids, min is order-insensitive. Returns
+    (node, cluster_rep) for every node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_rep"))

@@ -1444,6 +1444,33 @@ SQL_W1 = f"""
 """
 
 
+def q_d8_neardup_clusters_documents(spark, sf_dir):
+    """Connected components over the d2 near-dup pair graph
+    (operators/dedup.py::connected_components, hash-min label
+    propagation): every clustered doc labeled with the MIN doc_id of its
+    component — the keep/drop decision near-dup detection exists to
+    produce. Oracle: DuckDB recursive-CTE transitive closure + MIN."""
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.82, max_token_df_frac=0.25
+    )
+    return dedup.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+
+
+SQL_D8 = f"""
+    WITH RECURSIVE
+    pairs AS ({SQL_D2}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n)
+    SELECT n AS doc_id, MIN(m) AS cluster_rep FROM reach GROUP BY n
+"""
+
+
 # ---------------------------------------------------------------------------
 # multi-table join queries (TPC-H Q3/Q5 shapes on the test tables)
 # ---------------------------------------------------------------------------
@@ -1698,6 +1725,7 @@ ENTRY_QUERIES = {
     "s4_ivf_ann_embeddings": (q_s4_ivf_ann_embeddings, SQL_S4),
     "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
     "d7_ngram_jaccard_documents": (q_d7_ngram_jaccard_documents, SQL_D7),
+    "d8_neardup_clusters_documents": (q_d8_neardup_clusters_documents, SQL_D8),
     "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, None),
     "m1_image_decode_documents": (q_m1_image_decode_documents, SQL_M1),
     "m2_audio_stats_documents": (q_m2_audio_stats_documents, SQL_M2),

@@ -121,3 +121,36 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_id[1] & by_id[2]
     assert not by_id[1] & by_id.get(3, set())
     assert 4 not in by_id
+
+
+def test_connected_components_chain_and_islands(spark):
+    from realtime_data_quality_monitor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # component 1: a 6-node chain (needs several hash-min rounds),
+    # component 2: a triangle, component 3: an isolated pair
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    from realtime_data_quality_monitor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
