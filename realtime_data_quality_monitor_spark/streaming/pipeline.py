@@ -123,11 +123,62 @@ def run_stream_to_parquet(
     return writer.start()
 
 
+def run_stream_with_alerts(
+    sdf_metrics: DataFrame,
+    metrics_path: str,
+    alerts_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Dual-sink drain of the window-metrics stream: each micro-batch
+    appends the flattened window stats to ``metrics_path`` AND the
+    threshold alerts (the reference's W5 alerting cadence,
+    alerting.py:72-136) to ``alerts_path``.
+
+    The alert logic is the BATCH ``operators/metrics.py::check_alerts``
+    applied inside foreachBatch — one implementation, so streaming and
+    batch alerting cannot drift. issue_rate is derived exactly as
+    ``window_stats`` does. Alerts fire per closed window (append mode:
+    a window emits once, when the watermark passes it), so a given
+    window alerts exactly once — the micro-batch analog of the
+    reference's once-per-window-flush alert check."""
+    from ..operators.metrics import check_alerts
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        flat = batch_df.select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "*",
+        ).drop("win")
+        stats = flat.withColumn(
+            "issue_rate",
+            F.round(
+                F.col("issues_found") / F.col("total_records") * 100, 2
+            ),
+        )
+        stats.persist()
+        try:
+            stats.write.mode("append").parquet(metrics_path)
+            check_alerts(stats).write.mode("append").parquet(alerts_path)
+        finally:
+            stats.unpersist()
+
+    writer = (
+        sdf_metrics.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "read_transcript_stream",
     "streaming_quality",
     "stream_window_metrics",
     "run_stream_to_parquet",
+    "run_stream_with_alerts",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",
 ]

@@ -134,3 +134,63 @@ def test_stream_window_metrics_complete_mode(spark, tmp_path):
         want[["ws", "total_records", "clean_records"]],
     )
     assert (got["avg_overall"] - want["avg_overall"]).abs().max() < 1e-9
+
+
+def test_streaming_alerts_match_batch_check_alerts(spark, tmp_path):
+    from realtime_data_quality_monitor_spark.operators.metrics import (
+        check_alerts,
+        window_stats_time,
+    )
+
+    # defects ON so alerts actually fire; tight watermark so windows close
+    df = generate_transcripts(spark, n_convs=120, dup_rate=0.0).drop("_defect")
+    src = str(tmp_path / "alert_src")
+    df.filter(F.col("ts").isNotNull()).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    metrics_out = str(tmp_path / "m_out")
+    alerts_out = str(tmp_path / "a_out")
+    q = sp.run_stream_with_alerts(
+        sp.stream_window_metrics(
+            sp.read_transcript_stream(spark, src), watermark="30 seconds"
+        ),
+        metrics_out,
+        alerts_out,
+        str(tmp_path / "ckpt_alerts"),
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(metrics_out)
+    n_windows = emitted.count()
+    assert n_windows > 0  # watermark must have closed some windows
+
+    got = (
+        spark.read.parquet(alerts_out)
+        .select("window_start", "alert_type", "level", "value")
+        .toPandas()
+        .sort_values(["window_start", "alert_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # planted defects must alert
+
+    # batch recomputation restricted to the same emitted windows; the
+    # defect generator plants duplicate (conv_id, turn_idx) rows which the
+    # stream dedupes, so dedupe here too (twins differ only by 1-2us of
+    # ts, so every per-row score is survivor-independent)
+    batch_stats = window_stats_time(
+        with_quality(
+            spark.read.parquet(src).dropDuplicates(["conv_id", "turn_idx"]),
+            repartition=False,
+            cross_turn=False,
+        ),
+        "60 seconds",
+    ).join(emitted.select("window_start").distinct(), "window_start")
+    want = (
+        check_alerts(batch_stats)
+        .select("window_start", "alert_type", "level", "value")
+        .toPandas()
+        .sort_values(["window_start", "alert_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
