@@ -1444,6 +1444,36 @@ SQL_W1 = f"""
 """
 
 
+def q_o3_value_deciles(spark, sf_dir):
+    """Per-type decile summary via ntile(10) under a fully tie-broken
+    ordering (value, event_id) — deterministic bucket assignment, so the
+    per-bucket stats are engine-exact."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_O3 = """
+    WITH d AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, decile, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM d GROUP BY 1, 2
+"""
+
+
 def q_d8_neardup_clusters_documents(spark, sf_dir):
     """Connected components over the d2 near-dup pair graph
     (operators/dedup.py::connected_components, hash-min label
@@ -1695,6 +1725,7 @@ ENTRY_QUERIES = {
     "a10_lifetime_overview": (q_a10_lifetime_overview, SQL_A10),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
     "o2_top_orders_by_revenue": (q_o2_top_orders_by_revenue, SQL_O2),
+    "o3_value_deciles": (q_o3_value_deciles, SQL_O3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     "j2_asof_purchase_last_error": (q_j2_asof_purchase_last_error, SQL_J2),
     "j3_incident_window_events": (q_j3_incident_window_events, SQL_J3),

@@ -168,3 +168,76 @@ def test_session_stats_counts_and_duration(spark):
         ("u", 1): (1, 0),
         ("v", 0): (1, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# property test: asof_join vs pandas merge_asof on random inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ts_us = st.integers(min_value=0, max_value=3_600_000_000)  # 1h span, µs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ts_us), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ts_us), min_size=0, max_size=12
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = pd.DataFrame(
+        {
+            "k": [k for k, _ in lefts],
+            "ts": [base + dt.timedelta(microseconds=u) for _, u in lefts],
+            "lid": range(len(lefts)),
+        }
+    ).astype({"k": str, "ts": "datetime64[us]", "lid": "int64"})
+    # merge_asof needs unique right (k, ts) for a deterministic match;
+    # mirror the q_j2 dedupe contract
+    rdf = (
+        pd.DataFrame(
+            {
+                "k": [k for k, _ in rights],
+                "ts": [base + dt.timedelta(microseconds=u) for _, u in rights],
+                "rid": range(len(rights)),
+            }
+        )
+        .astype({"k": str, "ts": "datetime64[us]", "rid": "int64"})
+        .sort_values(["k", "ts", "rid"])
+        .drop_duplicates(["k", "ts"], keep="last")
+    )
+    want = pd.merge_asof(
+        ldf.sort_values("ts", kind="stable"),
+        rdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["rid"]
+
+    sl = spark.createDataFrame(ldf, "k string, ts timestamp_ntz, lid long")
+    sr = spark.createDataFrame(
+        rdf if len(rdf) else pd.DataFrame(columns=["k", "ts", "rid"]),
+        "k string, ts timestamp_ntz, rid long",
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in temporal.asof_join(
+            sl, sr, on=["k"], right_cols=["rid", "ts"]
+        ).collect()
+    }
+    for lid, rid in want.items():
+        g = got[lid]
+        assert (g is None and pd.isna(rid)) or g == rid
