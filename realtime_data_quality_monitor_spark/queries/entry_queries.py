@@ -1444,6 +1444,39 @@ SQL_W1 = f"""
 """
 
 
+def q_a14_unpivot_measure_sums(spark, sf_dir):
+    """Wide-to-long unpivot (DataFrame.unpivot / melt) of three lineitem
+    measures into (measure, value) rows, then exact decimal sums per
+    measure — the inverse of the a7 pivot, rounding out the reshape
+    family."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+SQL_A14 = """
+    WITH long AS (
+      SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM long GROUP BY 1
+"""
+
+
 def q_o3_value_deciles(spark, sf_dir):
     """Per-type decile summary via ntile(10) under a fully tie-broken
     ordering (value, event_id) — deterministic bucket assignment, so the
@@ -1733,6 +1766,7 @@ ENTRY_QUERIES = {
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
+    "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),

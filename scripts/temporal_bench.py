@@ -1,0 +1,103 @@
+"""One-off timing of the round-1-continuation operators at bench scale:
+as-of join, sessionization, and connected components on multi-million-row
+inputs. Results go to the BASELINE.md addendum (run on a quiet machine,
+best of 2 — same discipline as bench.py).
+
+Usage: python scripts/temporal_bench.py [sf_name]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import ensure_transcripts  # noqa: E402
+from realtime_data_quality_monitor_spark.operators import dedup, temporal  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time(fn, n=2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 2)
+
+
+def main(sf_name: str = "sf0.1") -> None:
+    spark = get_spark(
+        app_name="temporal-bench",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=64,
+    )
+    path = ensure_transcripts(spark, sf_name)
+    tr = spark.read.parquet(path)
+    n_rows = tr.count()
+
+    # as-of join: every assistant turn picks up the latest prior user turn
+    # of the same conversation (payload: turn_idx, ts)
+    left = tr.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts"
+    )
+    right = tr.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("u_turn_idx"), "ts"
+    )
+    n_left = left.count()
+
+    def run_asof():
+        _noop(
+            temporal.asof_join(
+                left, right, on=["conv_id"], right_cols=["u_turn_idx", "ts"]
+            )
+        )
+
+    # sessionization over the full table (gap = 5 min)
+    def run_sessions():
+        _noop(temporal.session_stats(tr, ["conv_id"], gap_s=300))
+
+    # connected components: synthetic near-dup graph, ~n/2 edges in
+    # chains of length 8 (multi-round convergence), plus random cross links
+    n_nodes = max(n_rows // 4, 1000)
+    edges = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .filter((F.col("id_a") % 8) != 7)  # break into chains of 8
+    )
+    n_edges = edges.count()
+
+    def run_cc():
+        _noop(dedup.connected_components(edges))
+
+    # warmup (absorbs JVM C2 JIT; must be a big slice per CLAUDE.md)
+    run_asof()
+
+    out = {
+        "metric": "temporal_ops_bench",
+        "sf": sf_name,
+        "rows": n_rows,
+        "asof_left_rows": n_left,
+        "cc_edges": n_edges,
+        "queries": {
+            "asof_join": _time(run_asof),
+            "session_stats": _time(run_sessions),
+            "connected_components": _time(run_cc),
+        },
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "sf0.1")
