@@ -1444,6 +1444,35 @@ SQL_W1 = f"""
 """
 
 
+def q_p9_props_json_stats(spark, sf_dir):
+    """Semi-structured payload handling: extract the integer field from
+    the props JSON column (the reference stores order payloads as JSONB,
+    postgres/init.sql details column) and aggregate it engine-exactly —
+    get_json_object stays inside codegen; no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_P9 = """
+    WITH x AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM x WHERE k IS NOT NULL GROUP BY 1
+"""
+
+
 def q_a14_unpivot_measure_sums(spark, sf_dir):
     """Wide-to-long unpivot (DataFrame.unpivot / melt) of three lineitem
     measures into (measure, value) rows, then exact decimal sums per
@@ -1749,6 +1778,7 @@ ENTRY_QUERIES = {
     "p3_accuracy_events": (q_p3_accuracy_events, SQL_P3),
     "p7_overall_quality_events": (q_p7_overall_quality_events, SQL_P7),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
+    "p9_props_json_stats": (q_p9_props_json_stats, SQL_P9),
     "a1_window_stats_daily": (q_a1_window_stats_daily, SQL_A1),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "a4_dimension_breakdown_events": (q_a4_dimension_breakdown_events, SQL_A4),
