@@ -1,0 +1,91 @@
+"""Table maintenance: small-file compaction and sort-order clustering.
+
+A 10^12-turn table accumulates operational debt the query layer can't fix:
+micro-batch appends and per-group overwrites (plans/pipeline.py) leave
+thousands of KB-sized parquet files (every scan pays per-file open +
+footer-parse + scheduling overhead), and row order decays until min/max
+footer stats prune nothing. These are the two standard remedies — the
+parquet emulation of Iceberg's rewrite_data_files / sort-order rewrite
+(the north star's table format; jars absent in this container).
+
+  * ``compact_parquet`` — size-targeted rewrite: measure the source's
+    actual on-disk bytes, rewrite into ceil(bytes / target) files.
+    Coalesce (no shuffle) by default; pass shuffle=True when the source
+    files are themselves skewed so round-robin repartition evens them.
+  * ``cluster_parquet`` — repartitionByRange + sortWithinPartitions on
+    the given columns: range-disjoint files whose footer min/max stats
+    actually prune (the poor man's Z-ORDER for a single sort dimension).
+  * ``file_stats`` — file count / bytes / rows for before-after checks.
+
+Both rewrites go to a NEW directory: rewrite-then-swap is the only safe
+pattern without a table format's atomic commit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def file_stats(spark: SparkSession, path: str) -> dict:
+    """Parquet file count, bytes, and rows under ``path``."""
+    df = spark.read.parquet(path)
+    n_files = df.select(F.input_file_name()).distinct().count()
+    return {
+        "n_files": n_files,
+        "bytes": _dir_bytes(path),
+        "rows": df.count(),
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite ``src`` into ~target_mb parquet files at ``dst``.
+
+    File count = ceil(actual source bytes / target) — sized from measured
+    bytes, not guessed row counts, so it holds regardless of schema width
+    or compression ratio. ``shuffle=False`` coalesces (no exchange; cheap
+    but inherits source ordering); ``shuffle=True`` round-robins for even
+    output sizes when the inputs are skewed.
+    """
+    n_out = max(1, math.ceil(_dir_bytes(src) / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    return {"target_files": n_out, **file_stats(spark, dst)}
+
+
+def cluster_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cols: list,
+    n_files: int | None = None,
+) -> dict:
+    """Rewrite ``src`` range-clustered on ``cols``: repartitionByRange
+    gives each output file a disjoint key range, sortWithinPartitions
+    orders rows inside it — parquet footer min/max then prunes point and
+    range queries on those columns to a handful of files."""
+    df = spark.read.parquet(src)
+    if n_files is None:
+        n_files = max(1, math.ceil(_dir_bytes(src) / (128 * 1024 * 1024)))
+    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(dst)
+    return {"target_files": n_files, **file_stats(spark, dst)}

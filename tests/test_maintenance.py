@@ -1,0 +1,71 @@
+"""plans/maintenance.py: compaction and range clustering preserve every
+row while fixing the file layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.plans import maintenance
+
+
+def _fragmented_source(spark, tmp_path, n_rows=20_000, n_files=64):
+    src = str(tmp_path / "frag")
+    (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            (F.col("id") % 500).alias("key"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    return src
+
+
+def test_compact_reduces_files_and_keeps_rows(spark, tmp_path):
+    src = _fragmented_source(spark, tmp_path)
+    before = maintenance.file_stats(spark, src)
+    assert before["n_files"] >= 32  # genuinely fragmented
+
+    dst = str(tmp_path / "compacted")
+    # tiny target on purpose: bytes/target still collapses to few files
+    after = maintenance.compact_parquet(spark, src, dst, target_mb=128)
+    assert after["n_files"] < before["n_files"]
+    assert after["rows"] == before["rows"]
+
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+
+def test_compact_shuffle_mode_keeps_rows(spark, tmp_path):
+    src = _fragmented_source(spark, tmp_path, n_rows=5_000, n_files=16)
+    dst = str(tmp_path / "compacted_sh")
+    after = maintenance.compact_parquet(
+        spark, src, dst, target_mb=128, shuffle=True
+    )
+    assert after["rows"] == 5_000
+
+
+def test_cluster_makes_files_range_disjoint(spark, tmp_path):
+    src = _fragmented_source(spark, tmp_path)
+    dst = str(tmp_path / "clustered")
+    maintenance.cluster_parquet(spark, dst=dst, src=src, cols=["key"], n_files=8)
+
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+
+    # per-file key ranges must not overlap (allowing the shared boundary
+    # value repartitionByRange places on one side)
+    ranges = (
+        out.select(F.input_file_name().alias("f"), "key")
+        .groupBy("f")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"]
