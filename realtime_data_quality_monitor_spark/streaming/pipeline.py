@@ -123,6 +123,21 @@ def run_stream_to_parquet(
     return writer.start()
 
 
+def with_static_enrichment(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on: list,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich streaming rows with a (small) static
+    dimension — conversation metadata, expected-language map, tenant
+    tier. The static side is broadcast and re-resolved each micro-batch,
+    so a dim refresh (overwrite of its path) is picked up without
+    restarting the query; the stream side needs no state and no
+    watermark for this join shape."""
+    return sdf.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_with_alerts(
     sdf_metrics: DataFrame,
     metrics_path: str,
@@ -179,6 +194,7 @@ __all__ = [
     "stream_window_metrics",
     "run_stream_to_parquet",
     "run_stream_with_alerts",
+    "with_static_enrichment",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",
 ]

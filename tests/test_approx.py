@@ -1,0 +1,34 @@
+"""Approximate aggregates: the scale path for distinct counts and
+quantiles. Exactness is the oracle gate's job (a12/a13); these tests pin
+the approximation CONTRACT — error stays inside the configured bound on
+real data — so the approx variants are safe to recommend at 10^12 rows
+where the exact forms don't fit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) <= max(3, 0.05 * exact)
+
+
+def test_approx_percentile_brackets_exact_median(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    lo, med, hi = ev.select(
+        F.percentile_approx("value", [0.45, 0.5, 0.55], 10_000).alias("p")
+    ).collect()[0]["p"]
+    exact_med = ev.select(
+        F.expr("percentile(value, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert lo <= exact_med <= hi
+    assert abs(med - exact_med) <= max(0.5, 0.05 * abs(exact_med))

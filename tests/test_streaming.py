@@ -194,3 +194,41 @@ def test_streaming_alerts_match_batch_check_alerts(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    src = _write_source(spark, tmp_path, n_convs=40, dup_rate=0.0)
+    # static dim: deterministic tier per conv_id
+    dim = (
+        spark.read.parquet(src)
+        .select("conv_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "gold")
+            .otherwise("basic"),
+        )
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    enriched = sp.with_static_enrichment(
+        sp.streaming_quality(sp.read_transcript_stream(spark, src)),
+        spark.read.parquet(dim_path),
+        on=["conv_id"],
+    )
+    out = str(tmp_path / "enriched_out")
+    q = sp.run_stream_to_parquet(enriched, out, str(tmp_path / "ckpt_enr"))
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("tier").isNull()).count() == 0
+    # every row carries the tier its conv_id maps to in the dim
+    bad = (
+        got.select("conv_id", F.col("tier").alias("got_tier"))
+        .distinct()
+        .join(spark.read.parquet(dim_path), "conv_id")
+        .filter(F.col("got_tier") != F.col("tier"))
+        .count()
+    )
+    assert bad == 0
