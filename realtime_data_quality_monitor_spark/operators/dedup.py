@@ -354,3 +354,103 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi), no self-loops, distinct."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_sig(edges: DataFrame):
+    # decimal sum: ANSI mode makes a plain long sum of hashes overflow
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components — the
+    O(log n)-round formulation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") for graphs whose components are too deep for
+    per-hop hash-min propagation (``connected_components``).
+
+    large-star(u): connect every neighbor v > u to min(N(u) + {u});
+    small-star(u): connect every neighbor v <= u (and u) to the min of
+    that subset. Each is one groupBy + one join; the edge set contracts
+    toward stars centered at component minima, halving effective depth
+    per round instead of peeling one hop.
+
+    Same output contract as ``connected_components``: (node,
+    cluster_rep) with cluster_rep = component min, for every node in
+    ``pairs``. Deterministic (pure min arithmetic).
+    """
+    edges = _canon(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_sig(edges)
+    for _ in range(max_iters):
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("mn")
+        )
+        ls = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        )
+        edges = _canon(ls).localCheckpoint(eager=True)
+        # small-star over the contracted set
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        small = sym.filter(F.col("dst") <= F.col("src"))
+        mins = small.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("mn")
+        )
+        ss = (
+            small.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(mins.select("src", F.col("mn").alias("dst")))
+        )
+        edges = _canon(ss).localCheckpoint(eager=True)
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: every node's label is min(itself, neighbors)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("cluster_rep")
+    )
+    return (
+        all_nodes.join(labels, all_nodes.node == labels.src, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_rep"), F.col("node")).alias("cluster_rep"),
+        )
+    )

@@ -79,6 +79,19 @@ def main(sf_name: str = "sf0.1") -> None:
     def run_cc():
         _noop(dedup.connected_components(edges))
 
+    # star CC on DEEP chains (length 1024) — infeasible for per-hop
+    # hash-min (would need ~1024 rounds), a handful of rounds for
+    # large-star/small-star
+    deep = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .filter((F.col("id_a") % 1024) != 1023)
+    )
+    n_deep = deep.count()
+
+    def run_cc_star_deep():
+        _noop(dedup.connected_components_star(deep))
+
     # warmup (absorbs JVM C2 JIT; must be a big slice per CLAUDE.md)
     run_asof()
 
@@ -88,10 +101,12 @@ def main(sf_name: str = "sf0.1") -> None:
         "rows": n_rows,
         "asof_left_rows": n_left,
         "cc_edges": n_edges,
+        "cc_star_deep_edges": n_deep,
         "queries": {
             "asof_join": _time(run_asof),
             "session_stats": _time(run_sessions),
             "connected_components": _time(run_cc),
+            "cc_star_deep_chains": _time(run_cc_star_deep),
         },
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }

@@ -154,3 +154,43 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_star_cc_matches_hashmin_on_random_graphs(spark):
+    from realtime_data_quality_monitor_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # deterministic pseudo-random graphs of varied shape
+    for seed, n_edges, n_nodes in [(1, 40, 30), (2, 200, 80), (3, 15, 40)]:
+        edges = spark.range(n_edges).select(
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(n_nodes)).alias("id_a"),
+            F.pmod(F.xxhash64(F.col("id") + seed * 1000), F.lit(n_nodes)).alias(
+                "id_b"
+            ),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        want = {
+            r["node"]: r["cluster_rep"]
+            for r in connected_components(edges).collect()
+        }
+        got = {
+            r["node"]: r["cluster_rep"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_star_cc_deep_chain_few_rounds(spark):
+    from realtime_data_quality_monitor_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # a 200-node chain: hash-min needs ~200 rounds, star converges fast
+    chain = spark.range(199).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components_star(chain, max_iters=12)
+    reps = {r["cluster_rep"] for r in out.collect()}
+    assert reps == {0}
+    assert out.count() == 200
