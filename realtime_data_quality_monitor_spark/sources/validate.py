@@ -1,0 +1,85 @@
+"""Schema-drift conformance for arriving transcript batches.
+
+The reference reads schemaless JSON and treats every structural surprise
+as a per-record quality signal (membership + isinstance checks,
+flink/src/quality_checker.py:100-126,190-220). With a typed table the
+equivalent ingestion concern is DRIFT: an upstream producer renames a
+column, widens a type, adds fields, or ships strings where ints belong.
+``conform`` maps ANY input DataFrame onto the transcript contract
+(config.TRANSCRIPT_COLUMNS types) without failing the job:
+
+  * missing contract columns materialize as typed nulls (the rule engine
+    then scores them as completeness misses — same behavior the
+    reference shows for absent JSON fields);
+  * extra columns are dropped from the conformed output and reported;
+  * type mismatches go through ``try_cast`` — uncastable values become
+    null (again: a completeness/validity miss, not a crash), and the
+    per-column cast-failure counts are reported.
+
+The report is a plain dict (driver-side, computed in ONE aggregate pass)
+so ingestion can alert on drift before the pipeline runs. This is the
+boundary where "schema-on-read defensiveness" lives; everything
+downstream assumes the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the input_hint contract, typed
+CONTRACT = {
+    "conv_id": "string",
+    "turn_idx": "int",
+    "role": "string",
+    "text": "string",
+    "tool": "string",
+    "ts": "timestamp",  # LTZ, matching streaming.TRANSCRIPT_SCHEMA; session tz is UTC
+}
+
+
+def conform(df: DataFrame, contract: dict | None = None) -> tuple[DataFrame, dict]:
+    """Project ``df`` onto the contract schema; returns (conformed_df,
+    report). Never raises on drift — structure problems become nulls the
+    rule engine scores, plus report entries ingestion can alert on."""
+    contract = contract or CONTRACT
+    in_cols = set(df.columns)
+    missing = [c for c in contract if c not in in_cols]
+    extra = sorted(in_cols - set(contract))
+
+    out_cols = []
+    cast_checks = []
+    for name, typ in contract.items():
+        if name in missing:
+            out_cols.append(F.lit(None).cast(typ).alias(name))
+            continue
+        src_type = df.schema[name].dataType.simpleString()
+        if src_type == typ:
+            out_cols.append(F.col(name).alias(name))
+        else:
+            casted = F.col(name).try_cast(typ)
+            out_cols.append(casted.alias(name))
+            # a cast failure = source non-null but cast null
+            cast_checks.append(
+                F.sum(
+                    (F.col(name).isNotNull() & casted.isNull()).cast("long")
+                ).alias(name)
+            )
+
+    conformed = df.select(*out_cols)
+    cast_failures: dict = {}
+    n_rows = None
+    if cast_checks:
+        row = df.agg(F.count(F.lit(1)).alias("_n"), *cast_checks).collect()[0]
+        n_rows = row["_n"]
+        cast_failures = {
+            c: row[c] for c in row.asDict() if c != "_n" and row[c]
+        }
+    report = {
+        "missing_columns": missing,
+        "extra_columns": extra,
+        "cast_failures": cast_failures,
+        "n_rows": n_rows,
+        "drifted": bool(missing or extra or cast_failures),
+    }
+    return conformed, report

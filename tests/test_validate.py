@@ -1,0 +1,72 @@
+"""sources/validate.py: schema-drift conformance at the ingestion
+boundary — drift becomes nulls + a report, never a crash."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.sources import validate
+
+
+def test_conform_clean_input_passthrough(spark):
+    df = spark.createDataFrame(
+        [("CONV-1", 0, "user", "hi", None, dt.datetime(2026, 8, 15))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out, report = validate.conform(df)
+    assert not report["drifted"]
+    assert out.columns == list(validate.CONTRACT)
+    assert out.collect() == df.collect()
+
+
+def test_conform_missing_and_extra_columns(spark):
+    df = spark.createDataFrame(
+        [("CONV-1", "hi", 42)], "conv_id string, text string, rogue int"
+    )
+    out, report = validate.conform(df)
+    assert report["missing_columns"] == ["turn_idx", "role", "tool", "ts"]
+    assert report["extra_columns"] == ["rogue"]
+    assert report["drifted"]
+    row = out.collect()[0]
+    assert row["turn_idx"] is None and row["ts"] is None
+    assert out.columns == list(validate.CONTRACT)
+
+
+def test_conform_type_drift_try_casts_and_counts(spark):
+    # turn_idx arrives as string: one castable, one not; ts as string
+    df = spark.createDataFrame(
+        [
+            ("CONV-1", "3", "user", "a", None, "2026-08-15 10:00:00"),
+            ("CONV-1", "x", "user", "b", None, "not-a-time"),
+            ("CONV-1", None, "user", "c", None, None),
+        ],
+        "conv_id string, turn_idx string, role string, text string, "
+        "tool string, ts string",
+    )
+    out, report = validate.conform(df)
+    got = {r["text"]: (r["turn_idx"], r["ts"]) for r in out.collect()}
+    assert got["a"] == (3, dt.datetime(2026, 8, 15, 10))
+    assert got["b"] == (None, None)
+    assert got["c"] == (None, None)
+    # null inputs don't count as cast failures; bad values do
+    assert report["cast_failures"] == {"turn_idx": 1, "ts": 1}
+    assert report["n_rows"] == 3
+
+
+def test_conformed_output_feeds_rule_engine(spark):
+    # the whole point: drifted input still flows through with_quality,
+    # scored as completeness misses instead of crashing
+    df = spark.createDataFrame(
+        [("CONV-1", "not-an-int", "user", "hello world", None)],
+        "conv_id string, turn_idx string, role string, text string, tool string",
+    )
+    out, report = validate.conform(df)
+    assert report["drifted"]
+    q = with_quality(out, repartition=False, cross_turn=False)
+    row = q.collect()[0]
+    assert row["completeness_score"] < 100.0  # null turn_idx/ts scored
+    assert row["has_issues"]
