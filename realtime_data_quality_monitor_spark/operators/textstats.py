@@ -126,3 +126,30 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def clean_text(text: Column) -> Column:
+    """Web-corpus text normalization as a native regexp_replace chain
+    (no UDF): strip HTML tags, drop control characters, collapse runs of
+    whitespace, trim. Patterns stay inside the regex subset Java and RE2
+    agree on (character classes only — no lookaround, no unicode
+    classes), so the DuckDB oracle applies the identical pipeline.
+
+    Order matters and is part of the contract: tags out first (so a tag
+    split across whitespace can't survive), then control chars, then
+    whitespace collapse, then trim.
+    """
+    no_tags = F.regexp_replace(text, "<[^>]*>", " ")
+    no_ctrl = F.regexp_replace(no_tags, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    collapsed = F.regexp_replace(no_ctrl, "[ \\t\\n\\r\\f]+", " ")
+    return F.trim(collapsed)
+
+
+def with_clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """clean_text + before/after char counts (the shrinkage ratio is the
+    usual boilerplate-detection signal)."""
+    return df.withColumn(out_col, clean_text(F.col(text_col))).withColumn(
+        "clean_chars", F.length(F.col(out_col))
+    )

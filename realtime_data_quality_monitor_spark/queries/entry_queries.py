@@ -1444,6 +1444,39 @@ SQL_W1 = f"""
 """
 
 
+def q_t7_clean_text_documents(spark, sf_dir):
+    """Web-corpus cleaning (operators/textstats.py::clean_text): HTML
+    strip + control-char removal + whitespace collapse as a pure
+    regexp_replace chain (codegen; no UDF). The oracle applies the
+    byte-identical pipeline in DuckDB (patterns restricted to the
+    Java/RE2-common subset); outputs are the cleaned text's md5 and
+    shrinkage so the driver hash-compares the exact bytes."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.with_clean_text(d)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "clean_chars",
+        (F.length("text") - F.col("clean_chars")).alias("chars_removed"),
+    )
+
+
+SQL_T7 = r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+                 regexp_replace(
+                     regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                 '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+      FROM documents)
+    SELECT doc_id, md5(clean_text) AS clean_md5,
+           length(clean_text) AS clean_chars,
+           length(text) - length(clean_text) AS chars_removed
+    FROM c
+"""
+
+
 def q_p9_props_json_stats(spark, sf_dir):
     """Semi-structured payload handling: extract the integer field from
     the props JSON column (the reference stores order payloads as JSONB,
@@ -1798,6 +1831,7 @@ ENTRY_QUERIES = {
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
+    "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),

@@ -158,3 +158,23 @@ def test_prefilter_terms_superset_of_scrub():
             assert prefilter(t), repr(t)
 
     fuzz()
+
+
+def test_clean_text_tags_ctrl_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.textstats import (
+        clean_text,
+    )
+
+    rows = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("a\x00b\x07c", "abc"),
+        ("  multi   \t\n spaces \r\n here  ", "multi spaces here"),
+        ("<div class='x'>nested <span>ok</span></div>tail", "nested ok tail"),
+        ("", ""),
+        ("no markup", "no markup"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["c"] for r in df.select(clean_text(F.col("text")).alias("c")).collect()]
+    assert got == [want for _, want in rows]
