@@ -70,13 +70,14 @@ def brute_force_topk(
     )
 
 
-def _deterministic_hyperplanes(n_planes: int, dim: int) -> list:
+def _deterministic_hyperplanes(n_planes: int, dim: int, plane_offset: int = 0) -> list:
     """Literal pseudo-random hyperplanes from a counter-based generator
     (SplitMix64 over (plane, dim) -> uniform in [-1, 1]); identical values
     can be regenerated in any language, which keeps the LSH operator
     oracle-checkable."""
     planes = []
-    for p in range(n_planes):
+    for p0 in range(n_planes):
+        p = p0 + plane_offset
         row = []
         for d in range(dim):
             z = (p * 1_000_003 + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
@@ -89,9 +90,13 @@ def _deterministic_hyperplanes(n_planes: int, dim: int) -> list:
     return planes
 
 
-def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
-    planes = _deterministic_hyperplanes(n_planes, dim)
+def lsh_bucket_col(
+    vec: Column, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1).
+    ``plane_offset`` selects an independent plane family (offset 0 is the
+    original single-table family, so existing buckets are unchanged)."""
+    planes = _deterministic_hyperplanes(n_planes, dim, plane_offset)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in row])
@@ -246,4 +251,63 @@ def ivf_topk(
             "rank",
             "cos",
         )
+    )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table (OR-amplified) LSH top-k: ``n_tables`` independent
+    sign-projection tables; a candidate qualifies if it collides with the
+    query in ANY table, then exact cosine rescoring.
+
+    Single-table LSH with enough planes for selectivity has poor recall
+    (a true neighbor differing in one bit of one table is lost);
+    OR-amplification fixes it at the standard cost — candidate volume
+    grows ~linearly in n_tables. Measured on the embeddings table
+    (scripts/ann_recall.py): recall@10 0.02-0.14 single-table ->
+    see BASELINE.md for the multi-table curve.
+
+    Plan shape: both sides explode to (table, bucket) keys; ONE equi-join
+    on the composite key (queries broadcast), dedup on (query, neighbor),
+    rescore, per-query top-k window. The corpus is never self-joined.
+    """
+    def _keyed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket_col(
+                        F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(tb).alias("tb"),
+        )
+
+    c = _keyed(corpus, "neighbor_id", "cvec")
+    q = _keyed(queries, "query_id", "qvec")
+    cand = (
+        c.join(F.broadcast(q), "tb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )

@@ -1,0 +1,98 @@
+"""Measure recall@k of the approximate ANN paths (LSH buckets, IVF
+probes) against exact brute-force cosine on the embeddings table —
+the number that justifies recommending an approximate index at 10^12
+rows. Prints one JSON line; recorded in BASELINE.md.
+
+Usage: python scripts/ann_recall.py [sf_dir] [k] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from realtime_data_quality_monitor_spark.operators import similarity  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+
+def _topk_sets(df, k: int) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict, k: int) -> float:
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    return round(hits / (len(exact) * k), 4)
+
+
+def main(sf_dir: str, k: int = 10, n_queries: int = 50) -> None:
+    spark = get_spark(app_name="ann-recall", shuffle_partitions=32)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries)
+
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=k), k)
+
+    lsh_recalls = {}
+    for n_planes in (4, 6, 8):
+        approx = _topk_sets(
+            similarity.lsh_topk(emb, queries, k=k, n_planes=n_planes, dim=dim),
+            k,
+        )
+        lsh_recalls[f"planes={n_planes}"] = _recall(approx, exact, k)
+
+    multi_recalls = {}
+    for n_planes, n_tables in ((8, 4), (8, 8), (4, 4), (4, 8)):
+        approx = _topk_sets(
+            similarity.lsh_topk_multi(
+                emb, queries, k=k, n_planes=n_planes, n_tables=n_tables, dim=dim
+            ),
+            k,
+        )
+        multi_recalls[f"planes={n_planes},tables={n_tables}"] = _recall(
+            approx, exact, k
+        )
+
+    # IVF: 16 deterministic centroids (first 16 corpus vectors), vary probes
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    ivf_recalls = {}
+    for n_probe in (1, 2, 4, 8):
+        approx = _topk_sets(
+            similarity.ivf_topk(emb, queries, cents, k=k, n_probe=n_probe), k
+        )
+        ivf_recalls[f"probe={n_probe}"] = _recall(approx, exact, k)
+
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_at_k",
+                "k": k,
+                "n_queries": n_queries,
+                "corpus": n_corpus,
+                "dim": dim,
+                "lsh": lsh_recalls,
+                "lsh_multi": multi_recalls,
+                "ivf": ivf_recalls,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 50,
+    )

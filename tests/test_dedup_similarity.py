@@ -194,3 +194,52 @@ def test_star_cc_deep_chain_few_rounds(spark):
     reps = {r["cluster_rep"] for r in out.collect()}
     assert reps == {0}
     assert out.count() == 200
+
+
+def test_lsh_multi_table_beats_single_table_recall(spark):
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 20)
+    k = 10
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(similarity.brute_force_topk(emb, queries, k=k))
+    single = topk_sets(
+        similarity.lsh_topk(emb, queries, k=k, n_planes=4, dim=dim)
+    )
+    multi = topk_sets(
+        similarity.lsh_topk_multi(
+            emb, queries, k=k, n_planes=4, n_tables=8, dim=dim
+        )
+    )
+
+    def recall(approx):
+        return sum(
+            len(approx.get(q, set()) & n) for q, n in exact.items()
+        ) / (len(exact) * k)
+
+    assert recall(multi) > recall(single)
+    assert recall(multi) >= 0.4  # OR-amplification floor on this corpus
+
+
+def test_lsh_plane_offset_zero_preserves_buckets(spark):
+    # regression guard: table 0 must reproduce the original single-table
+    # bucket family (s3's rows-only results stay stable)
+    from realtime_data_quality_monitor_spark.operators.similarity import (
+        lsh_bucket_col,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").first()["embedding"])
+    a = emb.select(lsh_bucket_col(F.col("embedding"), 4, dim).alias("b")).collect()
+    b = emb.select(
+        lsh_bucket_col(F.col("embedding"), 4, dim, plane_offset=0).alias("b")
+    ).collect()
+    assert a == b
