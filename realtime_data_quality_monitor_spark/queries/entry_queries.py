@@ -977,6 +977,22 @@ SQL_D7 = """
 """
 
 
+def q_s5_lsh_multi_ann_embeddings(spark, sf_dir):
+    """Multi-table (OR-amplified) LSH ANN
+    (operators/similarity.py::lsh_topk_multi): 8 independent 4-plane
+    sign-projection tables, candidates = any-table collision, exact
+    cosine rescore. Bucket membership hinges on the sign of a double dot
+    product whose summation order differs between engines -> rows-only
+    check (same reason as s3); recall vs exact is measured in
+    BASELINE.md and floor-tested in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk_multi(
+        emb, q, k=5, n_planes=4, n_tables=8, dim=dim
+    )
+
+
 def q_d5_embedding_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force exact baseline on the
     1e-7-quantized vectors (the verifiable small-scale oracle; the 100 TB
@@ -1852,6 +1868,7 @@ ENTRY_QUERIES = {
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
     "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
     "s4_ivf_ann_embeddings": (q_s4_ivf_ann_embeddings, SQL_S4),
+    "s5_lsh_multi_ann_embeddings": (q_s5_lsh_multi_ann_embeddings, None),
     "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
     "d7_ngram_jaccard_documents": (q_d7_ngram_jaccard_documents, SQL_D7),
     "d8_neardup_clusters_documents": (q_d8_neardup_clusters_documents, SQL_D8),
