@@ -1,0 +1,48 @@
+"""Catalog-bucketed tables: the exchange-free co-located join.
+
+The fact tables a quality pipeline joins repeatedly (transcripts to
+lineage, metrics to alerts, turns to per-conv rollups) share a key. At
+100 TB, re-shuffling both sides on every join is the dominant cost;
+bucketing pays that shuffle ONCE at write time: ``bucketBy(n, key)`` +
+``sortBy(key)`` persists hash-bucketed, sorted files, and any equi-join
+or aggregation on the bucket key then runs with ZERO exchanges (a
+SortMergeJoin straight on the scans — asserted in
+tests/test_bucketing.py).
+
+This is the Spark-catalog twin of the directory-layout bucketing
+plans/pipeline.py uses for resume groups (that layout optimizes
+overwrite-by-partition; this one optimizes the join path), and the
+parquet emulation of an Iceberg ``bucket(n, key)`` partition transform.
+
+Both sides must agree on bucket count and key for the exchange to be
+elided; pick n_buckets ~ cluster cores x small factor and keep it stable
+across the tables that join together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table bucketed (and by default sorted)
+    on ``keys`` — joins and groupBys on those keys then skip the
+    exchange."""
+    w = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode(mode).saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read that preserves the bucketing metadata (a plain
+    spark.read.parquet on the files would NOT — outputPartitioning comes
+    from the catalog, so always read bucketed tables by name)."""
+    return spark.table(table)

@@ -1,0 +1,66 @@
+"""plans/bucketing.py: bucketed tables join and aggregate with zero
+exchanges, and results equal the plain-shuffle computation."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.plans import bucketing
+
+
+def _plan(spark, df) -> str:
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_bucketed_join_has_no_exchange_and_matches_shuffle_join(spark):
+    a = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    bucketing.write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+    bucketing.write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+
+    ta = bucketing.read_table(spark, "bkt_a")
+    tb = bucketing.read_table(spark, "bkt_b")
+    # disable broadcast so the exchange-free property is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ta.join(tb, "k")
+        p = _plan(spark, j)
+        assert len(re.findall(r"Exchange", p)) == 0
+        assert "SortMergeJoin" in p
+
+        got = j.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+        ).collect()[0]
+        want = a.join(b, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+        ).collect()[0]
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    df = spark.range(20_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    bucketing.write_bucketed(df, "bkt_g", ["k"], n_buckets=8)
+    try:
+        agg = bucketing.read_table(spark, "bkt_g").groupBy("k").agg(
+            F.sum("v").alias("s")
+        )
+        p = _plan(spark, agg)
+        assert len(re.findall(r"Exchange", p)) == 0
+        assert agg.count() == 97
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_g")
