@@ -69,3 +69,43 @@ def test_cluster_makes_files_range_disjoint(spark, tmp_path):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    # two independent uniform dims; row order random wrt both
+    src = str(tmp_path / "zsrc")
+    (
+        spark.range(40_000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)).alias("y"),
+            F.col("id"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    dst = str(tmp_path / "zdst")
+    maintenance.zorder_parquet(spark, src, dst, cols=["x", "y"], n_files=16)
+
+    out = spark.read.parquet(dst)
+    assert out.count() == 40_000
+
+    # per-file bounding boxes: a 10%-range query on EITHER dim must touch
+    # only a fraction of the 16 files (unsorted layout touches all)
+    boxes = (
+        out.select(F.input_file_name().alias("f"), "x", "y")
+        .groupBy("f")
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+    n_files = len(boxes)
+    assert n_files > 4
+    hit_x = sum(1 for b in boxes if b["x0"] <= 100 and b["x1"] >= 0)
+    hit_y = sum(1 for b in boxes if b["y0"] <= 100 and b["y1"] >= 0)
+    assert hit_x < n_files
+    assert hit_y < n_files
+    assert hit_x + hit_y < 2 * n_files * 0.75  # jointly well under "all"
