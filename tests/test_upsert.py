@@ -1,0 +1,86 @@
+"""plans/upsert.py: MERGE-INTO semantics + the O(touched-partitions)
+rewrite property (untouched partition files stay byte-identical)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.plans import upsert
+
+
+def _seed_table(spark, path: str):
+    (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.pmod(F.col("id"), F.lit(5)).alias("p"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(path)
+    )
+
+
+def _file_set(path: str, part: str) -> set:
+    return {
+        (f, os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, part, "*.parquet"))
+    }
+
+
+def test_merge_updates_inserts_and_leaves_other_partitions_untouched(
+    spark, tmp_path
+):
+    path = str(tmp_path / "tbl")
+    _seed_table(spark, path)
+    before_p3 = _file_set(path, "p=3")
+    assert before_p3
+
+    # updates touch only partitions 0 and 1: one overwrite, one insert each
+    updates = spark.createDataFrame(
+        [
+            (0, -1, 0),     # existing key in p=0 -> replaced
+            (9990, -2, 0),  # new key in p=0 -> inserted
+            (1, -3, 1),     # existing key in p=1 -> replaced
+            (9991, -4, 1),  # new key -> inserted
+        ],
+        "k long, v long, p long",
+    )
+    r = upsert.merge_upsert(spark, path, updates, key_cols=["k"], partition_col="p")
+    assert r["touched_partitions"] == [0, 1]
+
+    after = spark.read.parquet(path)
+    got = {r["k"]: r["v"] for r in after.filter(F.col("k").isin(0, 1, 9990, 9991)).collect()}
+    assert got == {0: -1, 9990: -2, 1: -3, 9991: -4}
+    # total rows = 1000 original + 2 inserts
+    assert after.count() == 1002
+    # untouched partition's files are byte-identical (same set, same mtimes)
+    assert _file_set(path, "p=3") == before_p3
+
+
+def test_merge_last_write_wins_within_batch(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    _seed_table(spark, path)
+    updates = spark.createDataFrame(
+        [(0, 111, 0, 1), (0, 222, 0, 2)],  # same key twice; ts=2 wins
+        "k long, v long, p long, ts long",
+    )
+    upsert.merge_upsert(
+        spark, path, updates, key_cols=["k"], partition_col="p", order_col="ts"
+    )
+    after = spark.read.parquet(path)
+    assert after.filter("k = 0").collect()[0]["v"] == 222
+    assert after.count() == 1000
+
+
+def test_merge_empty_updates_is_noop(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    _seed_table(spark, path)
+    empty = spark.createDataFrame([], "k long, v long, p long")
+    r = upsert.merge_upsert(spark, path, empty, key_cols=["k"], partition_col="p")
+    assert r == {"touched_partitions": [], "upserted_rows": 0}
+    assert spark.read.parquet(path).count() == 1000
