@@ -1,0 +1,61 @@
+"""Snapshot diff: classify rows between two versions of a keyed table.
+
+The CDC primitive the upsert path (plans/upsert.py) implies: given the
+table before and after a batch (or any two snapshots), emit one row per
+changed key tagged ``insert`` / ``delete`` / ``update``. Iceberg exposes
+this as changelog scans between snapshot ids; over plain parquet the
+equivalent is one full-outer join on the key.
+
+Scale notes: the join shuffles both snapshots by key once — with both
+sides bucketed on the key (plans/bucketing.py) even that exchange
+disappears. Value comparison uses a single xxhash64 over the non-key
+columns (computed map-side, so the join carries one long instead of the
+full row width for unchanged detection); update rows are re-read from
+the new side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list,
+    compare_cols: list | None = None,
+) -> DataFrame:
+    """Rows that differ between ``old`` and ``new``:
+    (key..., change_type, <new-side payload for insert/update, old-side
+    for delete>). Unchanged keys are dropped. ``compare_cols`` defaults
+    to all non-key columns present in BOTH snapshots."""
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in key_cols]
+
+    def _sig(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                         for c in compare_cols]).alias(f"_h_{side}"),
+            *[F.col(c).alias(f"_{side}_{c}") for c in compare_cols],
+        )
+
+    o = _sig(old, "o")
+    n = _sig(new, "n")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_o").isNull(), F.lit("insert"))
+        .when(F.col("_h_n").isNull(), F.lit("delete"))
+        .when(F.col("_h_o") != F.col("_h_n"), F.lit("update"))
+    )
+    out_payload = [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type", *out_payload)
+    )

@@ -84,3 +84,55 @@ def test_merge_empty_updates_is_noop(spark, tmp_path):
     r = upsert.merge_upsert(spark, path, empty, key_cols=["k"], partition_col="p")
     assert r == {"touched_partitions": [], "upserted_rows": 0}
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_table_diff_classifies_and_roundtrips_with_upsert(spark, tmp_path):
+    from realtime_data_quality_monitor_spark.plans import diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {
+        r["k"]: (r["change_type"], r["s"], r["v"])
+        for r in diff.table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "B", 20),
+        3: ("delete", "c", 30),
+        4: ("insert", "d", 40),
+    }
+
+
+def test_table_diff_null_vs_empty_string_distinct(spark):
+    from realtime_data_quality_monitor_spark.plans import diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    rows = diff.table_diff(old, new, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "update"
+
+
+def test_table_diff_after_merge_matches_update_batch(spark, tmp_path):
+    from realtime_data_quality_monitor_spark.plans import diff
+
+    path = str(tmp_path / "tbl_cdc")
+    snap = str(tmp_path / "tbl_cdc_before")
+    _seed_table(spark, path)
+    # a .cache() over the same files is NOT a snapshot once they're
+    # overwritten — materialize the before-image to its own directory
+    spark.read.parquet(path).select("k", "v", "p").write.parquet(snap)
+    before = spark.read.parquet(snap)
+
+    updates = spark.createDataFrame(
+        [(0, -1, 0), (9990, -2, 0)], "k long, v long, p long"
+    )
+    upsert.merge_upsert(spark, path, updates, key_cols=["k"], partition_col="p")
+    after = spark.read.parquet(path).select("k", "v", "p")
+    d = {
+        r["k"]: r["change_type"]
+        for r in diff.table_diff(before, after, ["k"]).collect()
+    }
+    assert d == {0: "update", 9990: "insert"}
