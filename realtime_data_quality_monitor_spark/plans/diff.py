@@ -37,8 +37,12 @@ def table_diff(
     def _sig(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             *key_cols,
-            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
-                         for c in compare_cols]).alias(f"_h_{side}"),
+            # null flags hashed alongside values: a NULL can never collide
+            # with any real value (including a literal NUL string)
+            F.xxhash64(
+                *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols],
+                *[F.isnull(F.col(c)).cast("int") for c in compare_cols],
+            ).alias(f"_h_{side}"),
             *[F.col(c).alias(f"_{side}_{c}") for c in compare_cols],
         )
 
