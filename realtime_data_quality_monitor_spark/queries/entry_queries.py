@@ -1292,6 +1292,93 @@ def q_m8_iforest_window_scores(spark, sf_dir):
     )
 
 
+def q_j4_semi_anti_customers(spark, sf_dir):
+    """Semi + anti join composition (EXISTS / NOT EXISTS): customers with
+    at least one urgent-priority order and no F-status order. Catalyst
+    plans LeftSemi/LeftAnti — no payload duplication, no post-join
+    dedup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    failed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(failed, c.c_custkey == failed.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_J4 = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F')
+"""
+
+
+def q_j5_orders_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery through the SQL surface (spark.sql):
+    orders priced above their own customer's average — Catalyst
+    decorrelates into an aggregate + join; exactness via DECIMAL avg with
+    one final double division on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM v_orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SQL_J5 = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_p10_set_ops_users(spark, sf_dir):
+    """Set operations over count-thresholded user sets: heavy-error users
+    INTERSECT heavy-purchase users EXCEPT heavy-signup users — the
+    hash-aggregate set algebra with distinct semantics on both engines
+    (thresholds picked so each set and the result are non-empty at
+    sf0.01)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def _u(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 15)
+            .select("user_id")
+        )
+
+    return _u("error").intersect(_u("purchase")).exceptAll(_u("signup"))
+
+
+SQL_P10 = """
+    WITH u AS (SELECT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL)
+    SELECT user_id FROM u WHERE event_type = 'error'
+      GROUP BY 1 HAVING COUNT(*) > 15
+    INTERSECT
+    SELECT user_id FROM u WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING COUNT(*) > 15
+    EXCEPT
+    SELECT user_id FROM u WHERE event_type = 'signup'
+      GROUP BY 1 HAVING COUNT(*) > 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal operators: as-of join, range join, sessions, rollup
 # ---------------------------------------------------------------------------
@@ -1841,6 +1928,9 @@ ENTRY_QUERIES = {
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     "j2_asof_purchase_last_error": (q_j2_asof_purchase_last_error, SQL_J2),
     "j3_incident_window_events": (q_j3_incident_window_events, SQL_J3),
+    "j4_semi_anti_customers": (q_j4_semi_anti_customers, SQL_J4),
+    "j5_orders_above_customer_avg": (q_j5_orders_above_customer_avg, SQL_J5),
+    "p10_set_ops_users": (q_p10_set_ops_users, SQL_P10),
     "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
