@@ -1,0 +1,32 @@
+"""Zero-cost pipeline counters via the Observation API.
+
+The reference keeps Python-side running counters while consuming the
+stream (kafka_consumer.py:56-69: total/clean/issues per window). The
+Spark-native equivalent is ``DataFrame.observe``: named aggregates are
+accumulated DURING whatever action already runs (the write), so the
+counters cost no extra pass over 100 TB — unlike a separate .agg() job,
+which would re-read the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed_quality(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach the reference's window-counter set to a scored frame
+    (columns from operators/rules.py::with_quality). Returns (df, obs);
+    read ``obs.get`` AFTER an action has materialized the frame."""
+    obs = Observation("quality_counters")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.col("keep").cast("long")).alias("clean_records"),
+        F.sum(F.col("has_issues").cast("long")).alias("issues_found"),
+        F.sum(
+            (F.col("has_issues") & F.col("is_critical")).cast("long")
+        ).alias("critical_issues"),
+        F.avg("overall_score").alias("avg_overall"),
+    )
+    return out, obs

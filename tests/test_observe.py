@@ -1,0 +1,37 @@
+"""plans/observe.py: counters accumulate during the existing action and
+match a separate aggregation exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+from realtime_data_quality_monitor_spark.plans.observe import observed_quality
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+)
+
+
+def test_observed_counters_match_direct_agg(spark, tmp_path):
+    df = with_quality(
+        generate_transcripts(spark, n_convs=80, dup_rate=0.05).drop("_defect"),
+        repartition=False,
+    )
+    out, obs = observed_quality(df)
+    out.write.mode("overwrite").parquet(str(tmp_path / "obs_out"))  # the action
+
+    got = obs.get
+    want = df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.col("keep").cast("long")).alias("clean_records"),
+        F.sum(F.col("has_issues").cast("long")).alias("issues_found"),
+        F.sum((F.col("has_issues") & F.col("is_critical")).cast("long")).alias(
+            "critical_issues"
+        ),
+        F.avg("overall_score").alias("avg_overall"),
+    ).collect()[0]
+    assert got["total_records"] == want["total_records"] > 0
+    assert got["clean_records"] == want["clean_records"]
+    assert got["issues_found"] == want["issues_found"]
+    assert got["critical_issues"] == want["critical_issues"]
+    assert abs(got["avg_overall"] - want["avg_overall"]) < 1e-9

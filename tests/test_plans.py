@@ -133,3 +133,17 @@ def test_interval_bin_join_modes_compile(spark, broadcast_flag):
         assert "BroadcastHashJoin" in p
     else:
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_j4_plans_semi_and_anti_joins(spark):
+    p = _plan(spark, eq.q_j4_semi_anti_customers(spark, SF))
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_j5_correlated_subquery_decorrelates(spark):
+    # no per-row subquery execution: Catalyst must rewrite to an
+    # aggregate + join (plan shows a join, no InSubquery/ScalarSubquery
+    # left in the physical tree)
+    p = _plan(spark, eq.q_j5_orders_above_customer_avg(spark, SF))
+    assert "Join" in p
+    assert "Subquery" not in p
