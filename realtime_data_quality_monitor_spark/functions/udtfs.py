@@ -1,0 +1,44 @@
+"""Python UDTFs (user-defined table functions, Spark 4): one input row ->
+many output rows, usable as a TVF in SQL (``LATERAL split_sentences(t)``),
+via ``DataFrame.lateralJoin``, or called directly with literals.
+
+The lateral-expansion shape matters for training-data pipelines (document
+-> sentences/chunks/windows). Where the expansion is expressible as a
+native ``explode(regexp_extract_all(...))`` that is ALWAYS the faster
+path (codegen, no Python); the UDTF earns its keep when the per-row logic
+needs real Python (stateful tokenizers, model-based segmenters) — the
+sentence splitter here deliberately uses a regex that native functions
+can also express, so tests and the t8 oracle can pin the UDTF against the
+JVM-side formulation row-for-row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+# no lookaround: Java, RE2 (DuckDB) and Python all agree on this pattern
+SENTENCE_RE = r"[^.!?]+[.!?]?"
+
+
+@udtf(returnType="idx int, sentence string")
+class SplitSentences:
+    """text -> (idx, sentence): maximal runs of non-terminator characters
+    plus their trailing terminator, trimmed, empties dropped, 0-indexed
+    after dropping."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        idx = 0
+        for m in re.findall(SENTENCE_RE, text):
+            s = m.strip()
+            if s:
+                yield idx, s
+                idx += 1
+
+
+def register_all(spark) -> None:
+    """Register every UDTF for the SQL surface."""
+    spark.udtf.register("split_sentences", SplitSentences)

@@ -1580,6 +1580,40 @@ SQL_T7 = r"""
 """
 
 
+def q_t8_sentences_documents(spark, sf_dir):
+    """Document -> sentence rows via the Python UDTF
+    (functions/udtfs.py::SplitSentences) in a lateral join. The split
+    regex avoids lookaround so DuckDB's regexp_extract_all reproduces it
+    exactly — per-row UDTF output is hash-compared cell-exactly, pinning
+    the UDTF's semantics (not just its row count). Documents are capped
+    to doc_id < 200 to bound gate runtime."""
+    from ..functions.udtfs import SplitSentences
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = d.lateralJoin(SplitSentences(F.col("text").outer()))
+    return out.select(
+        "doc_id", "idx", F.md5(F.col("sentence")).alias("sentence_md5"),
+        F.length("sentence").alias("n_chars"),
+    )
+
+
+SQL_T8 = r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+                 regexp_extract_all(text, '[^.!?]+[.!?]?'), x -> trim(x)),
+               x -> x != '') AS sents
+      FROM documents WHERE doc_id < 200),
+    e AS (
+      SELECT doc_id, i, sents[i] AS sentence
+      FROM s JOIN generate_series(1, 100000) g(i) ON i <= len(sents))
+    SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+           md5(sentence) AS sentence_md5,
+           length(sentence) AS n_chars
+    FROM e
+"""
+
+
 def q_p9_props_json_stats(spark, sf_dir):
     """Semi-structured payload handling: extract the integer field from
     the props JSON column (the reference stores order payloads as JSONB,
@@ -1938,6 +1972,7 @@ ENTRY_QUERIES = {
     "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
+    "t8_sentences_documents": (q_t8_sentences_documents, SQL_T8),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),

@@ -1,0 +1,49 @@
+"""functions/udtfs.py: the Python UDTF surface — direct TVF call, SQL
+LATERAL, DataFrame.lateralJoin — and the splitter's edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.functions.udtfs import (
+    SplitSentences,
+    register_all,
+)
+
+
+def test_direct_call_multi_sentence(spark):
+    rows = SplitSentences(F.lit("One two. Three!   Four? ")).collect()
+    assert [(r["idx"], r["sentence"]) for r in rows] == [
+        (0, "One two."),
+        (1, "Three!"),
+        (2, "Four?"),
+    ]
+
+
+def test_sql_lateral_join(spark):
+    register_all(spark)
+    spark.createDataFrame(
+        [(1, "A. B."), (2, None), (3, "   ")], "id int, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT id, s.idx, s.sentence FROM udtf_docs, "
+        "LATERAL split_sentences(text) s ORDER BY id, idx"
+    ).collect()
+    # null text and whitespace-only text produce no rows
+    assert [(r["id"], r["idx"], r["sentence"]) for r in got] == [
+        (1, 0, "A."),
+        (1, 1, "B."),
+    ]
+
+
+def test_dataframe_lateral_join_keeps_doc_columns(spark):
+    df = spark.createDataFrame([(7, "x! y")], "id int, text string")
+    out = df.lateralJoin(SplitSentences(F.col("text").outer())).collect()
+    assert [(r["id"], r["idx"], r["sentence"]) for r in out] == [
+        (7, 0, "x!"),
+        (7, 1, "y"),
+    ]
+
+
+def test_terminator_only_text_yields_nothing(spark):
+    assert SplitSentences(F.lit("...!!!???")).collect() == []
