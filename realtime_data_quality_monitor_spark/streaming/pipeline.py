@@ -188,12 +188,54 @@ def run_stream_with_alerts(
     return writer.start()
 
 
+def run_stream_upsert(
+    sdf: DataFrame,
+    target_path: str,
+    key_cols: list,
+    partition_col: str,
+    checkpoint_path: str,
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: each micro-batch is upserted into the
+    partitioned parquet table via plans/upsert.py::merge_upsert —
+    matched keys replaced, new keys inserted, only touched partitions
+    rewritten. With the checkpoint, a restarted query re-delivers at
+    micro-batch granularity and the merge is idempotent per batch
+    (same keys -> same final rows), giving effectively-once table state.
+
+    This is the streaming half of the reference's Postgres INSERT path
+    upgraded to upsert semantics (late corrections replace, not
+    duplicate)."""
+    from ..plans.upsert import merge_upsert
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            key_cols=key_cols,
+            partition_col=partition_col,
+            order_col=order_col,
+        )
+
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "read_transcript_stream",
     "streaming_quality",
     "stream_window_metrics",
     "run_stream_to_parquet",
     "run_stream_with_alerts",
+    "run_stream_upsert",
     "with_static_enrichment",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",

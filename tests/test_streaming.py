@@ -232,3 +232,39 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_upsert_sink_merges_each_batch(spark, tmp_path):
+    # seed a partitioned target
+    tgt = str(tmp_path / "upsert_tgt")
+    (
+        spark.range(100)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.pmod(F.col("id"), F.lit(4)).alias("p"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(tgt)
+    )
+    # stream of corrections: replace k=0..4, insert k=900..904 (p=0)
+    src = str(tmp_path / "upsert_src")
+    spark.createDataFrame(
+        [(i, -i, i % 4) for i in range(5)]
+        + [(900 + i, i, 0) for i in range(5)],
+        "k long, v long, p long",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("k long, v long, p long").parquet(src)
+    q = sp.run_stream_upsert(
+        stream, tgt, key_cols=["k"], partition_col="p",
+        checkpoint_path=str(tmp_path / "upsert_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    t = spark.read.parquet(tgt)
+    assert t.count() == 105
+    got = {r["k"]: r["v"] for r in t.filter("k < 5 OR k >= 900").collect()}
+    assert got == {0: 0, 1: -1, 2: -2, 3: -3, 4: -4,
+                   900: 0, 901: 1, 902: 2, 903: 3, 904: 4}
