@@ -108,3 +108,92 @@ def conversation_sessions(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): running per-conversation stats
+# ---------------------------------------------------------------------------
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire protocol between
+    the JVM and the Python state server; absent google.protobuf (not in
+    this container, installs disallowed) the query driver crashes at
+    init. Gate callers on this."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # the arbitrary-state v2 API (Spark 4+); gated for older runtimes
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningConvQuality(StatefulProcessor):
+        """Running quality counters per conversation: ValueState holds
+        (n_turns, n_issues, sum_overall); each micro-batch folds its rows
+        in and emits the updated running row. State lives in the RocksDB
+        store under the checkpoint, so a restarted query CONTINUES the
+        counts — the v2-API upgrade of the applyInPandasWithState
+        sessionizer above (explicit typed state, update-mode emission)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n long, issues long, sum_overall double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = 0
+            issues = 0
+            total = 0.0
+            for pdf in rows:
+                n += len(pdf)
+                issues += int(pdf["has_issues"].sum())
+                total += float(pdf["overall_score"].sum())
+            if self._state.exists():
+                pn, pi, ps = self._state.get()
+                n += int(pn)
+                issues += int(pi)
+                total += float(ps)
+            self._state.update((n, issues, total))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "n_issues": [issues],
+                    "avg_overall": [total / n if n else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def conversation_running_stats(scored_sdf):
+        """Attach the running-stats processor to a scored streaming frame
+        (needs conv_id, has_issues, overall_score). Caller must enable the
+        RocksDB state store provider (required by transformWithState):
+
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+        """
+        return (
+            scored_sdf.select("conv_id", "has_issues", "overall_score")
+            .groupBy("conv_id")
+            .transformWithStateInPandas(
+                RunningConvQuality(),
+                outputStructType=(
+                    "conv_id string, n_turns long, n_issues long, "
+                    "avg_overall double"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover - older pyspark
+    pass

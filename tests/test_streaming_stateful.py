@@ -66,3 +66,100 @@ def test_sessions_emit_on_event_time_gap(spark, tmp_path):
     t0_us = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
     assert got["conv-1"].first_ts_us == t0_us
     assert got["conv-1"].last_ts_us == t0_us + 90 * 1_000_000
+
+
+def test_running_conv_quality_accumulates_across_restarts(spark, tmp_path):
+    """transformWithStateInPandas: the RocksDB-backed ValueState survives
+    a query restart sharing the checkpoint — batch 2's counters continue
+    from batch 1's. Requires google.protobuf (the JVM<->Python state
+    protocol); skipped where it's absent."""
+    import pytest
+
+    from realtime_data_quality_monitor_spark.streaming.stateful import (
+        _tws_available,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.rules import with_quality
+    from realtime_data_quality_monitor_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+    from realtime_data_quality_monitor_spark.streaming.stateful import (
+        conversation_running_stats,
+    )
+
+    full = generate_transcripts(spark, n_convs=20, defect_rate=0.2, dup_rate=0.0).drop(
+        "_defect"
+    ).filter(F.col("conv_id").isNotNull() & F.col("ts").isNotNull()).cache()
+    half1 = full.filter(F.pmod(F.col("turn_idx"), F.lit(2)) == 0)
+    half2 = full.filter(F.pmod(F.col("turn_idx"), F.lit(2)) == 1)
+
+    src = str(tmp_path / "tws_src")
+    out = str(tmp_path / "tws_out")
+    ckpt = str(tmp_path / "tws_ckpt")
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def drain():
+            stream = spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"
+            ).parquet(src)
+            scored = with_quality(stream, repartition=False, cross_turn=False)
+            q = (
+                conversation_running_stats(scored)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        drain()
+        # second batch arrives; restart the query on the same checkpoint
+        for i, f in enumerate(glob.glob(src + "_extra/*")):
+            pass
+        half2.coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        # the LAST emitted row per conv must equal the full batch totals
+        from pyspark.sql import Window as W
+
+        emitted = spark.read.parquet(out)
+        latest = (
+            emitted.withColumn(
+                "_r",
+                F.row_number().over(
+                    W.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+                ),
+            )
+            .filter("_r = 1")
+            .drop("_r")
+        )
+        want = (
+            with_quality(full, repartition=False, cross_turn=False)
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.col("has_issues").cast("long")).alias("n_issues"),
+                F.avg("overall_score").alias("avg_overall"),
+            )
+        )
+        g = {r["conv_id"]: (r["n_turns"], r["n_issues"]) for r in latest.collect()}
+        w = {r["conv_id"]: (r["n_turns"], r["n_issues"]) for r in want.collect()}
+        assert g == w and len(g) > 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        full.unpersist()
