@@ -1738,6 +1738,91 @@ SQL_D8 = f"""
 # ---------------------------------------------------------------------------
 
 
+def q_q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate (no join) — the
+    baseline every pushed-filter claim is measured against; all three
+    predicates reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_q10_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items in a quarter — 4-table join (nation broadcast), decimal-exact
+    revenue, top-20 with tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
 def q_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-table join (broadcast customer dim into the
     orders-lineitem shuffle join), date-range filters pushed to both fact
@@ -1976,6 +2061,8 @@ ENTRY_QUERIES = {
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),
+    "q6_revenue_forecast": (q_q6_revenue_forecast, SQL_Q6),
+    "q10_returned_item_customers": (q_q10_returned_item_customers, SQL_Q10),
     "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
     "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),
     "d2_jaccard_pairs_documents": (q_d2_jaccard_pairs_documents, SQL_D2),
