@@ -1514,6 +1514,48 @@ SQL_A11 = """
 """
 
 
+_7D_US = 7 * 86_400 * 1_000_000
+
+
+def q_a15_rolling_7day_daily(spark, sf_dir):
+    """RANGE-frame rolling window: per event_type, each day's trailing
+    7-day event count and decimal-exact value sum. The frame is a true
+    range on integer µs (rangeBetween), not a row count — days with
+    gaps weight correctly. One shuffle (partition by type)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_sv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(_us("day"))
+        .rangeBetween(-(_7D_US - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).alias("n_7d"),
+        F.sum("_sv").over(w).cast("double").alias("sum_value_7d"),
+    )
+
+
+SQL_A15 = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(sv) OVER w AS DOUBLE) AS sum_value_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h: median inter-event gap ~7.3h
 
 
@@ -2055,6 +2097,7 @@ ENTRY_QUERIES = {
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
+    "a15_rolling_7day_daily": (q_a15_rolling_7day_daily, SQL_A15),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
     "t8_sentences_documents": (q_t8_sentences_documents, SQL_T8),
