@@ -1,0 +1,50 @@
+"""One-pass table profiling: per-column null counts, exact distincts,
+and bounds — the engine-side version of the summary the reference's
+dashboard computes client-side (dashboard/app.py stat cards) and the
+first thing a quality engineer asks of an unfamiliar 100 TB table.
+
+Everything lands in ONE aggregate job (single scan, map-side partials).
+Exact distinct counts shuffle one row per (column, value) internally via
+count_distinct; at extreme cardinalities switch ``exact_distinct=False``
+to ride HLL (approx_count_distinct, ±rsd) instead — same single-pass
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType, TimestampNTZType, TimestampType
+
+
+def profile(
+    df: DataFrame,
+    columns: list | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Single-row wide profile: for every column ``c`` emits
+    ``c_nulls`` and ``c_distinct``; numeric columns add ``c_min``/
+    ``c_max`` (double), timestamp columns add ``c_min``/``c_max``
+    (timestamp), string columns add ``c_min_len``/``c_max_len``."""
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        dtype = df.schema[c].dataType
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}_nulls"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(col).alias(f"{c}_distinct"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(col, rsd=0.01).alias(f"{c}_distinct")
+            )
+        if isinstance(dtype, NumericType):
+            aggs.append(F.min(col).cast("double").alias(f"{c}_min"))
+            aggs.append(F.max(col).cast("double").alias(f"{c}_max"))
+        elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+            aggs.append(F.min(col).alias(f"{c}_min"))
+            aggs.append(F.max(col).alias(f"{c}_max"))
+        elif isinstance(dtype, StringType):
+            aggs.append(F.min(F.length(col)).alias(f"{c}_min_len"))
+            aggs.append(F.max(F.length(col)).alias(f"{c}_max_len"))
+    return df.agg(*aggs)

@@ -1514,6 +1514,46 @@ SQL_A11 = """
 """
 
 
+def q_p11_profile_events(spark, sf_dir):
+    """One-pass table profile (operators/profile.py): per-column nulls,
+    exact distincts, numeric/timestamp bounds, string length bounds — a
+    single aggregate job over the scan."""
+    from ..operators import profile as prof
+
+    return prof.profile(
+        _t(spark, sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+SQL_P11 = """
+    SELECT COUNT(*) AS n_rows,
+      SUM((event_id IS NULL)::BIGINT) AS event_id_nulls,
+      COUNT(DISTINCT event_id) AS event_id_distinct,
+      CAST(MIN(event_id) AS DOUBLE) AS event_id_min,
+      CAST(MAX(event_id) AS DOUBLE) AS event_id_max,
+      SUM((ts IS NULL)::BIGINT) AS ts_nulls,
+      COUNT(DISTINCT ts) AS ts_distinct,
+      MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+      SUM((user_id IS NULL)::BIGINT) AS user_id_nulls,
+      COUNT(DISTINCT user_id) AS user_id_distinct,
+      CAST(MIN(user_id) AS DOUBLE) AS user_id_min,
+      CAST(MAX(user_id) AS DOUBLE) AS user_id_max,
+      SUM((event_type IS NULL)::BIGINT) AS event_type_nulls,
+      COUNT(DISTINCT event_type) AS event_type_distinct,
+      MIN(length(event_type)) AS event_type_min_len,
+      MAX(length(event_type)) AS event_type_max_len,
+      SUM((value IS NULL)::BIGINT) AS value_nulls,
+      COUNT(DISTINCT value) AS value_distinct,
+      MIN(value) AS value_min, MAX(value) AS value_max,
+      SUM((props IS NULL)::BIGINT) AS props_nulls,
+      COUNT(DISTINCT props) AS props_distinct,
+      MIN(length(props)) AS props_min_len,
+      MAX(length(props)) AS props_max_len
+    FROM events
+"""
+
+
 _7D_US = 7 * 86_400 * 1_000_000
 
 
@@ -2092,6 +2132,7 @@ ENTRY_QUERIES = {
     "j4_semi_anti_customers": (q_j4_semi_anti_customers, SQL_J4),
     "j5_orders_above_customer_avg": (q_j5_orders_above_customer_avg, SQL_J5),
     "p10_set_ops_users": (q_p10_set_ops_users, SQL_P10),
+    "p11_profile_events": (q_p11_profile_events, SQL_P11),
     "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),

@@ -96,3 +96,36 @@ def test_register_views_sql_surface(spark, out_dir):
     assert len(rows) > 0  # dup_rate planted such keys
     for r in rows:
         assert any(i.startswith("duplicate_") for i in r.issues)
+
+
+def test_profile_counts_nulls_and_types(spark):
+    import datetime as dt
+
+    from realtime_data_quality_monitor_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, dt.datetime(2024, 1, 1)),
+            (2, None, None, dt.datetime(2024, 1, 2)),
+            (2, "bbb", 2.5, None),
+        ],
+        "k long, s string, v double, t timestamp_ntz",
+    )
+    row = profile(df).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["k_nulls"] == 0 and row["k_distinct"] == 2
+    assert row["k_min"] == 1.0 and row["k_max"] == 2.0
+    assert row["s_nulls"] == 1 and row["s_distinct"] == 2
+    assert row["s_min_len"] == 1 and row["s_max_len"] == 3
+    assert row["v_min"] == 1.5 and row["v_max"] == 2.5
+    assert row["t_nulls"] == 1 and row["t_min"] == dt.datetime(2024, 1, 1)
+
+
+def test_profile_approx_mode_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.profile import profile
+
+    df = spark.range(5000).select(F.pmod("id", F.lit(321)).alias("k"))
+    approx = profile(df, exact_distinct=False).collect()[0]["k_distinct"]
+    assert abs(approx - 321) <= 321 * 0.05
