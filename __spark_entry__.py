@@ -9,9 +9,10 @@ The catalog lives in
 realtime_data_quality_monitor_spark/queries/entry_queries.py; keys are
 prefixed with the SURVEY.md §2 operator ids they exercise. Entries with a
 None oracle get the weaker rows-only check by design — they are exactly
-the engine-specific-randomness ops (minhash/simhash/LSH xxhash64
-signatures, d6 hyperplane buckets, m8 seeded isolation forest), each
-pinned instead by property tests in tests/.
+the engine-specific-randomness ops (d3/d4 minhash/simhash xxhash64
+signatures, d6/s3/s5 hyperplane-bucket LSH where double summation order
+decides a sign, m8 seeded isolation forest), each pinned instead by
+property/equivalence tests in tests/.
 """
 
 from __future__ import annotations
