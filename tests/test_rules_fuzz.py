@@ -1,0 +1,92 @@
+"""Hypothesis fuzz: the Spark rule engine vs the pure-Python oracle on
+adversarial generated turns — unicode whitespace, emoji, PII fragments,
+boundary lengths, bad roles/ids, null fields, future/ancient timestamps.
+The structured fixtures (test_pipeline_parity) cover the planted defect
+classes; this covers the space between them."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark import config
+from realtime_data_quality_monitor_spark.operators.rules import with_quality
+
+from .oracle import oracle_check
+
+NOW_US = config.NOW_EPOCH * 1_000_000
+
+_TEXT_ALPHABET = (
+    "abcdefghij THE the and einz  \t\N{GRINNING FACE}"
+    ".,!?@0123456789-"
+)
+
+_texts = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=80),
+    st.just("contact me at bob@example.com or 555-123-4567 ok"),
+    st.just("x" * 40000),  # over the length bound
+)
+_roles = st.sampled_from(
+    [None, "user", "assistant", "system", "tool", "User", " tool", "robot"]
+)
+_tools = st.sampled_from([None, "tool_search", "tool_BAD", "nope"])
+_turn_idx = st.one_of(st.none(), st.integers(min_value=-3, max_value=6))
+_ts_off = st.one_of(
+    st.none(),
+    st.integers(min_value=-40 * 86_400, max_value=2 * 86_400),  # s vs NOW
+)
+_conv = st.sampled_from([None, "CONV-1", "CONV-2", "bad-id", ""])
+
+_row = st.tuples(_conv, _turn_idx, _roles, _texts, _tools, _ts_off)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=1, max_size=8))
+def test_rules_match_oracle_on_adversarial_rows(spark, rows):
+    # distinct ts per row pins cross-turn dedup ordering; None stays None
+    data = []
+    for i, (conv, ti, role, text, tool, off) in enumerate(rows):
+        ts_us = None if off is None else NOW_US + (off * 1_000_000) + i
+        data.append((conv, ti, role, text, tool, ts_us))
+    df = spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, _ts_us long",
+    ).withColumn("ts", F.timestamp_micros("_ts_us")).drop("_ts_us")
+
+    got = (
+        with_quality(df, repartition=False)
+        .withColumn("_us", F.unix_micros("ts"))
+        .collect()
+    )
+    oracle_rows = [
+        {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            "role": r["role"],
+            "text": r["text"],
+            "tool": r["tool"],
+            "ts_us": r["_us"],
+        }
+        for r in got
+    ]
+    want = oracle_check(oracle_rows, NOW_US)
+
+    cols = [
+        "completeness_score", "timeliness_score", "accuracy_score",
+        "consistency_score", "uniqueness_score", "validity_score",
+        "overall_score", "issues", "has_issues", "keep", "is_critical",
+        "severity_max", "scrubbed_text",
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for c in cols:
+            assert g[c] == w[c], (c, g["conv_id"], g["turn_idx"], g[c], w[c])

@@ -268,3 +268,43 @@ def test_stream_upsert_sink_merges_each_batch(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.filter("k < 5 OR k >= 900").collect()}
     assert got == {0: 0, 1: -1, 2: -2, 3: -3, 4: -4,
                    900: 0, 901: 1, 902: 2, 903: 3, 904: 4}
+
+
+def test_restarted_stream_is_exactly_once(spark, tmp_path):
+    """Kill the query mid-drain (one file per trigger), restart on the
+    same checkpoint: the file sink must end with every row exactly once —
+    no replay duplicates, nothing dropped."""
+    import time
+
+    df = generate_transcripts(spark, n_convs=60, defect_rate=0.0, dup_rate=0.0).drop(
+        "_defect"
+    )
+    src = str(tmp_path / "eo_src")
+    df.repartition(6).write.mode("overwrite").parquet(src)
+    n_all = spark.read.parquet(src).count()
+    out = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+
+    def start(max_files):
+        stream = sp.read_transcript_stream(spark, src, max_files_per_trigger=max_files)
+        q = sp.streaming_quality(stream)
+        return sp.run_stream_to_parquet(q, out, ckpt, available_now=False)
+
+    # phase 1: trickle one file per micro-batch, stop after some progress
+    q1 = start(1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(1)
+    q1.stop()
+
+    # phase 2: restart on the same checkpoint, drain the rest
+    stream = sp.read_transcript_stream(spark, src)
+    q2 = sp.run_stream_to_parquet(sp.streaming_quality(stream), out, ckpt)
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_all
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_all
