@@ -1514,6 +1514,36 @@ SQL_A11 = """
 """
 
 
+def q_p12_variant_json_stats(spark, sf_dir):
+    """Semi-structured via Spark 4 VariantType: parse_json once into a
+    variant column, typed variant_get extraction after — the
+    binary-encoded upgrade over p9's per-access get_json_object string
+    parsing (parse once, extract many). Output equals p9's aggregate
+    shape, so the engine-agnostic oracle is plain JSON arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_P12 = """
+    WITH x AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM x WHERE k IS NOT NULL GROUP BY 1
+"""
+
+
 def q_p11_profile_events(spark, sf_dir):
     """One-pass table profile (operators/profile.py): per-column nulls,
     exact distincts, numeric/timestamp bounds, string length bounds — a
@@ -2133,6 +2163,7 @@ ENTRY_QUERIES = {
     "j5_orders_above_customer_avg": (q_j5_orders_above_customer_avg, SQL_J5),
     "p10_set_ops_users": (q_p10_set_ops_users, SQL_P10),
     "p11_profile_events": (q_p11_profile_events, SQL_P11),
+    "p12_variant_json_stats": (q_p12_variant_json_stats, SQL_P12),
     "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
