@@ -153,3 +153,31 @@ def with_clean_text(
     return df.withColumn(out_col, clean_text(F.col(text_col))).withColumn(
         "clean_chars", F.length(F.col(out_col))
     )
+
+
+def chunk_spans(text: Column, chunk_tokens: int, stride: int) -> Column:
+    """Array of (chunk_idx, chunk_text) structs: fixed-size token windows
+    with overlap (stride < chunk_tokens), the standard doc->training-
+    example split. Native array algebra (split/sequence/slice), no UDF.
+    The last window is the final partial slice unless the doc length is
+    already covered (standard trailing-chunk rule: starts at 0, stride,
+    2*stride, ... while start < n_tokens, minus starts that add nothing
+    because the previous window already reached the end)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: s,
+        ),
+        lambda s: (s == 0) | (s + F.lit(chunk_tokens) - F.lit(stride) < n),
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, s + 1, F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+        ),
+    )

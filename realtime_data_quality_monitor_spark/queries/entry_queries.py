@@ -1726,6 +1726,49 @@ SQL_T8 = r"""
 """
 
 
+def q_t9_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunking with overlap (textstats.chunk_spans):
+    32-token windows, stride 24 — the document -> training-example split,
+    as native array algebra (split/sequence/slice/explode, no UDF).
+    Fully-redundant tail windows (previous window already reached the
+    end) are dropped; surviving starts stay contiguous so chunk_idx =
+    start/stride on both engines."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100)
+        # token-less docs yield one empty chunk from the always-present
+        # start 0; the oracle's `i < len(t)` join yields none — exclude
+        & (F.size(textstats.tokens_col(F.col("text"))) > 0)
+    )
+    spans = textstats.chunk_spans(F.col("text"), chunk_tokens=32, stride=24)
+    out = d.select("doc_id", F.explode(spans).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        F.length(F.col("c.chunk_text")).alias("n_chars"),
+    )
+
+
+SQL_T9 = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents WHERE doc_id < 100),
+    starts AS (
+      SELECT doc_id, t, i
+      FROM toks JOIN generate_series(0, 100000, 24) g(i)
+        ON i < len(t)
+      WHERE i = 0 OR i + 32 - 24 < len(t)),
+    chunks AS (
+      SELECT doc_id, CAST(i / 24 AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, i + 1, i + 32), ' ') AS chunk_text
+      FROM starts)
+    SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5,
+           length(chunk_text) AS n_chars
+    FROM chunks
+"""
+
+
 def q_p9_props_json_stats(spark, sf_dir):
     """Semi-structured payload handling: extract the integer field from
     the props JSON column (the reference stores order payloads as JSONB,
@@ -2173,6 +2216,7 @@ ENTRY_QUERIES = {
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
     "t8_sentences_documents": (q_t8_sentences_documents, SQL_T8),
+    "t9_chunk_documents": (q_t9_chunk_documents, SQL_T9),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),

@@ -178,3 +178,38 @@ def test_clean_text_tags_ctrl_whitespace(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     got = [r["c"] for r in df.select(clean_text(F.col("text")).alias("c")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_chunk_spans_edges(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.textstats import (
+        chunk_spans,
+    )
+
+    def chunks(text, chunk, stride):
+        df = spark.createDataFrame([(text,)], "text string")
+        rows = df.select(
+            F.explode(chunk_spans(F.col("text"), chunk, stride)).alias("c")
+        ).collect()
+        return [(r["c"]["chunk_idx"], r["c"]["chunk_text"]) for r in rows]
+
+    toks = " ".join(str(i) for i in range(10))  # "0 1 ... 9"
+    # short doc -> one full chunk
+    assert chunks("a b c", 5, 3) == [(0, "a b c")]
+    # exact coverage: 10 tokens, chunk 5, stride 5 -> two disjoint chunks
+    assert chunks(toks, 5, 5) == [(0, "0 1 2 3 4"), (1, "5 6 7 8 9")]
+    # overlap: chunk 6, stride 4 -> starts 0,4; start 8 is redundant
+    # (window at 4 covers through token 9) -> dropped
+    assert chunks(toks, 6, 4) == [
+        (0, "0 1 2 3 4 5"),
+        (1, "4 5 6 7 8 9"),
+    ]
+    # trailing partial chunk kept when it adds coverage
+    assert chunks(toks, 4, 3) == [
+        (0, "0 1 2 3"),
+        (1, "3 4 5 6"),
+        (2, "6 7 8 9"),
+    ]
+    # empty / whitespace-only -> no chunks... (one empty-start chunk of "")
+    assert chunks("   ", 4, 3) == [(0, "")]
