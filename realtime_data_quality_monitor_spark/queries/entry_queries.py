@@ -1584,6 +1584,60 @@ SQL_P11 = """
 """
 
 
+def q_a16_user_value_trend(spark, sf_dir):
+    """Per-user linear trend of event value over arrival order: the OLS
+    slope from EXACT integer sums — values carry 2 decimals, so y
+    quantizes losslessly to BIGINT cents; with x = 0-based arrival rank,
+    num = n*Sxy - Sx*Sy and den = n*Sxx - Sx^2 are exact 64-bit
+    integers and slope = (num/den)/100 is the same three IEEE ops on
+    both engines. (Built-in regr_slope differs in the last ulp across
+    engines; decimal(38) products overflow-round differently — integer
+    arithmetic is the only formulation that hash-compares.)"""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("yq"),
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yq").alias("syq"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxyq"),
+    )
+    num = F.col("n") * F.col("sxyq") - F.col("sx") * F.col("syq")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("slope"),
+    )
+
+
+SQL_A16 = """
+    WITH r AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1 AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yq
+      FROM events WHERE value IS NOT NULL),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(yq) AS BIGINT) AS syq,
+             CAST(SUM(x*yq) AS BIGINT) AS sxyq
+      FROM r GROUP BY 1)
+    SELECT user_id, n,
+           CAST(n * sxyq - sx * syq AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0e0 AS slope
+    FROM agg WHERE n >= 2
+"""
+
+
 _7D_US = 7 * 86_400 * 1_000_000
 
 
@@ -2213,6 +2267,7 @@ ENTRY_QUERIES = {
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
     "a15_rolling_7day_daily": (q_a15_rolling_7day_daily, SQL_A15),
+    "a16_user_value_trend": (q_a16_user_value_trend, SQL_A16),
     "t6_hash_sample_documents": (q_t6_hash_sample_documents, SQL_T6),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
     "t8_sentences_documents": (q_t8_sentences_documents, SQL_T8),
