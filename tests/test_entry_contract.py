@@ -1,0 +1,75 @@
+"""__spark_entry__ contract guards: catalog shape invariants and static
+DuckDB parseability of every oracle — catches a typo'd oracle before the
+driver's gate does, without running any query."""
+
+from __future__ import annotations
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# minimal column/type stand-ins for parse-time binding (EXPLAIN binds
+# names and types but reads no data)
+_SCHEMAS = {
+    "region": "r_regionkey BIGINT, r_name VARCHAR",
+    "nation": "n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT",
+    "customer": (
+        "c_custkey BIGINT, c_name VARCHAR, c_nationkey BIGINT, "
+        "c_acctbal DOUBLE, c_mktsegment VARCHAR"
+    ),
+    "supplier": "s_suppkey BIGINT, s_name VARCHAR, s_nationkey BIGINT, s_acctbal DOUBLE",
+    "part": (
+        "p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR, p_type VARCHAR, "
+        "p_size INTEGER, p_retailprice DOUBLE"
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR"
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, "
+        "l_linestatus VARCHAR, l_shipdate TIMESTAMP"
+    ),
+    "events": (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, "
+        "value DOUBLE, props VARCHAR"
+    ),
+    "documents": (
+        "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, "
+        "n_chars BIGINT"
+    ),
+    "embeddings": "vec_id BIGINT, embedding FLOAT[], label INTEGER",
+}
+
+
+def test_every_oracle_key_has_a_query():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 65
+    # rows-only set is exactly the documented randomness-bearing ops
+    assert set(qs) - set(oracles) == {
+        "d3_minhash_lsh_documents", "d4_simhash_documents",
+        "d6_embedding_lsh_dups", "m8_iforest_window_scores",
+        "s3_lsh_ann_embeddings", "s5_lsh_multi_ann_embeddings",
+    }
+
+
+def test_every_oracle_parses_in_duckdb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE TABLE {t} ({_SCHEMAS[t]})")
+    bad = []
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
