@@ -1584,6 +1584,50 @@ SQL_P11 = """
 """
 
 
+def q_w2_user_event_sequence(spark, sf_dir):
+    """Ordered sequence reassembly: each user's event-type sequence as one
+    string, via collect_list(struct(order-keys, value)) + array_sort +
+    array_join — the aggregation shape that exports cleaned conversations
+    (turns -> one training document) and feeds sequence mining. The
+    struct sort key is (ts, event_id) so ties are deterministic; DuckDB's
+    ORDER BY inside string_agg is the oracle."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        _us("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.md5(seq).alias("sequence_md5"),
+        F.length(seq).alias("sequence_len"),
+    )
+
+
+SQL_W2 = """
+    SELECT user_id, COUNT(*) AS n_events,
+           md5(string_agg(event_type, '>' ORDER BY ts, event_id))
+             AS sequence_md5,
+           length(string_agg(event_type, '>' ORDER BY ts, event_id))
+             AS sequence_len
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+"""
+
+
 def q_a16_user_value_trend(spark, sf_dir):
     """Per-user linear trend of event value over arrival order: the OLS
     slope from EXACT integer sums — values carry 2 decimals, so y
@@ -2263,6 +2307,7 @@ ENTRY_QUERIES = {
     "p12_variant_json_stats": (q_p12_variant_json_stats, SQL_P12),
     "a11_rollup_type_day": (q_a11_rollup_type_day, SQL_A11),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
+    "w2_user_event_sequence": (q_w2_user_event_sequence, SQL_W2),
     "a12_salted_type_stats": (q_a12_salted_type_stats, SQL_A12),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "a14_unpivot_measure_sums": (q_a14_unpivot_measure_sums, SQL_A14),
