@@ -213,3 +213,79 @@ def test_chunk_spans_edges(spark):
     ]
     # empty / whitespace-only -> no chunks... (one empty-start chunk of "")
     assert chunks("   ", 4, 3) == [(0, "")]
+
+
+# ---------------------------------------------------------------------------
+# property tests: native text ops vs direct Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcXYZ09", min_size=1, max_size=5), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_words, chunk=st.integers(2, 8), stride=st.integers(1, 8))
+def test_chunk_spans_matches_python_reference(spark, words, chunk, stride):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.textstats import (
+        chunk_spans,
+    )
+
+    text = " ".join(words)
+    rows = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(chunk_spans(F.col("text"), chunk, stride)).alias("c"))
+        .collect()
+    )
+    got = [(r["c"]["chunk_idx"], r["c"]["chunk_text"]) for r in rows]
+
+    toks = [w for w in text.split(" ") if w]
+    n = len(toks)
+    starts = [
+        s
+        for s in range(0, max(n, 1), stride)
+        if s == 0 or s + chunk - stride < n
+    ]
+    want = [(i, " ".join(toks[s : s + chunk])) for i, s in enumerate(starts)]
+    assert got == want
+
+
+_html_text = st.text(
+    alphabet="ab <>/p\t\n\x07\x00.!", min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(text=_html_text)
+def test_clean_text_matches_python_reference(spark, text):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators.textstats import (
+        clean_text,
+    )
+
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(clean_text(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    want = re.sub(r"<[^>]*>", " ", text)
+    want = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", want)
+    want = re.sub(r"[ \t\n\r\f]+", " ", want)
+    want = want.strip(" ")
+    assert got == want
