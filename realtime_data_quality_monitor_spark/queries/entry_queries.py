@@ -2076,6 +2076,59 @@ SQL_Q10 = """
 """
 
 
+def q_q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation inside a join — the share
+    of one month's revenue from PROMO-type parts. Part dim broadcast;
+    numerator and denominator are exact decimal sums, the percentage is
+    one final division on both engines (bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "_promo"
+            ),
+            F.sum(rev).alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("promo_pct"),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+SQL_Q14 = """
+    SELECT 100.0e0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 def q_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-table join (broadcast customer dim into the
     orders-lineitem shuffle join), date-range filters pushed to both fact
@@ -2322,6 +2375,7 @@ ENTRY_QUERIES = {
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),
     "q6_revenue_forecast": (q_q6_revenue_forecast, SQL_Q6),
     "q10_returned_item_customers": (q_q10_returned_item_customers, SQL_Q10),
+    "q14_promo_revenue_share": (q_q14_promo_revenue_share, SQL_Q14),
     "d0_dedup_first_wins_events": (q_d0_dedup_first_wins_events, SQL_D0),
     "d1_dedup_exact_documents": (q_d1_dedup_exact_documents, SQL_D1),
     "d2_jaccard_pairs_documents": (q_d2_jaccard_pairs_documents, SQL_D2),
