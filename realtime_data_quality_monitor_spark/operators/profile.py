@@ -45,6 +45,8 @@ def profile(
             aggs.append(F.min(col).alias(f"{c}_min"))
             aggs.append(F.max(col).alias(f"{c}_max"))
         elif isinstance(dtype, StringType):
-            aggs.append(F.min(F.length(col)).alias(f"{c}_min_len"))
-            aggs.append(F.max(F.length(col)).alias(f"{c}_max_len"))
+            # BIGINT lengths: SQL length() is BIGINT in most engines
+            # (DuckDB included) — keep the profile schema cross-engine
+            aggs.append(F.min(F.length(col)).cast("long").alias(f"{c}_min_len"))
+            aggs.append(F.max(F.length(col)).cast("long").alias(f"{c}_max_len"))
     return df.agg(*aggs)
