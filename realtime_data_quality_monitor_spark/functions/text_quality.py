@@ -139,3 +139,106 @@ def repetition_ratio(text: str) -> float:
         return 0.0
     bigrams = [tokens[i] + " " + tokens[i + 1] for i in range(len(tokens) - 1)]
     return 1.0 - len(set(bigrams)) / len(bigrams)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batch vectorized variants — bit-identical to the per-string
+# functions above (property-pinned in tests/test_text_quality.py), but
+# amortize the numpy/pandas call overhead across the whole batch. The
+# per-string versions REMAIN the contract/oracle; these are the hot path
+# inside functions/udfs.text_features_udf.
+# ---------------------------------------------------------------------------
+
+# token -> bitmask of language indices (bit i = LANGID_LANGS[i])
+_SW_BITS = {tok: sum(1 << i for i in idxs) for tok, idxs in _SW_MAP.items()}
+import pandas as _pd  # noqa: E402  (module-level: built once per executor)
+
+_SW_SERIES = _pd.Series(_SW_BITS, dtype=np.int64)
+_LANG_ARR = None  # built lazily to keep import cheap
+
+
+def detect_language_batch(texts: list) -> "np.ndarray":
+    """Vectorized detect_language over a batch (no nulls). Token hit
+    counts are integers and argmax takes the first maximum, so ties and
+    zero-hit fallbacks are exactly the per-string semantics."""
+    global _LANG_ARR
+    if _LANG_ARR is None:
+        _LANG_ARR = np.array(LANGID_LANGS, dtype=object)
+    n = len(texts)
+    lens = np.empty(n, dtype=np.int64)
+    flat: list = []
+    for i, t in enumerate(texts):
+        lst = t[:FEATURE_MAX_CHARS].split()
+        lens[i] = len(lst)
+        flat.extend(lst)
+    if not flat:
+        return np.full(n, "unknown", dtype=object)
+    toks = _pd.Series(flat, dtype=object).str.lower()
+    # Series.map(Series) is a single vectorized hashtable probe
+    mask = toks.map(_SW_SERIES).fillna(0).to_numpy(dtype=np.int64)
+    seg = np.repeat(np.arange(n), lens)
+    nlangs = len(LANGID_LANGS)
+    hits = np.zeros((nlangs, n), dtype=np.int64)
+    for j in range(nlangs):
+        sel = (mask >> j) & 1 == 1
+        if sel.any():
+            hits[j] = np.bincount(seg[sel], minlength=n)
+    best = hits.max(axis=0)
+    out = _LANG_ARR[hits.argmax(axis=0)]  # first max = LANGID_LANGS order
+    out[(lens == 0) | (best == 0)] = "unknown"
+    return out
+
+
+def avg_neg_logprob_batch(texts: list) -> "np.ndarray":
+    """Vectorized avg_neg_logprob: one concatenated gather + segment
+    sums. Table values are exact multiples of 2^-20, so any summation
+    order is exact (see avg_neg_logprob docstring) — results are
+    bit-identical to the per-string loop."""
+    n = len(texts)
+    framed = [" " + lm_normalize(t[:FEATURE_MAX_CHARS]) + " " for t in texts]
+    lens = np.array([len(f) for f in framed], dtype=np.int64)
+    blob = np.frombuffer("".join(framed).encode("ascii"), dtype=np.uint8)
+    vals = _LM_MATRIX[blob[:-1], blob[1:]]
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    vals_p = np.concatenate([vals, [0.0]])
+    vals_p[starts[1:] - 1] = 0.0  # zero the cross-text boundary pairs
+    sums = np.add.reduceat(vals_p, starts)
+    denom = lens - 1
+    out = -sums / np.maximum(denom, 1)
+    out[denom <= 1] = 0.0  # empty normalized text -> 0.0
+    return out
+
+
+def repetition_ratio_batch(texts: list) -> "np.ndarray":
+    """Vectorized repetition_ratio: factorize tokens once per batch,
+    count distinct (segment, bigram-code) pairs. Token equality is
+    preserved exactly by factorize and tokens cannot contain spaces, so
+    code-pair equality == concatenated-bigram equality."""
+    n = len(texts)
+    lens = np.empty(n, dtype=np.int64)
+    flat: list = []
+    for i, t in enumerate(texts):
+        lst = [x for x in _JAVA_WS.split(t) if x]
+        lens[i] = len(lst)
+        flat.extend(lst)
+    out = np.zeros(n, dtype=np.float64)
+    ok = lens >= 2
+    if not ok.any():
+        return out
+    codes, uniq = _pd.factorize(np.asarray(flat, dtype=object))
+    codes = codes.astype(np.int64)
+    seg = np.repeat(np.arange(n), lens)
+    same = seg[:-1] == seg[1:]
+    a, b, s = codes[:-1][same], codes[1:][same], seg[:-1][same]
+    ka = max(int(np.ceil(np.log2(max(len(uniq), 2)))), 1)
+    kb = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    if 2 * ka + kb <= 62:
+        u = np.unique((s << (2 * ka)) | (a << ka) | b)
+        distinct = np.bincount((u >> (2 * ka)).astype(np.int64), minlength=n)
+    else:  # overflow-safe fallback for gigantic batches
+        dd = _pd.DataFrame({"s": s, "a": a, "b": b}).drop_duplicates()
+        distinct = np.bincount(dd["s"].to_numpy(), minlength=n)
+    total = np.maximum(lens - 1, 1)
+    out[ok] = 1.0 - distinct[ok] / total[ok]
+    return out

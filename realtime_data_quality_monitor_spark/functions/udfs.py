@@ -18,7 +18,11 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from .scrub import scrub_text
-from .text_quality import avg_neg_logprob, detect_language, repetition_ratio
+from .text_quality import (
+    avg_neg_logprob_batch,
+    detect_language_batch,
+    repetition_ratio_batch,
+)
 
 _FEATURES_TYPE = StructType(
     [
@@ -33,20 +37,29 @@ _FEATURES_TYPE = StructType(
 def text_features_udf(texts: pd.Series) -> pd.DataFrame:
     """Per-turn language ID + char-bigram NLL + word-bigram repetition
     ratio in ONE Arrow stage (the text crosses the JVM<->Python boundary
-    once); null in -> nulls out."""
-    langs = []
-    nlls = []
-    reps = []
-    for t in texts:
-        if t is None:
-            langs.append(None)
-            nlls.append(None)
-            reps.append(None)
-        else:
-            langs.append(detect_language(t))
-            nlls.append(avg_neg_logprob(t))
-            reps.append(repetition_ratio(t))
-    return pd.DataFrame({"lang": langs, "nll": nlls, "rep": reps})
+    once); null in -> nulls out.
+
+    Interior is the *_batch variants (functions/text_quality.py):
+    whole-batch numpy/pandas, bit-identical to the per-string contract
+    functions (pinned by tests/test_text_quality.py parity suite)."""
+    import numpy as np
+
+    vals = texts.to_numpy(dtype=object)
+    null_mask = pd.isna(vals)
+    present = [t for t, isna in zip(vals, null_mask) if not isna]
+    out = pd.DataFrame(
+        {
+            "lang": pd.Series([None] * len(vals), dtype=object),
+            "nll": pd.Series([None] * len(vals), dtype=object),
+            "rep": pd.Series([None] * len(vals), dtype=object),
+        }
+    )
+    if present:
+        idx = np.flatnonzero(~null_mask)
+        out.iloc[idx, 0] = detect_language_batch(present)
+        out.iloc[idx, 1] = avg_neg_logprob_batch(present)
+        out.iloc[idx, 2] = repetition_ratio_batch(present)
+    return out
 
 
 @pandas_udf(StringType())

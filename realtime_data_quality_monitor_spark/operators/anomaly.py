@@ -160,6 +160,231 @@ def ensemble_anomalies(
     )
 
 
+def sequence_forecast_anomalies(
+    df: DataFrame,
+    order_col: str,
+    feature_cols: list,
+    seq_len: int = 5,
+    threshold_percentile: float = 0.95,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Temporal-pattern detector — the deterministic Spark-native analog
+    of the reference's LSTM next-step predictor (flink/src/
+    lstm_detector.py:24-169): the reference MinMax-scales the window
+    features, predicts the next step from the trailing sequence, scores
+    each step by mean |prediction - actual| across features, and flags
+    steps whose error exceeds the p95 of all errors.
+
+    Here the learned predictor is replaced by the trailing-``seq_len``
+    moving average per feature (the closed-form linear forecaster —
+    deterministic, no training), everything else keeps the reference's
+    shape: global MinMax scaling, mean-abs next-step error, exact-p95
+    threshold, ``forecast_anomaly`` flag. Rows without a full trailing
+    window (the first ``seq_len``) carry null error and never flag —
+    matching the reference's warm-up behavior.
+
+    Cross-engine determinism: the trailing window sums DECIMAL-cast
+    scaled values (order-free exact), and ``quantize`` (e.g. 10**7)
+    floors errors to BIGINT before the percentile so the p95
+    interpolation arithmetic is exact in IEEE754 — the catalog recipe
+    for oracle-checkable doubles.
+
+    Shuffle shape: one global-window pass over the (tiny, aggregated)
+    window-feature frame + two broadcast scalar joins. Input is windows,
+    never raw records — same contract as the reference."""
+    mins = [F.min(c).alias(f"_lo_{c}") for c in feature_cols]
+    maxs = [F.max(c).alias(f"_hi_{c}") for c in feature_cols]
+    bounds = df.agg(*mins, *maxs)
+    out = df.crossJoin(F.broadcast(bounds))
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(-seq_len, -1)
+    )
+    err_terms = []
+    for c in feature_cols:
+        rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        scaled = F.try_divide(F.col(c) - F.col(f"_lo_{c}"), rng)
+        scaled = F.coalesce(scaled, F.lit(0.0))  # constant feature -> 0
+        out = out.withColumn(f"_s_{c}", scaled)
+        pred = (
+            F.sum(F.col(f"_s_{c}").cast("decimal(28,12)")).over(w).cast("double")
+            / F.lit(float(seq_len))
+        )
+        cnt = F.count(f"_s_{c}").over(w)
+        err_terms.append(
+            F.when(cnt == seq_len, F.abs(pred - F.col(f"_s_{c}")))
+        )
+    total = err_terms[0]
+    for t in err_terms[1:]:
+        total = total + t
+    err = total / F.lit(float(len(feature_cols)))
+    if quantize:
+        err = F.floor(err * F.lit(float(quantize))).cast("long")
+    out = out.withColumn("forecast_error", err)
+    thresh = out.agg(
+        F.expr(
+            f"percentile(forecast_error, {threshold_percentile})"
+        ).alias("_err_thresh")
+    )
+    out = out.crossJoin(F.broadcast(thresh))
+    out = out.withColumns(
+        {
+            "forecast_threshold": F.col("_err_thresh"),
+            "forecast_anomaly": F.col("forecast_error").isNotNull()
+            & (F.col("forecast_error") > F.col("_err_thresh")),
+        }
+    )
+    drop = (
+        [f"_lo_{c}" for c in feature_cols]
+        + [f"_hi_{c}" for c in feature_cols]
+        + [f"_s_{c}" for c in feature_cols]
+        + ["_err_thresh"]
+    )
+    return out.drop(*drop)
+
+
+def reconstruction_anomalies(
+    df: DataFrame,
+    feature_cols: list,
+    threshold_percentile: float = 0.95,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Reconstruction-error detector — the deterministic Spark-native
+    analog of the reference's autoencoder (flink/src/
+    autoencoder_detector.py:24-159): the reference standard-scales the
+    window features, reconstructs each row through a low-dimensional
+    bottleneck, scores rows by mean |x - x_hat|, and flags rows whose
+    error exceeds the p95 of all errors.
+
+    Here the learned bottleneck is replaced by the closed-form rank-1
+    tied-weights reconstruction: in standardized space every feature is
+    reconstructed as the mean of the row's OTHER standardized features
+    (the uniform-weight encoder/decoder pair — what a linear AE with a
+    1-d code and tied uniform weights computes). A row where all
+    features deviate coherently reconstructs well; a single-feature
+    spike yields large error — the same failure geometry the AE targets.
+    Scaling uses the exact two-pass mean/std (integer/decimal sums stay
+    engine-exact upstream); ``recon_anomaly`` flags error > exact p95.
+
+    One aggregate + broadcast + one more aggregate — no per-row state,
+    no window sort. Input is the aggregated window frame. Sums go
+    through DECIMAL casts (order-free exact) and ``quantize`` floors the
+    error to BIGINT before the percentile — the catalog's
+    oracle-exactness recipe for double pipelines."""
+    n = F.count(F.lit(1))
+    stats = df.agg(
+        *[
+            F.sum(F.col(c).cast("decimal(28,10)")).cast("double").alias(f"_sum_{c}")
+            for c in feature_cols
+        ],
+        *[
+            F.sum((F.col(c) * F.col(c)).cast("decimal(28,10)"))
+            .cast("double")
+            .alias(f"_ss_{c}")
+            for c in feature_cols
+        ],
+        n.alias("_n"),
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    k = len(feature_cols)
+    scaled_cols = []
+    for c in feature_cols:
+        mean = F.col(f"_sum_{c}") / F.col("_n")
+        var = F.col(f"_ss_{c}") / F.col("_n") - mean * mean
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        z = F.coalesce(
+            F.try_divide(F.col(c) - mean, std), F.lit(0.0)
+        )
+        out = out.withColumn(f"_z_{c}", z)
+        scaled_cols.append(f"_z_{c}")
+    zsum = None
+    for sc in scaled_cols:
+        zsum = F.col(sc) if zsum is None else zsum + F.col(sc)
+    out = out.withColumn("_zsum", zsum)
+    # reconstruction of feature i = mean of the other z's:
+    # (zsum - z_i) / (k - 1); error = mean_i |z_i - recon_i|
+    err = None
+    for sc in scaled_cols:
+        recon = (F.col("_zsum") - F.col(sc)) / F.lit(float(k - 1))
+        term = F.abs(F.col(sc) - recon)
+        err = term if err is None else err + term
+    err = err / F.lit(float(k))
+    if quantize:
+        err = F.floor(err * F.lit(float(quantize))).cast("long")
+    out = out.withColumn("recon_error", err)
+    thresh = out.agg(
+        F.expr(
+            f"percentile(recon_error, {threshold_percentile})"
+        ).alias("_rt")
+    )
+    out = out.crossJoin(F.broadcast(thresh))
+    out = out.withColumns(
+        {
+            "recon_threshold": F.col("_rt"),
+            "recon_anomaly": F.col("recon_error") > F.col("_rt"),
+        }
+    )
+    drop = (
+        [f"_sum_{c}" for c in feature_cols]
+        + [f"_ss_{c}" for c in feature_cols]
+        + scaled_cols
+        + ["_n", "_zsum", "_rt"]
+    )
+    return out.drop(*drop)
+
+
+def mad_explanations(
+    df: DataFrame, value_cols: list, k: float = 3.5, top_n: int = 3
+) -> DataFrame:
+    """Per-anomaly feature attribution — the closed-form analog of the
+    reference's SHAP top-3 contributor report (flink/src/
+    explainability.py:35-113): for every window the MAD detector flags,
+    rank features by their robust z-score |x - median| / MAD and emit
+    the top ``top_n`` as (rank, feature, z). For a median/MAD detector
+    the exact contribution IS the |z| — no sampling approximation
+    needed. Ties break on feature name for determinism.
+
+    Emits one row per (window, rank<=top_n) with columns
+    ``feature``, ``contribution_z``, ``rank`` appended to the window's
+    original columns. Only windows with ``any_anomaly`` appear."""
+    flagged = mad_anomalies(df, value_cols, k=k)
+    meds = df.agg(
+        *[
+            F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}")
+            for c in value_cols
+        ]
+    )
+    tmp = df.crossJoin(F.broadcast(meds))
+    mads = tmp.agg(
+        *[
+            F.expr(f"percentile(abs({c} - _med_{c}), 0.5)").alias(f"_mad_{c}")
+            for c in value_cols
+        ]
+    )
+    enriched = flagged.filter(F.col("any_anomaly")).crossJoin(
+        F.broadcast(meds)
+    ).crossJoin(F.broadcast(mads))
+    pairs = []
+    for c in value_cols:
+        z = F.try_divide(
+            F.abs(F.col(c) - F.col(f"_med_{c}")), F.col(f"_mad_{c}")
+        )
+        pairs.append(F.struct(F.coalesce(z, F.lit(0.0)).alias("z"), F.lit(c).alias("f")))
+    exploded = enriched.withColumn(
+        "_contrib", F.explode(F.array(*pairs))
+    ).withColumns(
+        {"feature": F.col("_contrib.f"), "contribution_z": F.col("_contrib.z")}
+    )
+    w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(
+        F.col("contribution_z").desc(), F.col("feature").asc()
+    )
+    ranked = exploded.withColumn("rank", F.row_number().over(w))
+    keep_cols = (
+        list(df.columns) + ["feature", "contribution_z", "rank"]
+    )
+    return ranked.filter(F.col("rank") <= top_n).select(*keep_cols)
+
+
 # ---------------------------------------------------------------------------
 # IsolationForest (numpy, deterministic) over the window-feature frame
 # ---------------------------------------------------------------------------

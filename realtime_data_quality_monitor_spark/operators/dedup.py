@@ -333,6 +333,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -353,6 +354,20 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        # exhausted max_iters with labels still moving: partial labels
+        # would silently split clusters — converge via the O(log n)
+        # star-contraction variant instead of returning wrong output
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds"
+            " (component diameter exceeds max_iters); falling back to"
+            " connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(pairs, a_col=a_col, b_col=b_col)
     return labels.select("node", F.col("label").alias("cluster_rep"))
 
 

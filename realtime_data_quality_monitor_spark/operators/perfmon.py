@@ -1,0 +1,79 @@
+"""Model/stage performance monitor (reference M7 analog).
+
+The reference keeps a per-model deque of the last ``window_size``
+predictions and reports avg/min/max/p95 latency, anomaly rate and count
+(flink/src/performance_monitor.py:21-120; p95 at :87 is the POSITIONAL
+``sorted(latencies)[int(n * 0.95)]`` when n > 20, else max — not an
+interpolated percentile). This module computes the identical report as
+one distributed pass: recency rank per model (window over the model key,
+bounded output: at most ``window_size`` rows per model survive) + one
+hash aggregate.
+
+Cross-engine exactness: latency averages go through DECIMAL sums; the
+positional p95 is an exact element selection (no float interpolation);
+anomaly_rate is one multiply + one divide of exact operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_n_performance(
+    df: DataFrame,
+    model_col: str = "model_name",
+    latency_col: str = "latency_ms",
+    anomaly_col: str = "is_anomaly",
+    order_cols: list | None = None,
+    window_size: int = 100,
+    p95_min_n: int = 20,
+) -> DataFrame:
+    """Per-model performance report over each model's most recent
+    ``window_size`` rows (recency = descending ``order_cols``).
+
+    Returns one row per model: predictions_count, avg/min/max_latency_ms,
+    p95_latency_ms (positional, reference semantics), anomaly_rate.
+    """
+    order_cols = order_cols or ["ts"]
+    w_recent = Window.partitionBy(model_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    recent = df.withColumn("_rn", F.row_number().over(w_recent)).filter(
+        F.col("_rn") <= window_size
+    )
+    # positional p95: rank latencies ascending (ties broken by recency
+    # rank for determinism) and pick index int(n * 0.95) (0-based)
+    w_lat = Window.partitionBy(model_col).orderBy(
+        F.col(latency_col).asc(), F.col("_rn").asc()
+    )
+    ranked = recent.withColumns(
+        {
+            "_lat_rn": F.row_number().over(w_lat),
+            "_n": F.count(F.lit(1)).over(Window.partitionBy(model_col)),
+        }
+    )
+    p95_pos = F.floor(F.col("_n") * F.lit(0.95)).cast("long") + 1
+    agg = ranked.groupBy(model_col).agg(
+        F.count(F.lit(1)).alias("predictions_count"),
+        (
+            F.sum(F.col(latency_col).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_latency_ms"),
+        F.min(latency_col).alias("min_latency_ms"),
+        F.max(latency_col).alias("max_latency_ms"),
+        F.max(
+            F.when(F.col("_lat_rn") == p95_pos, F.col(latency_col))
+        ).alias("_p95_candidate"),
+        (
+            F.sum(F.col(anomaly_col).cast("long")).cast("double")
+            * 100.0
+            / F.count(F.lit(1))
+        ).alias("anomaly_rate"),
+    )
+    return agg.withColumn(
+        "p95_latency_ms",
+        F.when(
+            F.col("predictions_count") > p95_min_n, F.col("_p95_candidate")
+        ).otherwise(F.col("max_latency_ms")),
+    ).drop("_p95_candidate")

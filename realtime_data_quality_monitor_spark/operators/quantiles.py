@@ -1,0 +1,103 @@
+"""Scale-safe exact quantile bucketing.
+
+``ntile(k) OVER (PARTITION BY g ORDER BY v)`` forces every group's raw
+rows through ONE task's sort — at 100 TB a 5-value group column means 5
+giant single-task sorts. This module computes the SAME per-bucket
+(count, min, max) output in two distributed passes:
+
+  1. ``groupBy(g, v)`` row counts (map-side combine; output is one row
+     per DISTINCT value, which for real measure columns is orders of
+     magnitude smaller than the input);
+  2. cumulative counts over the distinct values (window over the
+     distinct frame only) + a broadcast join against the k-row-per-group
+     bucket-boundary table derived from each group's total count.
+
+Equivalence with ntile: bucket d of n rows has size q+1 for d <= n%k
+else q (q = n div k), spanning row numbers [r_start, r_end]; the value
+at row number r is the distinct value whose cumulative-count interval
+contains r, independent of any tie-break ordering within equal values —
+so per-bucket count/min/max match ntile's under ANY tie-break. (Per-row
+bucket ASSIGNMENT of tied rows does depend on the tie-break; only the
+bucket summary is tie-invariant.)
+
+Scale caveat: the distinct-value frame must fit a per-group window task.
+For quantized measures (prices, scores) this holds by construction; for
+continuous doubles pre-quantize or fall back to approx_percentile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_ntile_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "decile",
+) -> DataFrame:
+    """Per-(group, bucket) count/min/max, cell-identical to
+    ``ntile(n_buckets)`` over (value, any-tie-break) — without sorting
+    any group's raw rows in a single task.
+
+    Returns columns: group_col, bucket_col, n, min_value, max_value.
+    Empty buckets (group smaller than n_buckets) are absent, matching
+    ntile output aggregated by bucket.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wv = Window.partitionBy(group_col).orderBy(value_col)
+    cum = counts.withColumn("_cum", F.sum("_c").over(wv)).withColumn(
+        "_cum_before", F.col("_cum") - F.col("_c")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    k = F.lit(n_buckets)
+    buckets = (
+        totals.select(
+            group_col,
+            "_n",
+            F.explode(F.sequence(F.lit(1), k)).alias(bucket_col),
+        )
+        .withColumn("_q", F.expr(f"_n div {n_buckets}"))
+        .withColumn("_rem", F.col("_n") % k)
+        .withColumn(
+            "_size",
+            F.col("_q")
+            + F.when(F.col(bucket_col) <= F.col("_rem"), 1).otherwise(0),
+        )
+        .filter(F.col("_size") > 0)
+        .withColumn(
+            "_r_start",
+            (F.col(bucket_col) - 1) * F.col("_q")
+            + F.least(F.col(bucket_col) - 1, F.col("_rem"))
+            + 1,
+        )
+        .withColumn("_r_end", F.col("_r_start") + F.col("_size") - 1)
+    )
+    b = F.broadcast(buckets.alias("b"))
+    c = cum.alias("c")
+    joined = c.join(
+        b,
+        (F.col(f"c.{group_col}") == F.col(f"b.{group_col}"))
+        & (
+            (
+                (F.col("c._cum_before") < F.col("b._r_start"))
+                & (F.col("b._r_start") <= F.col("c._cum"))
+            )
+            | (
+                (F.col("c._cum_before") < F.col("b._r_end"))
+                & (F.col("b._r_end") <= F.col("c._cum"))
+            )
+        ),
+    )
+    # matched rows hold the boundary values: min over them = value at
+    # r_start, max = value at r_end; _size is constant per bucket
+    return joined.groupBy(F.col(f"b.{group_col}"), F.col(bucket_col)).agg(
+        F.max("_size").alias("n"),
+        F.min(F.col(f"c.{value_col}")).alias("min_value"),
+        F.max(F.col(f"c.{value_col}")).alias("max_value"),
+    )

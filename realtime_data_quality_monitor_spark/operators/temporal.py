@@ -73,6 +73,12 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on]
+    # tolerance is evaluated against the matched right timestamp; if the
+    # caller's payload selection omits it, carry it internally (and drop
+    # it at the end) instead of silently ignoring the tolerance
+    carry_ts = tolerance_s is not None and right_ts not in right_cols
+    if carry_ts:
+        right_cols = [*right_cols, right_ts]
     lcols = [c for c in left.columns if c not in on and c != left_ts]
 
     l_tag = left.select(
@@ -107,7 +113,7 @@ def asof_join(
         ],
     ).filter(F.col("_side") == 1)
 
-    if tolerance_s is not None and right_ts in right_cols:
+    if tolerance_s is not None:
         age = _us("_ats") - _us(f"{prefix}{right_ts}")
         too_old = age > F.lit(int(tolerance_s) * US)
         filled = filled.select(
@@ -121,6 +127,8 @@ def asof_join(
                 for c in right_cols
             ],
         )
+        if carry_ts:
+            filled = filled.drop(f"{prefix}{right_ts}")
     else:
         filled = filled.drop("_side")
     return filled.withColumnRenamed("_ats", left_ts)

@@ -14,8 +14,10 @@ rewrites ONLY the partitions it touches.
      the hive layout);
   3. anti-joins target rows whose key appears in the updates, unions the
      updates (last-write-wins per key within the batch via a window),
-     and rewrites just those partition directories with dynamic
-     partition overwrite.
+     MATERIALIZES the merged partitions to a staging directory, then
+     swaps them into the target with dynamic partition overwrite
+     (rewrite-then-swap: a crash never leaves a touched partition
+     without its kept rows — re-run ``resume_swap`` from staging).
 
 Untouched partitions' files are byte-identical afterwards (asserted in
 tests/test_upsert.py by file-listing equality), which is what makes the
@@ -35,12 +37,25 @@ def merge_upsert(
     key_cols: list,
     partition_col: str,
     order_col: str | None = None,
+    staging_path: str | None = None,
 ) -> dict:
     """Upsert ``updates`` into the partitioned parquet table at
     ``target_path``. Matched keys are replaced, new keys inserted. If the
     updates batch holds several rows per key, ``order_col`` picks the
     winner (max wins); otherwise an arbitrary-but-deterministic
-    first-by-sort wins. Returns {touched_partitions, upserted_rows}."""
+    first-by-sort wins. Returns {touched_partitions, upserted_rows}.
+
+    Crash safety (the maintenance.py rewrite-then-swap invariant): the
+    merged partitions are MATERIALIZED to a staging directory first, then
+    swapped into the target in a second job that reads only the staging
+    copy. A crash during staging leaves the target untouched; a crash
+    during the swap is repairable by re-running the swap from the intact
+    staging copy (``resume_swap``) — no state exists where the kept
+    (non-updated) rows of a touched partition are lost. Staging is
+    removed only after the swap commits."""
+    import shutil
+    import uuid
+
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
         return {"touched_partitions": [], "upserted_rows": 0}
@@ -64,11 +79,32 @@ def merge_upsert(
     )
     merged = keep.unionByName(dedup.select(*keep.columns))
 
-    n = merged.count()
+    staging = staging_path or f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     (
         merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    staged = spark.read.parquet(staging)
+    n = staged.count()
+    resume_swap(spark, staging, target_path, partition_col)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched_partitions": sorted(parts), "upserted_rows": n}
+
+
+def resume_swap(
+    spark: SparkSession,
+    staging_path: str,
+    target_path: str,
+    partition_col: str,
+) -> None:
+    """Swap a staged merge into the target (idempotent: re-runnable after
+    a crash mid-swap — the staging copy is the source of truth for every
+    touched partition, so replaying the dynamic overwrite converges)."""
+    (
+        spark.read.parquet(staging_path)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
-    return {"touched_partitions": sorted(parts), "upserted_rows": n}

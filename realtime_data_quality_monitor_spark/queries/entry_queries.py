@@ -1339,6 +1339,407 @@ def q_m8_iforest_window_scores(spark, sf_dir):
     )
 
 
+_FORECAST_FEATS = ["total_records", "avg_overall", "critical_records"]
+
+
+def q_m9_forecast_anomalies_daily(spark, sf_dir):
+    """LSTM-analog temporal anomaly detection (M2; flink/src/
+    lstm_detector.py:24-169): minmax-scale the daily window features,
+    predict each step from the trailing-5 moving average, score by mean
+    abs next-step error, flag errors above the exact p95. Errors are
+    quantized (floor(err*1e7) -> BIGINT) so the percentile interpolation
+    is IEEE-exact cross-engine."""
+    daily = _daily_window_stats(spark, sf_dir)
+    out = anomaly.sequence_forecast_anomalies(
+        daily, "day", _FORECAST_FEATS, seq_len=5, quantize=10**7
+    )
+    return out.select(
+        "day", "forecast_error", "forecast_threshold", "forecast_anomaly"
+    )
+
+
+SQL_M9 = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (
+      SELECT MIN(total_records) AS lo_t, MAX(total_records) AS hi_t,
+             MIN(avg_overall) AS lo_a, MAX(avg_overall) AS hi_a,
+             MIN(critical_records) AS lo_c, MAX(critical_records) AS hi_c
+      FROM daily),
+    scaled AS (
+      SELECT day,
+             COALESCE((total_records - lo_t) / NULLIF(CAST(hi_t - lo_t AS DOUBLE), 0), 0.0e0) AS s_t,
+             COALESCE((avg_overall - lo_a) / NULLIF(hi_a - lo_a, 0), 0.0e0) AS s_a,
+             COALESCE((critical_records - lo_c) / NULLIF(CAST(hi_c - lo_c AS DOUBLE), 0), 0.0e0) AS s_c
+      FROM daily, bounds),
+    pred AS (
+      SELECT day, s_t, s_a, s_c,
+             CAST(SUM(CAST(s_t AS DECIMAL(28,12))) OVER w AS DOUBLE) / 5.0e0 AS p_t,
+             CAST(SUM(CAST(s_a AS DECIMAL(28,12))) OVER w AS DOUBLE) / 5.0e0 AS p_a,
+             CAST(SUM(CAST(s_c AS DECIMAL(28,12))) OVER w AS DOUBLE) / 5.0e0 AS p_c,
+             COUNT(s_t) OVER w AS cnt
+      FROM scaled
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+    err AS (
+      SELECT day,
+             CASE WHEN cnt = 5 THEN
+               CAST(FLOOR((abs(p_t - s_t) + abs(p_a - s_a) + abs(p_c - s_c))
+                          / 3.0e0 * 10000000.0e0) AS BIGINT)
+             END AS forecast_error
+      FROM pred),
+    thr AS (SELECT quantile_cont(forecast_error, 0.95e0) AS forecast_threshold FROM err)
+    SELECT day, forecast_error, forecast_threshold,
+           COALESCE(forecast_error > forecast_threshold, FALSE) AS forecast_anomaly
+    FROM err, thr
+"""
+
+
+def q_m10_recon_anomalies_daily(spark, sf_dir):
+    """Autoencoder-analog reconstruction-error detection (M3; flink/src/
+    autoencoder_detector.py:24-159): standard-scale the daily window
+    features, reconstruct each feature as the mean of the row's other
+    z-scores (closed-form rank-1 tied-weights bottleneck), score by mean
+    abs reconstruction error, flag above exact p95. Quantized errors for
+    cross-engine-exact percentiles."""
+    daily = _daily_window_stats(spark, sf_dir)
+    out = anomaly.reconstruction_anomalies(
+        daily, _FORECAST_FEATS, quantize=10**7
+    )
+    return out.select("day", "recon_error", "recon_threshold", "recon_anomaly")
+
+
+SQL_M10 = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    stats AS (
+      SELECT CAST(SUM(CAST(total_records AS DECIMAL(28,10))) AS DOUBLE) AS sum_t,
+             CAST(SUM(CAST(total_records * total_records AS DECIMAL(28,10))) AS DOUBLE) AS ss_t,
+             CAST(SUM(CAST(avg_overall AS DECIMAL(28,10))) AS DOUBLE) AS sum_a,
+             CAST(SUM(CAST(avg_overall * avg_overall AS DECIMAL(28,10))) AS DOUBLE) AS ss_a,
+             CAST(SUM(CAST(critical_records AS DECIMAL(28,10))) AS DOUBLE) AS sum_c,
+             CAST(SUM(CAST(critical_records * critical_records AS DECIMAL(28,10))) AS DOUBLE) AS ss_c,
+             COUNT(*) AS n
+      FROM daily),
+    z AS (
+      SELECT day,
+             COALESCE((total_records - sum_t / n)
+               / NULLIF(sqrt(GREATEST(ss_t / n - (sum_t / n) * (sum_t / n), 0.0e0)), 0), 0.0e0) AS z_t,
+             COALESCE((avg_overall - sum_a / n)
+               / NULLIF(sqrt(GREATEST(ss_a / n - (sum_a / n) * (sum_a / n), 0.0e0)), 0), 0.0e0) AS z_a,
+             COALESCE((critical_records - sum_c / n)
+               / NULLIF(sqrt(GREATEST(ss_c / n - (sum_c / n) * (sum_c / n), 0.0e0)), 0), 0.0e0) AS z_c
+      FROM daily, stats),
+    err AS (
+      SELECT day,
+             CAST(FLOOR((abs(z_t - ((z_t + z_a + z_c) - z_t) / 2.0e0)
+                       + abs(z_a - ((z_t + z_a + z_c) - z_a) / 2.0e0)
+                       + abs(z_c - ((z_t + z_a + z_c) - z_c) / 2.0e0))
+                        / 3.0e0 * 10000000.0e0) AS BIGINT) AS recon_error
+      FROM z),
+    thr AS (SELECT quantile_cont(recon_error, 0.95e0) AS recon_threshold FROM err)
+    SELECT day, recon_error, recon_threshold,
+           recon_error > recon_threshold AS recon_anomaly
+    FROM err, thr
+"""
+
+
+def q_m11_mad_explanations_daily(spark, sf_dir):
+    """SHAP-analog per-anomaly feature attribution (M6; flink/src/
+    explainability.py:35-113): for each MAD-flagged daily window, the
+    top-3 features ranked by robust z |x - median| / MAD — the exact
+    closed-form contribution for a median/MAD detector. Ties break on
+    feature name."""
+    daily = _daily_window_stats(spark, sf_dir)
+    out = anomaly.mad_explanations(daily, _FORECAST_FEATS, k=3.5, top_n=3)
+    return out.select("day", "rank", "feature", "contribution_z")
+
+
+SQL_M11 = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (SELECT quantile_cont(total_records, 0.5) AS m_t,
+                   quantile_cont(avg_overall, 0.5) AS m_a,
+                   quantile_cont(critical_records, 0.5) AS m_c FROM daily),
+    mad AS (SELECT quantile_cont(abs(total_records - m_t), 0.5) AS d_t,
+                   quantile_cont(abs(avg_overall - m_a), 0.5) AS d_a,
+                   quantile_cont(abs(critical_records - m_c), 0.5) AS d_c
+            FROM daily, med),
+    flagged AS (
+      SELECT day, total_records, avg_overall, critical_records
+      FROM daily, med, mad
+      WHERE (d_t > 0 AND abs(total_records - m_t) > 3.5e0 * d_t)
+         OR (d_a > 0 AND abs(avg_overall - m_a) > 3.5e0 * d_a)
+         OR (d_c > 0 AND abs(critical_records - m_c) > 3.5e0 * d_c)),
+    long AS (
+      SELECT day, 'total_records' AS feature,
+             COALESCE(abs(total_records - m_t) / NULLIF(CAST(d_t AS DOUBLE), 0), 0.0e0) AS contribution_z
+      FROM flagged, med, mad
+      UNION ALL
+      SELECT day, 'avg_overall',
+             COALESCE(abs(avg_overall - m_a) / NULLIF(d_a, 0), 0.0e0)
+      FROM flagged, med, mad
+      UNION ALL
+      SELECT day, 'critical_records',
+             COALESCE(abs(critical_records - m_c) / NULLIF(CAST(d_c AS DOUBLE), 0), 0.0e0)
+      FROM flagged, med, mad),
+    ranked AS (
+      SELECT day, feature, contribution_z,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY contribution_z DESC, feature ASC) AS rank
+      FROM long)
+    SELECT day, rank, feature, contribution_z FROM ranked WHERE rank <= 3
+"""
+
+
+def q_p4_consistency_events(spark, sf_dir):
+    """Direct driver gate for the consistency dimension (P4;
+    quality_checker.py:231-278 events remap): three counted checks —
+    props object shape, canonical event_type casing, purchase-value
+    coherence — reported as integer fail counts + one exact average."""
+    ev = _t(spark, sf_dir, "events")
+    c1_fail = F.col("props").isNotNull() & ~(
+        F.col("props").startswith("{") & F.col("props").endswith("}")
+    )
+    c2_fail = F.col("event_type").isNotNull() & ~(
+        (F.col("event_type") == F.lower(F.col("event_type")))
+        & (F.col("event_type") == F.trim(F.col("event_type")))
+    )
+    c3_fail = (F.col("event_type") == "purchase") & ~(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    passed = (
+        (~c1_fail).cast("int") + (~c2_fail).cast("int") + (~c3_fail).cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_int(c1_fail).alias("n_props_shape_fail"),
+        _sum_int(c2_fail).alias("n_casing_fail"),
+        _sum_int(c3_fail).alias("n_purchase_value_fail"),
+        _sum_int(passed == 3).alias("n_all_pass"),
+        (
+            F.sum(passed.cast("long")).cast("double")
+            * 100.0
+            / (F.count(F.lit(1)) * 3)
+        ).alias("avg_consistency"),
+    )
+
+
+SQL_P4 = """
+    WITH c AS (
+      SELECT event_type,
+        (props IS NOT NULL AND NOT (props LIKE '{%' AND props LIKE '%}'))::INT AS f1,
+        (event_type IS NOT NULL AND NOT (event_type = lower(event_type)
+                                         AND event_type = trim(event_type)))::INT AS f2,
+        (event_type = 'purchase'
+         AND NOT (value IS NOT NULL AND value > 0))::INT AS f3
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(f1) AS BIGINT) AS n_props_shape_fail,
+           CAST(SUM(f2) AS BIGINT) AS n_casing_fail,
+           CAST(SUM(f3) AS BIGINT) AS n_purchase_value_fail,
+           CAST(SUM((f1 + f2 + f3 = 0)::INT) AS BIGINT) AS n_all_pass,
+           CAST(SUM((3 - f1 - f2 - f3)::BIGINT) AS DOUBLE) * 100.0e0
+             / (COUNT(*) * 3) AS avg_consistency
+    FROM c GROUP BY event_type
+"""
+
+
+def q_p6_validity_events(spark, sf_dir):
+    """Direct driver gate for the validity dimension (P6;
+    quality_checker.py:308-358 events remap): value range, props JSON
+    shape, known event_type — integer fail counts + exact average."""
+    ev = _t(spark, sf_dir, "events")
+    v1_fail = F.col("value").isNotNull() & ~F.col("value").between(0.0, 10000.0)
+    v2_fail = F.col("props").isNotNull() & ~(
+        F.col("props").startswith('{"') & F.col("props").endswith("}")
+    )
+    v3_fail = F.col("event_type").isNotNull() & ~F.col("event_type").isin(
+        EVENT_TYPES
+    )
+    passed = (
+        (~v1_fail).cast("int") + (~v2_fail).cast("int") + (~v3_fail).cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_int(v1_fail).alias("n_range_fail"),
+        _sum_int(v2_fail).alias("n_json_shape_fail"),
+        _sum_int(v3_fail).alias("n_unknown_type_fail"),
+        _sum_int(passed == 3).alias("n_all_pass"),
+        (
+            F.sum(passed.cast("long")).cast("double")
+            * 100.0
+            / (F.count(F.lit(1)) * 3)
+        ).alias("avg_validity"),
+    )
+
+
+SQL_P6 = """
+    WITH c AS (
+      SELECT event_type,
+        (value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 10000.0))::INT AS f1,
+        (props IS NOT NULL
+         AND NOT (props LIKE '{"%' AND props LIKE '%}'))::INT AS f2,
+        (event_type IS NOT NULL AND event_type NOT IN
+           ('click','error','purchase','signup','view'))::INT AS f3
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(f1) AS BIGINT) AS n_range_fail,
+           CAST(SUM(f2) AS BIGINT) AS n_json_shape_fail,
+           CAST(SUM(f3) AS BIGINT) AS n_unknown_type_fail,
+           CAST(SUM((f1 + f2 + f3 = 0)::INT) AS BIGINT) AS n_all_pass,
+           CAST(SUM((3 - f1 - f2 - f3)::BIGINT) AS DOUBLE) * 100.0e0
+             / (COUNT(*) * 3) AS avg_validity
+    FROM c GROUP BY event_type
+"""
+
+
+def q_m13_ensemble_anomalies_daily(spark, sf_dir):
+    """Ensemble voter over three real detectors (M4 wiring; flink/src/
+    ensemble_detector.py:32-36,54-92): normalized forecast-error score,
+    normalized reconstruction score, MAD any-anomaly flag, combined with
+    the reference weights 0.4/0.3/0.3; anomaly = score > 0.5 OR >= 2
+    votes. Detector scores are error/threshold ratios clamped to [0,1] —
+    exact single divisions of already-exact quantized errors."""
+    daily = _daily_window_stats(spark, sf_dir)
+    f = anomaly.sequence_forecast_anomalies(
+        daily, "day", _FORECAST_FEATS, seq_len=5, quantize=10**7
+    ).select("day", "forecast_error", "forecast_threshold")
+    r = anomaly.reconstruction_anomalies(
+        daily, _FORECAST_FEATS, quantize=10**7
+    ).select("day", "recon_error", "recon_threshold")
+    m = anomaly.mad_anomalies(daily, _FORECAST_FEATS, k=3.5).select(
+        "day", "any_anomaly"
+    )
+    joined = (
+        f.join(r, "day")
+        .join(m, "day")
+        .withColumns(
+            {
+                "score_forecast": F.least(
+                    F.lit(1.0),
+                    F.coalesce(
+                        F.try_divide(
+                            F.col("forecast_error").cast("double"),
+                            F.col("forecast_threshold"),
+                        ),
+                        F.lit(0.0),
+                    ),
+                ),
+                "score_recon": F.least(
+                    F.lit(1.0),
+                    F.coalesce(
+                        F.try_divide(
+                            F.col("recon_error").cast("double"),
+                            F.col("recon_threshold"),
+                        ),
+                        F.lit(0.0),
+                    ),
+                ),
+                "score_mad": F.col("any_anomaly").cast("double"),
+            }
+        )
+    )
+    out = anomaly.ensemble_anomalies(
+        joined,
+        ["score_forecast", "score_recon", "score_mad"],
+        weights=[0.4, 0.3, 0.3],
+    )
+    return out.select(
+        "day",
+        "ensemble_score",
+        "ensemble_votes",
+        "ensemble_anomaly",
+    )
+
+
+SQL_M13 = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    f AS ({{M9}}),
+    r AS ({{M10}}),
+    med AS (SELECT quantile_cont(total_records, 0.5) AS m_t,
+                   quantile_cont(avg_overall, 0.5) AS m_a,
+                   quantile_cont(critical_records, 0.5) AS m_c FROM daily),
+    mad AS (SELECT quantile_cont(abs(total_records - m_t), 0.5) AS d_t,
+                   quantile_cont(abs(avg_overall - m_a), 0.5) AS d_a,
+                   quantile_cont(abs(critical_records - m_c), 0.5) AS d_c
+            FROM daily, med),
+    m AS (
+      SELECT day,
+             ((d_t > 0 AND abs(total_records - m_t) > 3.5e0 * d_t)
+              OR (d_a > 0 AND abs(avg_overall - m_a) > 3.5e0 * d_a)
+              OR (d_c > 0 AND abs(critical_records - m_c) > 3.5e0 * d_c))
+               AS any_anomaly
+      FROM daily, med, mad),
+    scored AS (
+      SELECT f.day,
+             LEAST(1.0e0, COALESCE(f.forecast_error
+               / NULLIF(f.forecast_threshold, 0), 0.0e0)) AS s1,
+             LEAST(1.0e0, COALESCE(r.recon_error
+               / NULLIF(r.recon_threshold, 0), 0.0e0)) AS s2,
+             (m.any_anomaly)::INT::DOUBLE AS s3
+      FROM f JOIN r ON f.day = r.day JOIN m ON f.day = m.day)
+    SELECT day,
+           s1 * 0.4e0 + s2 * 0.3e0 + s3 * 0.3e0 AS ensemble_score,
+           (s1 > 0.5e0)::INT + (s2 > 0.5e0)::INT + (s3 > 0.5e0)::INT
+             AS ensemble_votes,
+           ((s1 * 0.4e0 + s2 * 0.3e0 + s3 * 0.3e0) > 0.5e0
+            OR ((s1 > 0.5e0)::INT + (s2 > 0.5e0)::INT + (s3 > 0.5e0)::INT) >= 2)
+             AS ensemble_anomaly
+    FROM scored
+""".replace("{M9}", SQL_M9).replace("{M10}", SQL_M10)
+
+
+def q_m12_performance_report_events(spark, sf_dir):
+    """ML performance monitor (M7; flink/src/performance_monitor.py:21-120):
+    per-model last-100-prediction latency avg/min/max + POSITIONAL p95
+    (sorted[int(n*.95)], the reference's formula — no interpolation) +
+    anomaly rate. Events reinterpretation: model=event_type,
+    latency=value, anomaly=not keep, recency=(ts, event_id) desc."""
+    from ..operators import perfmon
+
+    ev = _event_quality(_t(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+    preds = ev.select(
+        F.col("event_type").alias("model_name"),
+        F.col("value").alias("latency_ms"),
+        (~F.col("keep")).alias("is_anomaly"),
+        "ts",
+        "event_id",
+    )
+    return perfmon.last_n_performance(
+        preds,
+        order_cols=["ts", "event_id"],
+        window_size=100,
+    )
+
+
+SQL_M12 = f"""
+    WITH preds AS (
+      SELECT event_type AS model_name, value AS latency_ms,
+             (NOT keep) AS is_anomaly,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ({_EVENT_OVERALL_SQL}) WHERE value IS NOT NULL
+      QUALIFY rn <= 100),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY model_name
+                                ORDER BY latency_ms ASC, rn ASC) AS lat_rn,
+             COUNT(*) OVER (PARTITION BY model_name) AS n
+      FROM preds)
+    SELECT model_name, COUNT(*) AS predictions_count,
+           CAST(SUM(CAST(latency_ms AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS avg_latency_ms,
+           MIN(latency_ms) AS min_latency_ms,
+           MAX(latency_ms) AS max_latency_ms,
+           CAST(SUM(is_anomaly::BIGINT) AS DOUBLE) * 100.0e0 / COUNT(*)
+             AS anomaly_rate,
+           CASE WHEN COUNT(*) > 20 THEN
+             MAX(CASE WHEN lat_rn = CAST(FLOOR(n * 0.95e0) AS BIGINT) + 1
+                      THEN latency_ms END)
+           ELSE MAX(latency_ms) END AS p95_latency_ms
+    FROM ranked GROUP BY model_name
+"""
+
+
 def q_j4_semi_anti_customers(spark, sf_dir):
     """Semi + anti join composition (EXISTS / NOT EXISTS): customers with
     at least one urgent-priority order and no F-status order. Catalyst
@@ -1977,20 +2378,17 @@ SQL_A14 = """
 
 
 def q_o3_value_deciles(spark, sf_dir):
-    """Per-type decile summary via ntile(10) under a fully tie-broken
-    ordering (value, event_id) — deterministic bucket assignment, so the
-    per-bucket stats are engine-exact."""
+    """Per-type decile summary, cell-identical to ntile(10) under a
+    tie-broken ordering but computed scale-safely: distinct-value counts
+    + broadcast bucket-boundary join (operators/quantiles.py) instead of
+    sorting each event_type's raw rows in one task. The DuckDB oracle
+    keeps the ntile formulation — the cell-exact match IS the
+    equivalence proof."""
+    from ..operators import quantiles
+
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    d = ev.select(
-        "event_type", "value", F.ntile(10).over(w).alias("decile")
-    )
-    return d.groupBy("event_type", "decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    return quantiles.group_ntile_stats(
+        ev, "event_type", "value", n_buckets=10, bucket_col="decile"
     )
 
 
@@ -2428,11 +2826,16 @@ ENTRY_QUERIES = {
     "t2_token_stats_documents": (q_t2_token_stats_documents, SQL_T2),
     # -- group 3: new round-2 entries (inserted here as they land) --------
     "o3_value_deciles": (q_o3_value_deciles, SQL_O3),
+    "m9_forecast_anomalies_daily": (q_m9_forecast_anomalies_daily, SQL_M9),
+    "m10_recon_anomalies_daily": (q_m10_recon_anomalies_daily, SQL_M10),
+    "m11_mad_explanations_daily": (q_m11_mad_explanations_daily, SQL_M11),
+    "m12_performance_report_events": (q_m12_performance_report_events, SQL_M12),
+    "m13_ensemble_anomalies_daily": (q_m13_ensemble_anomalies_daily, SQL_M13),
+    "p4_consistency_events": (q_p4_consistency_events, SQL_P4),
+    "p6_validity_events": (q_p6_validity_events, SQL_P6),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
-    "p9_props_json_stats": (q_p9_props_json_stats, SQL_P9),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
-    "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
@@ -2444,10 +2847,12 @@ ENTRY_QUERIES = {
     "d3_minhash_lsh_documents": (q_d3_minhash_lsh_documents, None),
     "d4_simhash_documents": (q_d4_simhash_documents, None),
     "t1_langid_documents": (q_t1_langid_documents, SQL_T1),
-    "t3_quality_score_documents": (q_t3_quality_score_documents, SQL_T3),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
     # -- past the driver's 50-entry window (rotating coverage; all were
     #    driver-green in round 1 and stay gated by scripts/check_entry.py)
+    "p9_props_json_stats": (q_p9_props_json_stats, SQL_P9),
+    "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
+    "t3_quality_score_documents": (q_t3_quality_score_documents, SQL_T3),
     "a6_user_value_topk": (q_a6_user_value_topk, SQL_A6),
     "a9_ffill_tail_hourly_error_value": (q_a9_ffill_tail_hourly_error_value, SQL_A9),
     "o2_top_orders_by_revenue": (q_o2_top_orders_by_revenue, SQL_O2),

@@ -1,0 +1,120 @@
+"""Component ablation of the with_quality pipeline at bench scale:
+times the full pipeline vs variants with one stage removed/stubbed,
+so optimization effort goes where the wall-clock is. Best-of-2 per
+variant (shared host). Usage: python scripts/profile_pipeline.py [sf_name]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bench import ensure_transcripts  # noqa: E402
+from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+_FEATURES_TYPE = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("nll", DoubleType()),
+        StructField("rep", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_FEATURES_TYPE)
+def const_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """Same Arrow transfer, zero Python compute."""
+    n = len(texts)
+    return pd.DataFrame(
+        {"lang": ["en"] * n, "nll": [1.0] * n, "rep": [0.0] * n}
+    )
+
+
+@pandas_udf(StringType())
+def const_scrub_udf(texts: pd.Series) -> pd.Series:
+    return texts
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(make_frame, n=2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _noop(make_frame())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main():
+    sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+    spark = get_spark(app_name="rdqm-profile")
+    tpath = ensure_transcripts(spark, sf_name)
+    read = lambda: spark.read.parquet(tpath)  # noqa: E731
+    n = read().count()
+    print(f"rows: {n}")
+
+    import realtime_data_quality_monitor_spark.operators.rules as rules
+
+    # warmup (C2 JIT)
+    _noop(with_quality(read().limit(150_000)))
+
+    out = {}
+    out["full"] = timed(lambda: with_quality(read()))
+    out["scan_only"] = timed(read)
+
+    real_feat, real_scrub = rules.text_features_udf, rules.scrub_udf
+    rules.text_features_udf = const_features_udf
+    out["const_features"] = timed(lambda: with_quality(read()))
+    rules.scrub_udf = const_scrub_udf
+    out["const_both_udfs"] = timed(lambda: with_quality(read()))
+    rules.text_features_udf = real_feat
+    out["const_scrub"] = timed(lambda: with_quality(read()))
+    rules.scrub_udf = real_scrub
+
+    out["no_cross_turn"] = timed(lambda: with_quality(read(), cross_turn=False))
+
+    # candidate fraction for the scrub gate
+    q = with_quality(read())
+    # recompute the gate the way rules.py does
+    from realtime_data_quality_monitor_spark.functions.scrub import (
+        scrub_prefilter_terms,
+    )
+
+    lt = F.lower(F.col("text"))
+    cand = F.col("text").rlike(r"\d{3}")
+    for term in scrub_prefilter_terms():
+        cand = cand | lt.contains(term)
+    fr = (
+        q.select(
+            F.avg(cand.cast("int")).alias("cand_frac"),
+            F.avg((F.col("keep") & cand).cast("int")).alias("scrub_frac"),
+            F.avg(F.col("keep").cast("int")).alias("keep_frac"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    print("fractions:", {k: round(v, 4) for k, v in fr.items()})
+    for k, v in out.items():
+        print(f"{k:18s} {v:8.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

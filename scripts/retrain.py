@@ -1,0 +1,133 @@
+"""Out-of-band periodic retrain job (reference W4 analog).
+
+The reference retrains its anomaly models on a cadence inside the
+consumer loop (flink/src/kafka_consumer.py:164-174 calling
+anomaly_detector.py:444-466). The Spark restatement is this standalone
+batch driver: rebuild the window-feature frame from the pipeline's
+``metrics_time`` sink, refit the deterministic isolation forest, and
+commit a model-registry row keyed by a CONTENT hash of the training
+windows — so retrains are idempotent (same windows -> same version,
+second run is a no-op) and resumable, the same manifest philosophy as
+plans/pipeline.py.
+
+Usage: python scripts/retrain.py <pipeline_out_dir> [model_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+FEATURES = [
+    "total_records",
+    "clean_records",
+    "issues_found",
+    "critical_issues",
+    "avg_overall_score",
+    "issue_rate",
+]
+
+
+def retrain(
+    spark: SparkSession,
+    out_dir: str,
+    model_dir: str | None = None,
+    n_trees: int = 100,
+    seed: int = 42,
+    contamination_pct: float = 0.95,
+) -> dict:
+    """Refit the window-level isolation forest from the metrics_time sink.
+
+    Returns a summary dict; ``skipped`` is True when the registry already
+    holds this exact training set (content-hash version match)."""
+    from realtime_data_quality_monitor_spark.operators import anomaly
+
+    model_dir = model_dir or os.path.join(out_dir, "models", "iforest")
+    windows = spark.read.parquet(os.path.join(out_dir, "metrics_time"))
+
+    # content version: order-independent decimal sum of row hashes over
+    # the feature columns (the pipeline-manifest checksum recipe)
+    version_row = windows.agg(
+        F.sum(
+            F.xxhash64(*["window_start", *FEATURES]).cast("decimal(38,0)")
+        ).alias("chk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    version = f"v{abs(int(version_row['chk'] or 0)) % 10**16:016d}"
+    n_windows = int(version_row["n"])
+    registry_path = os.path.join(model_dir, "registry")
+    version_dir = os.path.join(registry_path, f"model_version={version}")
+
+    # dynamic-partition writes put _SUCCESS at the table root; the commit
+    # marker for THIS version is its partition directory holding data
+    if os.path.isdir(version_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(version_dir)
+    ):
+        return {"model_version": version, "n_windows": n_windows, "skipped": True}
+
+    scored = anomaly.with_isolation_scores(
+        windows, FEATURES, n_trees=n_trees, seed=seed
+    )
+    # contamination threshold: exact p95 of the training scores (the
+    # deterministic stand-in for sklearn's contamination quantile)
+    stats = scored.agg(
+        F.expr(f"percentile(iforest_score, {contamination_pct})").alias("thr"),
+        F.min("iforest_score").alias("smin"),
+        F.max("iforest_score").alias("smax"),
+    ).collect()[0]
+
+    (
+        scored.withColumn("model_version", F.lit(version))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("model_version")
+        .parquet(os.path.join(model_dir, "scores"))
+    )
+    registry = spark.createDataFrame(
+        [
+            (
+                version,
+                n_windows,
+                n_trees,
+                seed,
+                float(stats["thr"]),
+                float(stats["smin"]),
+                float(stats["smax"]),
+                ",".join(FEATURES),
+            )
+        ],
+        "model_version string, n_windows long, n_trees int, seed int,"
+        " score_threshold double, score_min double, score_max double,"
+        " features string",
+    )
+    (
+        registry.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("model_version")
+        .parquet(registry_path)
+    )
+    return {
+        "model_version": version,
+        "n_windows": n_windows,
+        "score_threshold": float(stats["thr"]),
+        "skipped": False,
+    }
+
+
+def main() -> None:
+    from realtime_data_quality_monitor_spark.session import get_spark
+
+    out_dir = sys.argv[1]
+    model_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark(app_name="rdqm-retrain")
+    print(json.dumps(retrain(spark, out_dir, model_dir)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

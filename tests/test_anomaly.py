@@ -106,3 +106,91 @@ def test_ensemble_voter_reference_semantics(spark):
     assert got[(0.95, 0.0, 0.0)] == (False, 1)
     assert got[(0.6, 0.6, 0.0)] == (True, 2)
     assert got[(0.1, 0.2, 0.3)] == (False, 0)
+
+
+def _daily_fixture(spark, n=30, spike_at=20):
+    """Synthetic daily window stats: steady pattern with one big spike."""
+    rows = []
+    for i in range(n):
+        t = 1000 + (i % 5) * 10
+        a = 80.0 + (i % 3)
+        c = 5 + (i % 4)
+        if i == spike_at:
+            t, a, c = 5000, 20.0, 400
+        rows.append((i, t, a, c))
+    return spark.createDataFrame(
+        rows, "day int, total_records bigint, avg_overall double, critical_records bigint"
+    )
+
+
+def test_sequence_forecast_flags_spike_only(spark):
+    # (lstm_detector.py:24-169 analog): the trailing-mean forecaster must
+    # flag the injected spike; warm-up rows carry null error, never flag
+    df = _daily_fixture(spark)
+    out = anomaly.sequence_forecast_anomalies(
+        df, "day", ["total_records", "avg_overall", "critical_records"],
+        seq_len=5, quantize=10**7,
+    )
+    rows = {r.day: r for r in out.collect()}
+    assert rows[20].forecast_anomaly
+    for d in range(5):  # warm-up: no full trailing window yet
+        assert rows[d].forecast_error is None
+        assert rows[d].forecast_anomaly is False
+    flagged = [d for d, r in rows.items() if r.forecast_anomaly]
+    # spike day + its wake (the spike pollutes the next windows' means)
+    assert 20 in flagged and len(flagged) <= 3
+
+
+def test_reconstruction_flags_incoherent_row(spark):
+    # (autoencoder_detector.py:24-159 analog): a row whose features
+    # deviate incoherently reconstructs badly and crosses the p95 gate
+    df = _daily_fixture(spark)
+    out = anomaly.reconstruction_anomalies(
+        df, ["total_records", "avg_overall", "critical_records"],
+        quantize=10**7,
+    )
+    rows = {r.day: r for r in out.collect()}
+    assert rows[20].recon_anomaly
+    assert sum(1 for r in rows.values() if r.recon_anomaly) <= 2
+
+
+def test_mad_explanations_rank_and_grain(spark):
+    # (explainability.py:35-113 analog): top-3 |z| features per flagged
+    # window, rank 1..3, deterministic tie-break on feature name
+    df = _daily_fixture(spark)
+    out = anomaly.mad_explanations(
+        df, ["total_records", "avg_overall", "critical_records"], top_n=3
+    )
+    rows = out.collect()
+    days = {r.day for r in rows}
+    assert days == {20}  # only the spike is flagged
+    ranked = sorted((r.rank, r.feature, r.contribution_z) for r in rows)
+    assert [r[0] for r in ranked] == [1, 2, 3]
+    assert ranked[0][2] >= ranked[1][2] >= ranked[2][2]
+
+
+def test_perfmon_reference_p95_semantics(spark):
+    # (performance_monitor.py:87): p95 is sorted[int(n*0.95)] when n>20,
+    # else max; last-N window by recency
+    from realtime_data_quality_monitor_spark.operators import perfmon
+
+    rows = [("m1", float(i), i % 10 == 0, i) for i in range(1, 151)]
+    rows += [("m2", float(100 - i), False, i) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "model_name string, latency_ms double, is_anomaly boolean, ts int"
+    )
+    out = {
+        r.model_name: r
+        for r in perfmon.last_n_performance(
+            df, order_cols=["ts"], window_size=100
+        ).collect()
+    }
+    m1 = out["m1"]
+    # last 100 of m1 = latencies 51..150; sorted[int(100*.95)] = index 95
+    assert m1.predictions_count == 100
+    assert m1.min_latency_ms == 51.0 and m1.max_latency_ms == 150.0
+    assert m1.p95_latency_ms == 51.0 + 95
+    assert m1.avg_latency_ms == sum(range(51, 151)) / 100
+    m2 = out["m2"]  # n=5 <= 20 -> p95 falls back to max
+    assert m2.predictions_count == 5
+    assert m2.p95_latency_ms == m2.max_latency_ms

@@ -1,0 +1,51 @@
+"""W4 retrain driver: out-of-band model refit over the metrics_time sink
+(reference cadence loop kafka_consumer.py:164-174 ->
+anomaly_detector.py:444-466), content-addressed and idempotent."""
+
+import sys
+
+from realtime_data_quality_monitor_spark.plans import pipeline
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+
+sys.path.insert(0, "scripts")
+from retrain import FEATURES, retrain  # noqa: E402
+
+
+def test_retrain_idempotent_and_deterministic(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_transcripts(
+        generate_transcripts(spark, n_convs=60, dup_rate=0.02), src, buckets=3
+    )
+    out = str(tmp_path / "out")
+    pipeline.run(spark, src, out)
+
+    r1 = retrain(spark, out)
+    assert not r1["skipped"]
+    assert r1["n_windows"] > 0
+    assert 0.0 <= r1["score_threshold"] <= 1.0
+
+    # second run on identical windows: same content version, no rewrite
+    r2 = retrain(spark, out)
+    assert r2["skipped"] and r2["model_version"] == r1["model_version"]
+
+    # registry row is readable and matches the summary
+    reg = (
+        spark.read.parquet(str(tmp_path / "out/models/iforest/registry"))
+        .collect()
+    )
+    assert len(reg) == 1
+    row = reg[0]
+    assert row.model_version == r1["model_version"]
+    assert row.n_windows == r1["n_windows"]
+    assert row.score_threshold == r1["score_threshold"]
+    assert row.features == ",".join(FEATURES)
+
+    # scores are deterministic: re-score from scratch in a fresh dir
+    out2 = str(tmp_path / "out2")
+    pipeline.run(spark, src, out2)
+    r3 = retrain(spark, out2)
+    assert r3["model_version"] == r1["model_version"]  # same content
+    assert r3["score_threshold"] == r1["score_threshold"]

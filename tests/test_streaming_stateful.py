@@ -81,7 +81,6 @@ def test_running_conv_quality_accumulates_across_restarts(spark, tmp_path):
 
     if not _tws_available():
         pytest.skip("google.protobuf unavailable: transformWithState needs it")
-    import glob
     import shutil
 
     from pyspark.sql import functions as F
@@ -129,8 +128,6 @@ def test_running_conv_quality_accumulates_across_restarts(spark, tmp_path):
 
         drain()
         # second batch arrives; restart the query on the same checkpoint
-        for i, f in enumerate(glob.glob(src + "_extra/*")):
-            pass
         half2.coalesce(1).write.mode("append").parquet(src)
         drain()
 

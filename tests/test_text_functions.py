@@ -88,6 +88,29 @@ def test_oracle_matches_package_functions(s):
     assert oracle_repetition(s) == repetition_ratio(s)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=250), min_size=0, max_size=40))
+def test_batch_variants_bit_identical(texts):
+    """The Arrow-batch hot-path variants (detect_language_batch /
+    avg_neg_logprob_batch / repetition_ratio_batch) must be bit-identical
+    to the per-string contract functions for ANY batch — including
+    empties, unicode whitespace, and all-dup token streams."""
+    from realtime_data_quality_monitor_spark.functions.text_quality import (
+        avg_neg_logprob_batch,
+        detect_language_batch,
+        repetition_ratio_batch,
+    )
+
+    texts = texts + ["", " ", "the the the", ("na " * 300).strip()]
+    bl = detect_language_batch(texts)
+    bn = avg_neg_logprob_batch(texts)
+    br = repetition_ratio_batch(texts)
+    for i, t in enumerate(texts):
+        assert bl[i] == detect_language(t)
+        assert bn[i] == avg_neg_logprob(t)
+        assert br[i] == repetition_ratio(t)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=300))
 def test_scores_bounded(s):
