@@ -30,3 +30,56 @@ def observed_quality(df: DataFrame) -> tuple[DataFrame, Observation]:
         F.avg("overall_score").alias("avg_overall"),
     )
     return out, obs
+
+
+class StageTimer:
+    """Driver-side stage instrumentation feeding the ml_performance table
+    (reference performance_monitor.py:21-120 record_prediction path).
+
+    Each ``record(stage, latency_ms, is_anomaly)`` call is one
+    prediction/stage observation; ``table(spark)`` materializes them as a
+    DataFrame shaped for operators/perfmon.last_n_performance, and
+    ``report(spark)`` runs the reference's last-N avg/min/max/positional-
+    p95/anomaly-rate rollup over it. The row list lives on the driver —
+    it is per-stage/per-model grain (a handful of rows per pipeline run),
+    never per-record."""
+
+    def __init__(self) -> None:
+        self._rows: list = []
+
+    def record(
+        self, stage: str, latency_ms: float, is_anomaly: bool = False
+    ) -> None:
+        self._rows.append((stage, float(latency_ms), bool(is_anomaly), len(self._rows)))
+
+    def time(self, stage: str):
+        """Context manager: times a block and records it.
+
+        >>> with timer.time("iforest"):
+        ...     scores = fit(...)
+        """
+        import contextlib
+        import time as _time
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = _time.perf_counter()
+            yield
+            self.record(stage, (_time.perf_counter() - t0) * 1000.0)
+
+        return _cm()
+
+    def table(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self._rows or [("none", 0.0, False, 0)],
+            "model_name string, latency_ms double, is_anomaly boolean, seq long",
+        )
+
+    def report(self, spark, window_size: int = 100) -> DataFrame:
+        from ..operators.perfmon import last_n_performance
+
+        return last_n_performance(
+            self.table(spark),
+            order_cols=["seq"],
+            window_size=window_size,
+        )

@@ -171,6 +171,24 @@ def lifetime_overview(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def ml_performance(
+    spark: SparkSession, out_dir: str, window_size: int = 100
+) -> DataFrame:
+    """GET /ml/performance analog (performance_monitor.py:60-120 via
+    api/main.py): per-model/stage latency avg/min/max/p95 + anomaly rate
+    over the persisted ml_performance observations table (written by
+    plans/observe.StageTimer users, e.g. scripts/retrain.py drivers)."""
+    import os
+
+    from ..operators.perfmon import last_n_performance
+
+    # not a resume-group-partitioned pipeline sink: read the path directly
+    obs = spark.read.parquet(os.path.join(out_dir, "ml_performance"))
+    return last_n_performance(
+        obs, order_cols=["seq"], window_size=window_size
+    )
+
+
 def register_views(spark: SparkSession, out_dir: str) -> list:
     """Register the output tables as temp views so all of the above are
     also reachable as plain ``spark.sql`` — the 'SQL views' form of the

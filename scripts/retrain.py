@@ -70,24 +70,41 @@ def retrain(
     ):
         return {"model_version": version, "n_windows": n_windows, "skipped": True}
 
-    scored = anomaly.with_isolation_scores(
-        windows, FEATURES, n_trees=n_trees, seed=seed
-    )
-    # contamination threshold: exact p95 of the training scores (the
-    # deterministic stand-in for sklearn's contamination quantile)
-    stats = scored.agg(
-        F.expr(f"percentile(iforest_score, {contamination_pct})").alias("thr"),
-        F.min("iforest_score").alias("smin"),
-        F.max("iforest_score").alias("smax"),
-    ).collect()[0]
+    from realtime_data_quality_monitor_spark.plans.observe import StageTimer
 
-    (
-        scored.withColumn("model_version", F.lit(version))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("model_version")
-        .parquet(os.path.join(model_dir, "scores"))
-    )
+    timer = StageTimer()
+    with timer.time("iforest_fit_score"):
+        scored = anomaly.with_isolation_scores(
+            windows, FEATURES, n_trees=n_trees, seed=seed
+        ).persist()
+        # contamination threshold: exact p95 of the training scores (the
+        # deterministic stand-in for sklearn's contamination quantile)
+        stats = scored.agg(
+            F.expr(f"percentile(iforest_score, {contamination_pct})").alias("thr"),
+            F.min("iforest_score").alias("smin"),
+            F.max("iforest_score").alias("smax"),
+        ).collect()[0]
+
+    with timer.time("scores_write"):
+        (
+            scored.withColumn("model_version", F.lit(version))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("model_version")
+            .parquet(os.path.join(model_dir, "scores"))
+        )
+    scored.unpersist()
+    # stage observations -> the ml_performance table the /ml/performance
+    # endpoint reads (queries/endpoints.py::ml_performance). seq is offset
+    # by the existing row count so recency stays a total order across
+    # appended retrain runs.
+    perf_path = os.path.join(out_dir, "ml_performance")
+    offset = 0
+    if os.path.isdir(perf_path):
+        offset = spark.read.parquet(perf_path).count()
+    timer.table(spark).withColumn(
+        "seq", F.col("seq") + F.lit(offset)
+    ).write.mode("append").parquet(perf_path)
     registry = spark.createDataFrame(
         [
             (

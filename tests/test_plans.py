@@ -147,3 +147,39 @@ def test_j5_correlated_subquery_decorrelates(spark):
     p = _plan(spark, eq.q_j5_orders_above_customer_avg(spark, SF))
     assert "Join" in p
     assert "Subquery" not in p
+
+
+def test_o3_deciles_avoid_full_group_window_sort(spark):
+    """o3's decile summary must not ntile raw rows (a window over
+    partitionBy(event_type) sorts each whole group in ONE task at scale).
+    The scale-safe form: window only over the DISTINCT (event_type, value)
+    counts, bucket boundaries broadcast-joined back."""
+    df = eq.q_o3_value_deciles(spark, SF)
+    p = _plan(spark, df)
+    assert "ntile" not in p.lower()
+    assert "BroadcastHashJoin" in p  # boundary table is broadcast
+    # the only window runs over the post-aggregate distinct-value frame:
+    # a HashAggregate must appear BELOW the Window in the plan tree
+    assert "Window" in p
+    win_pos = p.index("Window")
+    assert "HashAggregate" in p[win_pos:], (
+        "window input is not the aggregated distinct-value frame"
+    )
+
+
+def test_perfmon_last_n_single_exchange(spark):
+    """last_n_performance: both windows (recency rank, latency rank) and
+    the final aggregate share ONE hashpartitioning(model) exchange."""
+    from realtime_data_quality_monitor_spark.operators import perfmon
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type as model_name",
+        "value as latency_ms",
+        "value < 50 as is_anomaly",
+        "ts",
+        "event_id",
+    )
+    df = perfmon.last_n_performance(
+        ev, order_cols=["ts", "event_id"], window_size=100
+    )
+    assert _n_shuffles(spark, df) == 1

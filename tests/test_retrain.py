@@ -49,3 +49,25 @@ def test_retrain_idempotent_and_deterministic(spark, tmp_path):
     r3 = retrain(spark, out2)
     assert r3["model_version"] == r1["model_version"]  # same content
     assert r3["score_threshold"] == r1["score_threshold"]
+
+
+def test_retrain_feeds_ml_performance_endpoint(spark, tmp_path):
+    from realtime_data_quality_monitor_spark.queries import endpoints
+
+    src = str(tmp_path / "src")
+    write_transcripts(
+        generate_transcripts(spark, n_convs=40, dup_rate=0.02), src, buckets=2
+    )
+    out = str(tmp_path / "out")
+    pipeline.run(spark, src, out)
+    retrain(spark, out)
+
+    report = {
+        r.model_name: r for r in endpoints.ml_performance(spark, out).collect()
+    }
+    assert set(report) == {"iforest_fit_score", "scores_write"}
+    for row in report.values():
+        assert row.predictions_count == 1
+        assert row.avg_latency_ms > 0
+        assert row.p95_latency_ms == row.max_latency_ms  # n <= 20 -> max
+        assert row.anomaly_rate == 0.0
