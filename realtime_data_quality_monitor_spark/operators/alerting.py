@@ -1,0 +1,249 @@
+"""Alert message formatting + delivery (S8 tail: flink/src/alerting.py).
+
+``operators/metrics.check_alerts`` restates the reference AlertManager's
+threshold *predicates* (alerting.py:72-136). This module restates the
+rest of that file — the human-readable subject/message strings
+(alerting.py:77-84, 106-110, 122-126), the alerts.log file sink
+(alerting.py:46-66) and the optional SMTP email path
+(alerting.py:196-223) — Spark-first:
+
+* ``format_alert_messages`` — native column algebra producing the
+  reference's exact message/subject text per alert row. Decimal
+  formatting is integer-exact (scaled BIGINT + lpad, never an engine
+  printf), so any engine computing the same integer arithmetic renders
+  the same string; ties round half-up (the repo's ``round2`` Java
+  contract — Python's ``%.2f`` banker-rounds exactly-representable
+  ties, a divergence only possible for tiny window denominators).
+* ``write_alert_outbox`` — the alerts.log analog as an append-only
+  parquet table partitioned by ``run_id``: re-running a job overwrites
+  only its own run partition (idempotent replay, the repo's resume
+  contract).
+* ``send_smtp_alerts`` / ``build_mime`` — stdlib smtplib delivery of
+  collected outbox rows, gated OFF by default (this sandbox has no
+  network); the SMTP client is injectable so tests exercise the
+  starttls/login/send protocol against a fake server.
+
+Alert volume is aggregate-grain (one row per (group, fired alert)), so
+collecting the outbox for delivery is not a driver-side scale hazard.
+"""
+
+from __future__ import annotations
+
+from email.mime.multipart import MIMEMultipart
+from email.mime.text import MIMEText
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+
+# Subjects: alerting.py:93, 117, 133.
+SUBJECT_QUALITY_PREFIX = "\U0001f6a8 Data Quality Alert - "  # + severity
+SUBJECT_ISSUE_RATE = "⚠️ High Data Quality Issue Rate"
+SUBJECT_CRITICAL = "\U0001f534 Critical Data Quality Issues"
+
+
+def fmt_scaled(x100: Column, decimals: int) -> Column:
+    """Render a scaled BIGINT (value * 10**decimals) as a fixed-point
+    decimal string — the engine-portable replacement for ``%.2f``."""
+    scale = 10**decimals
+    # floor-division, not a double->int cast: Spark casts truncate but
+    # DuckDB CASTs round, so the SQL mirror uses `//` and this uses floor
+    return F.concat(
+        F.floor(x100 / F.lit(scale)).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((x100 % F.lit(scale)).cast("string"), decimals, "0"),
+    )
+
+
+def scaled_pct(num: Column, den: Column, decimals: int) -> Column:
+    """``num / den * 100`` as a half-up-rounded BIGINT scaled by
+    10**decimals. Both engines compute the identical IEEE double
+    ``(num * K) / den`` then the identical half-up integer round."""
+    k = float(100 * 10**decimals)
+    return F.round(num.cast("double") * F.lit(k) / den.cast("double"), 0).cast(
+        "bigint"
+    )
+
+
+def format_alert_messages(alerts: DataFrame) -> DataFrame:
+    """Attach the reference's ``subject`` and ``message`` strings to
+    ``check_alerts`` output rows (alerting.py:77-84, 106-110, 122-126).
+
+    Expects the ``check_alerts`` columns ``alert_type``/``level`` plus
+    the window-stats counts (``total_records``, ``clean_records``,
+    ``issues_found``, ``critical_issues``).
+    """
+    total = F.col("total_records")
+    clean = F.col("clean_records")
+    issues = F.col("issues_found")
+    critical = F.col("critical_issues")
+
+    quality_msg = F.concat(
+        F.col("level"),
+        F.lit(": Quality score dropped to "),
+        fmt_scaled(scaled_pct(clean, total, 2), 2),
+        F.lit(f"% (threshold: {config.QUALITY_WARNING_THRESHOLD}%)\n"),
+        F.lit("Window stats: "),
+        total.cast("string"),
+        F.lit(" records processed, "),
+        clean.cast("string"),
+        F.lit(" clean, "),
+        issues.cast("string"),
+        F.lit(" with issues"),
+    )
+    issue_msg = F.concat(
+        F.lit("WARNING: High issue rate detected: "),
+        fmt_scaled(scaled_pct(issues, total, 1), 1),
+        F.lit(f"% (threshold: {config.ISSUE_RATE_THRESHOLD}%)\n"),
+        F.lit("Found "),
+        issues.cast("string"),
+        F.lit(" issues in "),
+        total.cast("string"),
+        F.lit(" records"),
+    )
+    critical_msg = F.concat(
+        F.lit("CRITICAL: "),
+        critical.cast("string"),
+        F.lit(
+            " critical severity issues detected "
+            f"(threshold: {config.CRITICAL_COUNT_THRESHOLD})\n"
+        ),
+        F.lit("These are records with overall quality score < 50%"),
+    )
+
+    at = F.col("alert_type")
+    subject = (
+        F.when(
+            at == "low_quality_score",
+            F.concat(F.lit(SUBJECT_QUALITY_PREFIX), F.col("level")),
+        )
+        .when(at == "high_issue_rate", F.lit(SUBJECT_ISSUE_RATE))
+        .otherwise(F.lit(SUBJECT_CRITICAL))
+    )
+    message = (
+        F.when(at == "low_quality_score", quality_msg)
+        .when(at == "high_issue_rate", issue_msg)
+        .otherwise(critical_msg)
+    )
+    return alerts.withColumn("subject", subject).withColumn("message", message)
+
+
+def write_alert_outbox(formatted: DataFrame, path: str, run_id: str) -> None:
+    """alerts.log analog (alerting.py:46-66): append-only parquet outbox
+    partitioned by run_id; re-running a run_id replaces only its own
+    partition (dynamic partition overwrite — idempotent replay)."""
+    spark = formatted.sparkSession
+    with_run = formatted.withColumn("run_id", F.lit(run_id))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with_run.write.mode("overwrite").partitionBy("run_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def format_email_body(
+    message: str,
+    window_stats: dict | None = None,
+    now_str: str = config.NOW_UTC_STR,
+) -> str:
+    """_format_email_body analog (alerting.py:155-194) with the wall
+    clock pinned to the job clock (the reference reads utcnow here)."""
+    body = f"""
+Data Quality Alert
+==================
+Time: {now_str} UTC
+
+{message}
+
+"""
+    if window_stats:
+        total = window_stats.get("total_records", 0)
+        clean = window_stats.get("clean_records", 0)
+        issues = window_stats.get("issues_found", 0)
+        critical = window_stats.get("critical_issues", 0)
+        clean_pct = (clean / total * 100) if total > 0 else 0
+        issue_pct = (issues / total * 100) if total > 0 else 0
+        body += f"""
+Detailed Statistics:
+-------------------
+Total Records: {total}
+Clean Records: {clean} ({clean_pct:.1f}%)
+Records with Issues: {issues} ({issue_pct:.1f}%)
+Critical Issues: {critical}
+
+"""
+    body += """
+---
+Real-Time Data Quality Monitor (PySpark)
+"""
+    return body
+
+
+def build_mime(
+    subject: str, body: str, email_from: str, email_to: str
+) -> MIMEMultipart:
+    """MIME construction exactly as alerting.py:203-209."""
+    msg = MIMEMultipart()
+    msg["From"] = email_from
+    msg["To"] = email_to
+    msg["Subject"] = subject
+    msg.attach(MIMEText(body, "plain"))
+    return msg
+
+
+def send_smtp_alerts(
+    rows,
+    *,
+    email_from: str | None = None,
+    email_to: str | None = None,
+    smtp_server: str = "smtp.gmail.com",
+    smtp_port: int = 587,
+    smtp_password: str | None = None,
+    enabled: bool = False,
+    smtp_factory=None,
+) -> int:
+    """SMTP delivery of collected outbox rows (alerting.py:196-223).
+
+    Gated off by default (``enabled=False`` → 0 sends, like the
+    reference's ``email_enabled`` flag; this sandbox has no network).
+    ``smtp_factory(server, port)`` is injectable so tests drive the
+    starttls/login/send_message/quit sequence against a fake. Returns
+    the number of messages sent.
+    """
+    if not enabled:
+        return 0
+    if not email_to or not email_from:
+        return 0  # alerting.py:198-200: unconfigured → skip silently
+    if smtp_factory is None:  # pragma: no cover - no network in sandbox
+        import smtplib
+
+        smtp_factory = smtplib.SMTP
+    sent = 0
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        stats = {
+            k: d[k]
+            for k in (
+                "total_records",
+                "clean_records",
+                "issues_found",
+                "critical_issues",
+            )
+            if k in d
+        }
+        msg = build_mime(
+            d["subject"],
+            format_email_body(d["message"], stats or None),
+            email_from,
+            email_to,
+        )
+        server = smtp_factory(smtp_server, smtp_port)
+        server.starttls()
+        if smtp_password:
+            server.login(email_from, smtp_password)
+        server.send_message(msg)
+        server.quit()
+        sent += 1
+    return sent

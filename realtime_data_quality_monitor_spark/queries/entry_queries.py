@@ -28,8 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import config
 from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
-from ..operators import anomaly, dedup, multimodal, similarity, skew, temporal, textstats
+from ..operators import (
+    alerting,
+    anomaly,
+    dedup,
+    metrics,
+    multimodal,
+    similarity,
+    skew,
+    temporal,
+    textstats,
+)
 from ..sources import multimodal_synth
 
 # pinned job clock for the events table (data spans Jan 2024)
@@ -301,6 +312,102 @@ SQL_A1 = f"""
            CAST(SUM(overall10::BIGINT) AS DOUBLE) / (COUNT(*) * 10) AS avg_overall,
            CAST(SUM((overall10 < 500)::INT) AS BIGINT) AS critical_records
     FROM ({_EVENT_OVERALL_SQL}) GROUP BY 1
+"""
+
+
+def q_a2_alert_messages_events(spark, sf_dir):
+    """S8 alert tail (flink/src/alerting.py:72-151): daily window stats
+    -> threshold predicates (operators/metrics.check_alerts) -> the
+    reference AlertManager's exact subject/message strings
+    (operators/alerting.format_alert_messages). Percentages inside the
+    message text are rendered from half-up-rounded scaled BIGINTs, never
+    an engine printf, so both engines emit identical bytes."""
+    ev = _event_quality(_t(spark, sf_dir, "events"))
+    stats = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            _sum_int(F.col("keep")).alias("clean_records"),
+            _sum_int(~F.col("keep")).alias("issues_found"),
+            _sum_int(F.col("overall10") < 500).alias("critical_issues"),
+        )
+        .withColumn(
+            "issue_rate",
+            F.round(F.col("issues_found") / F.col("total_records") * 100, 2),
+        )
+    )
+    out = alerting.format_alert_messages(metrics.check_alerts(stats))
+    return out.select(
+        "day",
+        "alert_type",
+        "level",
+        "total_records",
+        "clean_records",
+        "issues_found",
+        "critical_issues",
+        "subject",
+        "message",
+    )
+
+
+# the message CASE arms mirror operators/alerting.py's column algebra;
+# string constants are interpolated from the same module so both engines
+# emit identical bytes (incl. emoji + newline)
+SQL_A2 = f"""
+    WITH stats AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS total_records,
+             CAST(SUM(keep::INT) AS BIGINT) AS clean_records,
+             CAST(SUM((NOT keep)::INT) AS BIGINT) AS issues_found,
+             CAST(SUM((overall10 < 500)::INT) AS BIGINT) AS critical_issues
+      FROM ({_EVENT_OVERALL_SQL}) GROUP BY 1),
+    alerts AS (
+      SELECT *, 'low_quality_score' AS alert_type,
+             CASE WHEN clean_records / total_records * 100 < {config.QUALITY_CRITICAL_THRESHOLD}e0
+                  THEN 'CRITICAL' ELSE 'WARNING' END AS level
+      FROM stats
+      WHERE clean_records / total_records * 100 < {config.QUALITY_WARNING_THRESHOLD}e0
+      UNION ALL
+      SELECT *, 'high_issue_rate' AS alert_type, 'WARNING' AS level
+      FROM stats
+      WHERE ROUND(issues_found / total_records * 100, 2) > {config.ISSUE_RATE_THRESHOLD}e0
+      UNION ALL
+      SELECT *, 'critical_issues' AS alert_type, 'CRITICAL' AS level
+      FROM stats WHERE critical_issues > {config.CRITICAL_COUNT_THRESHOLD}),
+    scaled AS (
+      SELECT *,
+             CAST(ROUND(clean_records * 10000.0e0 / total_records, 0) AS BIGINT) AS q2,
+             CAST(ROUND(issues_found * 1000.0e0 / total_records, 0) AS BIGINT) AS r1
+      FROM alerts)
+    SELECT day, alert_type, level, total_records, clean_records,
+           issues_found, critical_issues,
+           CASE alert_type
+             WHEN 'low_quality_score'
+               THEN '{alerting.SUBJECT_QUALITY_PREFIX}' || level
+             WHEN 'high_issue_rate' THEN '{alerting.SUBJECT_ISSUE_RATE}'
+             ELSE '{alerting.SUBJECT_CRITICAL}' END AS subject,
+           CASE alert_type
+             WHEN 'low_quality_score' THEN
+               level || ': Quality score dropped to '
+                     || CAST(q2 // 100 AS VARCHAR) || '.'
+                     || lpad(CAST(q2 % 100 AS VARCHAR), 2, '0')
+                     || '% (threshold: {config.QUALITY_WARNING_THRESHOLD}%)' || chr(10)
+                     || 'Window stats: ' || CAST(total_records AS VARCHAR)
+                     || ' records processed, ' || CAST(clean_records AS VARCHAR)
+                     || ' clean, ' || CAST(issues_found AS VARCHAR) || ' with issues'
+             WHEN 'high_issue_rate' THEN
+               'WARNING: High issue rate detected: '
+                     || CAST(r1 // 10 AS VARCHAR) || '.'
+                     || lpad(CAST(r1 % 10 AS VARCHAR), 1, '0')
+                     || '% (threshold: {config.ISSUE_RATE_THRESHOLD}%)' || chr(10)
+                     || 'Found ' || CAST(issues_found AS VARCHAR)
+                     || ' issues in ' || CAST(total_records AS VARCHAR) || ' records'
+             ELSE
+               'CRITICAL: ' || CAST(critical_issues AS VARCHAR)
+                     || ' critical severity issues detected (threshold: {config.CRITICAL_COUNT_THRESHOLD})'
+                     || chr(10)
+                     || 'These are records with overall quality score < 50%'
+             END AS message
+    FROM scaled
 """
 
 
@@ -2833,6 +2940,7 @@ ENTRY_QUERIES = {
     "m13_ensemble_anomalies_daily": (q_m13_ensemble_anomalies_daily, SQL_M13),
     "p4_consistency_events": (q_p4_consistency_events, SQL_P4),
     "p6_validity_events": (q_p6_validity_events, SQL_P6),
+    "a2_alert_messages_events": (q_a2_alert_messages_events, SQL_A2),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),

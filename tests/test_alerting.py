@@ -1,0 +1,205 @@
+"""Alert formatting + delivery (operators/alerting.py) vs a pure-Python
+restatement of the reference AlertManager's strings
+(flink/src/alerting.py:72-151), plus the outbox/SMTP delivery paths."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark import config
+from realtime_data_quality_monitor_spark.operators import alerting, metrics
+
+# (total, clean, issues, critical) covering: quality CRITICAL (<80%),
+# quality WARNING (80-90%), issue-rate WARNING (>40%), critical-count
+# CRITICAL (>100), no-alert, and a half-up .xx5 formatting tie (clean
+# pct = 87.625 -> "87.63", 1/8 dyadic so the double is exact)
+STATS = [
+    ("g_crit", 200, 60, 140, 150),
+    ("g_warn", 200, 170, 30, 0),
+    ("g_rate", 1000, 550, 450, 50),
+    ("g_clean", 100, 99, 1, 0),
+    ("g_tie", 800, 701, 99, 0),
+]
+
+
+def _py_round_half_up(x100: float) -> int:
+    import math
+
+    return int(math.floor(x100 + 0.5))
+
+
+def _py_fmt(x_scaled: int, decimals: int) -> str:
+    scale = 10**decimals
+    return f"{x_scaled // scale}.{x_scaled % scale:0{decimals}d}"
+
+
+def _py_alerts(rows):
+    """Pure-Python AlertManager restatement (alerting.py:72-136)."""
+    out = []
+    for g, total, clean, issues, critical in rows:
+        clean_pct = clean / total * 100
+        if clean_pct < config.QUALITY_WARNING_THRESHOLD:
+            level = (
+                "CRITICAL"
+                if clean_pct < config.QUALITY_CRITICAL_THRESHOLD
+                else "WARNING"
+            )
+            q2 = _py_round_half_up(clean * 10000.0 / total)
+            out.append(
+                (
+                    g,
+                    "low_quality_score",
+                    level,
+                    alerting.SUBJECT_QUALITY_PREFIX + level,
+                    f"{level}: Quality score dropped to {_py_fmt(q2, 2)}% "
+                    f"(threshold: {config.QUALITY_WARNING_THRESHOLD}%)\n"
+                    f"Window stats: {total} records processed, "
+                    f"{clean} clean, {issues} with issues",
+                )
+            )
+        issue_rate = round(issues / total * 100, 2)
+        if issue_rate > config.ISSUE_RATE_THRESHOLD:
+            r1 = _py_round_half_up(issues * 1000.0 / total)
+            out.append(
+                (
+                    g,
+                    "high_issue_rate",
+                    "WARNING",
+                    alerting.SUBJECT_ISSUE_RATE,
+                    f"WARNING: High issue rate detected: {_py_fmt(r1, 1)}% "
+                    f"(threshold: {config.ISSUE_RATE_THRESHOLD}%)\n"
+                    f"Found {issues} issues in {total} records",
+                )
+            )
+        if critical > config.CRITICAL_COUNT_THRESHOLD:
+            out.append(
+                (
+                    g,
+                    "critical_issues",
+                    "CRITICAL",
+                    alerting.SUBJECT_CRITICAL,
+                    f"CRITICAL: {critical} critical severity issues detected "
+                    f"(threshold: {config.CRITICAL_COUNT_THRESHOLD})\n"
+                    "These are records with overall quality score < 50%",
+                )
+            )
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def stats_df(spark):
+    df = spark.createDataFrame(
+        STATS,
+        "grp string, total_records long, clean_records long, "
+        "issues_found long, critical_issues long",
+    )
+    return df.withColumn(
+        "issue_rate",
+        F.round(F.col("issues_found") / F.col("total_records") * 100, 2),
+    )
+
+
+def test_formatted_messages_match_reference_strings(spark, stats_df):
+    got = sorted(
+        (r["grp"], r["alert_type"], r["level"], r["subject"], r["message"])
+        for r in alerting.format_alert_messages(
+            metrics.check_alerts(stats_df)
+        ).collect()
+    )
+    assert got == _py_alerts(STATS)
+
+
+def test_formatting_tie_rounds_half_up(spark, stats_df):
+    # 701/800 = 87.625% exactly (dyadic): half-up must render "87.63"
+    rows = alerting.format_alert_messages(metrics.check_alerts(stats_df))
+    msg = rows.filter(F.col("grp") == "g_tie").collect()[0]["message"]
+    assert "dropped to 87.63%" in msg
+
+
+def test_outbox_idempotent_per_run(spark, stats_df, tmp_path):
+    formatted = alerting.format_alert_messages(metrics.check_alerts(stats_df))
+    path = str(tmp_path / "outbox")
+    alerting.write_alert_outbox(formatted, path, "run_a")
+    alerting.write_alert_outbox(formatted, path, "run_a")  # replay: no dup
+    alerting.write_alert_outbox(formatted, path, "run_b")
+    out = spark.read.parquet(path)
+    n = formatted.count()
+    assert out.filter(F.col("run_id") == "run_a").count() == n
+    assert out.count() == 2 * n
+    # partition layout: one dir per run_id (idempotent overwrite unit)
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "run_id=*"))
+    ) == ["run_id=run_a", "run_id=run_b"]
+
+
+class _FakeSMTP:
+    instances = []
+
+    def __init__(self, server, port):
+        self.server, self.port = server, port
+        self.calls = []
+        _FakeSMTP.instances.append(self)
+
+    def starttls(self):
+        self.calls.append("starttls")
+
+    def login(self, user, password):
+        self.calls.append(("login", user, password))
+
+    def send_message(self, msg):
+        self.calls.append(("send", msg["Subject"], msg["From"], msg["To"]))
+
+    def quit(self):
+        self.calls.append("quit")
+
+
+def test_smtp_delivery_protocol(spark, stats_df):
+    _FakeSMTP.instances = []
+    rows = (
+        alerting.format_alert_messages(metrics.check_alerts(stats_df))
+        .orderBy("grp", "alert_type")
+        .collect()
+    )
+    sent = alerting.send_smtp_alerts(
+        rows,
+        email_from="monitor@example.com",
+        email_to="oncall@example.com",
+        smtp_password="pw",
+        enabled=True,
+        smtp_factory=_FakeSMTP,
+    )
+    assert sent == len(rows) == len(_FakeSMTP.instances)
+    for inst, row in zip(_FakeSMTP.instances, rows):
+        assert inst.calls == [
+            "starttls",
+            ("login", "monitor@example.com", "pw"),
+            ("send", row["subject"], "monitor@example.com", "oncall@example.com"),
+            "quit",
+        ]
+
+
+def test_smtp_gated_off_by_default(spark, stats_df):
+    rows = alerting.format_alert_messages(metrics.check_alerts(stats_df)).collect()
+    assert alerting.send_smtp_alerts(rows) == 0  # disabled
+    assert (
+        alerting.send_smtp_alerts(rows, enabled=True) == 0
+    )  # unconfigured -> silent skip (alerting.py:198-200)
+
+
+def test_email_body_contains_stats():
+    body = alerting.format_email_body(
+        "WARNING: something",
+        {
+            "total_records": 100,
+            "clean_records": 70,
+            "issues_found": 30,
+            "critical_issues": 5,
+        },
+    )
+    assert "Total Records: 100" in body
+    assert "Clean Records: 70 (70.0%)" in body
+    assert "Records with Issues: 30 (30.0%)" in body
+    assert "Critical Issues: 5" in body
+    assert config.NOW_UTC_STR in body
