@@ -1,0 +1,136 @@
+"""Training-data export operators: deterministic global shuffle,
+weighted source mixing, hash-based dataset splits.
+
+The north-star pipeline ends where a training run begins: the kept,
+scrubbed corpus must leave the engine (a) globally shuffled — neighbors
+in the source layout (same conversation, same crawl, same day) must not
+be neighbors in the training stream; (b) mixed across sources at
+configured weights; (c) split train/val/test. All three are restated as
+engine-portable md5 keyed-hash algebra (the repo's t6 sampling
+contract), so they are deterministic given (key, seed), reproducible
+across engines, and need no stored RNG state.
+
+Scale design: every operator here is one hash shuffle at most.
+``deterministic_shuffle`` orders by an md5 of the key — a uniform
+pseudo-random permutation — and materializes (shard, pos) with the
+shard as the partition unit: each shard sorts independently
+(Window.partitionBy(shard)), so no global sort, no single-task
+bottleneck; shard count is sized to the cluster like any partition
+count. ``mix_sources`` and ``split_by_hash`` are pure row-local
+predicates (no shuffle at all) — filters over the md5 value that
+Catalyst pushes into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# digits of the md5 prefix used as the hash value: 8 hex chars = 32 bits,
+# unsigned, < 2^53 so exact in any engine's BIGINT/double path
+_PREFIX_LEN = 8
+_HASH_MOD = 1_000_000  # split/sample granularity: 1e-6
+
+
+def _key_hash(key: Column, seed: str, salt: str = "") -> Column:
+    """Uniform BIGINT in [0, 2^32) from md5(key|seed|salt) — the
+    engine-portable keyed hash (DuckDB: CAST('0x'||substr(md5(..),1,8)
+    AS BIGINT), see SQL_T6)."""
+    h = F.md5(F.concat_ws("|", key, F.lit(seed), F.lit(salt)))
+    return F.conv(F.substring(h, 1, _PREFIX_LEN), 16, 10).cast("bigint")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list,
+    seed: str,
+    n_shards: int,
+    shuffle: bool = True,
+) -> DataFrame:
+    """Assign every row a deterministic (shard, pos) in a pseudo-random
+    global permutation of the dataset.
+
+    The md5 of the key is a uniform order key: sorting by it is a
+    reproducible shuffle (same seed -> same order; new seed -> fresh
+    permutation). ``shard = hash % n_shards`` balances rows across
+    shards; ``pos`` is the rank within the shard under the hash order
+    (ties broken by the key itself, so the order is total even for
+    colliding prefixes). Training readers consume shard files in shard
+    order, giving a stream where source-adjacent rows are scattered.
+
+    One exchange: ``shuffle=True`` repartitions by shard so each
+    output partition is exactly one shard (write-ready); the per-shard
+    rank is a window over the same partitioning — subset-distribution
+    rule, no second exchange.
+    """
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    h = _key_hash(key, seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    if shuffle:
+        out = out.repartition(n_shards, "shard")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
+def mix_sources(
+    sources: list[tuple[DataFrame, str, float]],
+    key_col: str,
+    seed: str,
+) -> DataFrame:
+    """Weighted mixture of corpora (source weighting a la training-data
+    recipes): for each ``(df, name, rate)`` keep rows whose keyed hash
+    falls below ``rate`` (0..1 inclusive sampling fraction), tag them
+    with the source name, and union.
+
+    Sampling is per-source salted (name in the hash), so the same
+    document appearing in two sources is an independent draw in each.
+    No shuffle: the predicate is row-local and evaluated at scan time;
+    the union is a plan-level concat of scans.
+    """
+    parts = []
+    for df, name, rate in sources:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate for source {name!r} must be in [0,1]")
+        thresh = int(round(rate * _HASH_MOD))
+        keep = (_key_hash(F.col(key_col).cast("string"), seed, name) % _HASH_MOD) < thresh
+        parts.append(
+            df.filter(keep).withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    seed: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic train/val/test split: the keyed hash mod 1e6 lands
+    in consecutive bands sized by ``fractions`` (must sum to <= 1; any
+    remainder is dropped — useful for subsampled splits). Same key ->
+    same split forever (stable across runs and engines), which is the
+    property that prevents eval contamination when the corpus grows.
+
+    Adds a ``split`` column; row-local, no shuffle.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = _key_hash(F.col(key_col).cast("string"), seed) % _HASH_MOD
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _HASH_MOD))
+        cond = (h >= lo) & (h < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull())

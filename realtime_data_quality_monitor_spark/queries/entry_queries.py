@@ -34,6 +34,7 @@ from ..operators import (
     alerting,
     anomaly,
     dedup,
+    export,
     metrics,
     multimodal,
     similarity,
@@ -2882,6 +2883,102 @@ SQL_T6 = """
 
 
 # ---------------------------------------------------------------------------
+# e* — training-data export (operators/export.py): deterministic global
+# shuffle, weighted source mixing, hash split. All keyed-md5 algebra, so
+# every entry is cell-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_e1_shuffle_documents(spark, sf_dir):
+    """Deterministic global shuffle into 8 shards: md5(key|seed) is the
+    order key (a reproducible pseudo-random permutation); each shard
+    ranks independently (no global sort — the 100 TB shape)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = export.deterministic_shuffle(
+        docs, ["doc_id"], seed="exp1", n_shards=8, shuffle=False
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
+SQL_E1 = """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|exp1|'), 1, 8)
+                  AS BIGINT) AS hh
+      FROM documents)
+    SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+                AS INT) AS pos
+    FROM h
+"""
+
+
+def q_e2_mix_sources_documents(spark, sf_dir):
+    """Weighted corpus mixing: three language slices sampled at
+    different rates via per-source-salted keyed hashes, unioned with a
+    source tag. Row-local predicates — no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [
+        (docs.filter(F.col("lang") == "en"), "en_half", 0.5),
+        (docs.filter(F.col("lang") == "de"), "de_full", 1.0),
+        (docs.filter(F.col("lang") == "fr"), "fr_quarter", 0.25),
+    ]
+    out = export.mix_sources(srcs, key_col="doc_id", seed="mix1")
+    return out.select("source", "doc_id", "lang")
+
+
+SQL_E2 = """
+    SELECT 'en_half' AS source, doc_id, lang FROM documents
+    WHERE lang = 'en'
+      AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1|en_half'), 1, 8)
+               AS BIGINT) % 1000000 < 500000
+    UNION ALL
+    SELECT 'de_full', doc_id, lang FROM documents
+    WHERE lang = 'de'
+      AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1|de_full'), 1, 8)
+               AS BIGINT) % 1000000 < 1000000
+    UNION ALL
+    SELECT 'fr_quarter', doc_id, lang FROM documents
+    WHERE lang = 'fr'
+      AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1|fr_quarter'), 1, 8)
+               AS BIGINT) % 1000000 < 250000
+"""
+
+
+def q_e3_split_documents(spark, sf_dir):
+    """Hash train/val/test split (80/10/5, 5% dropped): consecutive
+    hash bands, stable per key as the corpus grows — the
+    eval-contamination guard."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = export.split_by_hash(
+        docs, "doc_id", seed="split1",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.05},
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_E3 = """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1|'), 1, 8)
+                  AS BIGINT) % 1000000 AS b
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN b < 800000 THEN 'train'
+                  WHEN b < 900000 THEN 'val'
+                  WHEN b < 950000 THEN 'test' END AS split
+      FROM h)
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s WHERE split IS NOT NULL GROUP BY split
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -2941,6 +3038,9 @@ ENTRY_QUERIES = {
     "p4_consistency_events": (q_p4_consistency_events, SQL_P4),
     "p6_validity_events": (q_p6_validity_events, SQL_P6),
     "a2_alert_messages_events": (q_a2_alert_messages_events, SQL_A2),
+    "e1_shuffle_documents": (q_e1_shuffle_documents, SQL_E1),
+    "e2_mix_sources_documents": (q_e2_mix_sources_documents, SQL_E2),
+    "e3_split_documents": (q_e3_split_documents, SQL_E3),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),

@@ -1,0 +1,120 @@
+"""Training-export operators (operators/export.py): determinism,
+permutation quality, weight/fraction accuracy, split stability."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import export
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+
+
+def _py_hash(key: str, seed: str, salt: str = "") -> int:
+    return int(hashlib.md5(f"{key}|{seed}|{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_shuffle_is_a_permutation(spark, docs):
+    out = export.deterministic_shuffle(docs, ["doc_id"], "s1", 8).cache()
+    rows = out.collect()
+    assert len(rows) == N
+    assert sorted(r["doc_id"] for r in rows) == list(range(N))
+    # pos is 1..k dense within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # shards are balanced (uniform hash): no shard 2x off the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * N / 8 and min(sizes) > N / 16
+    out.unpersist()
+
+
+def test_shuffle_matches_python_hash_and_is_seed_sensitive(spark, docs):
+    out = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in export.deterministic_shuffle(docs, ["doc_id"], "s1", 8).collect()
+    }
+    # shard assignment matches the reference md5 computation
+    for doc_id in (0, 1, 17, 999, N - 1):
+        assert out[doc_id][0] == _py_hash(str(doc_id), "s1") % 8
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in export.deterministic_shuffle(docs, ["doc_id"], "s1", 8).collect()
+    }
+    assert out == again  # deterministic
+    other = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in export.deterministic_shuffle(docs, ["doc_id"], "s2", 8).collect()
+    }
+    assert other != out  # new seed -> new permutation
+
+
+def test_shuffle_breaks_source_locality(spark, docs):
+    # consecutive doc_ids (source neighbors) land far apart: within any
+    # shard, the mean |pos gap| of id pairs (i, i+1) should be large
+    out = export.deterministic_shuffle(docs, ["doc_id"], "s1", 1)
+    pos = {r["doc_id"]: r["pos"] for r in out.collect()}
+    gaps = [abs(pos[i + 1] - pos[i]) for i in range(N - 1)]
+    assert sum(gaps) / len(gaps) > N / 10  # random expectation ~N/3
+
+
+def test_mix_sources_rates_and_independence(spark, docs):
+    srcs = [
+        (docs, "a", 1.0),
+        (docs, "b", 0.5),
+        (docs, "c", 0.0),
+    ]
+    out = export.mix_sources(srcs, "doc_id", "m1").cache()
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("a") == N
+    assert abs(counts.get("b", 0) - N / 2) < 0.1 * N
+    assert "c" not in counts
+    # per-source salting: b's kept set is NOT the low half of a's hashes
+    kept_b = {r["doc_id"] for r in out.filter("source='b'").collect()}
+    assert kept_b == {
+        d for d in range(N) if _py_hash(str(d), "m1", "b") % 1_000_000 < 500_000
+    }
+    out.unpersist()
+
+
+def test_mix_sources_rejects_bad_rate(spark, docs):
+    with pytest.raises(ValueError):
+        export.mix_sources([(docs, "x", 1.5)], "doc_id", "m1")
+
+
+def test_split_fractions_disjoint_stable(spark, docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.05}
+    out = export.split_by_hash(docs, "doc_id", "sp1", fr).cache()
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    # ~5% dropped, bands approximately sized
+    assert abs(len(rows) - 0.95 * N) < 0.05 * N
+    counts = {s: list(rows.values()).count(s) for s in fr}
+    assert abs(counts["train"] - 0.8 * N) < 0.08 * N
+    assert abs(counts["val"] - 0.1 * N) < 0.04 * N
+    # growth stability: splitting a SUBSET assigns identical labels
+    sub = export.split_by_hash(
+        docs.filter("doc_id < 500"), "doc_id", "sp1", fr
+    )
+    for r in sub.collect():
+        assert rows[r["doc_id"]] == r["split"]
+    out.unpersist()
+
+
+def test_split_rejects_oversum(spark, docs):
+    with pytest.raises(ValueError):
+        export.split_by_hash(docs, "doc_id", "s", {"a": 0.9, "b": 0.2})
