@@ -56,6 +56,47 @@ def scrub_prefilter_terms() -> list:
     ] + [w.lower() for w in TOXICITY_LEXICON]
 
 
+# ---------------------------------------------------------------------------
+# Native (JVM-side) scrub: the lookaround-free subset of the PII patterns,
+# restricted to syntax with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB/Go/Rust engines): character classes, quantifiers,
+# alternation, \d, \b, (?i) — no lookbehind/lookahead, no backreferences.
+# This is the 100 TB fast path: a regexp_replace chain stays inside
+# whole-stage codegen and never ships the text to a Python worker. The
+# full pattern set (SSN/phone with digit-lookaround context guards) still
+# needs the pandas-UDF scrub_text above; run the native chain first and
+# gate the UDF on the residue when throughput matters.
+# ---------------------------------------------------------------------------
+NATIVE_SCRUB_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\(\d{3}\) \d{3}-\d{4}", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+]
+
+
+def native_toxicity_pattern() -> str:
+    """(?i) word-boundary union of the lexicon, longest-first (identical
+    construction to _TOX_UNION; every word is alnum so no escaping)."""
+    assert all(w.isalnum() for w in TOXICITY_LEXICON)
+    words = sorted(TOXICITY_LEXICON, key=len, reverse=True)
+    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+
+def scrub_native(col):
+    """Column-algebra scrub: apply NATIVE_SCRUB_PATTERNS in order, then
+    the toxicity union — all regexp_replace, zero Python. Semantics are a
+    documented SUBSET of scrub_text (no lookaround context guards), so
+    an SSN-shaped run inside a longer digit string is also replaced here;
+    at corpus scale that trade buys whole-stage codegen for the entire
+    scrub stage."""
+    from pyspark.sql import functions as F
+
+    out = col
+    for _name, pat, repl in NATIVE_SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.regexp_replace(out, native_toxicity_pattern(), TOXICITY_REPLACEMENT)
+
+
 def scrub_text(text: str) -> str:
     """Apply every PII pattern in order, then the toxicity union."""
     for _name, rx, repl in _COMPILED_PII:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import tokens_col
+
 # digits of the md5 prefix used as the hash value: 8 hex chars = 32 bits,
 # unsigned, < 2^53 so exact in any engine's BIGINT/double path
 _PREFIX_LEN = 8
@@ -134,3 +136,58 @@ def split_by_hash(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(id, shingle) pairs: per-doc DISTINCT word n-grams, exploded."""
+    toks = tokens_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias(out_id), F.explode(shingles).alias("sh")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count the
+    distinct word ``n``-grams it shares with ANY eval document and how
+    many eval documents it collides with. Returns one row per
+    contaminated train doc ``(id_col, n_shared_ngrams, n_eval_docs)``;
+    drop-vs-flag is the caller's policy. The guard that split_by_hash's
+    stable bands cannot give you: a train doc that *textually contains*
+    eval material still leaks even though its key hashes to 'train'.
+
+    Scale shape: both sides explode to per-doc-distinct (id, shingle)
+    pairs; candidates come from ONE equi-join on the shingle, then one
+    groupBy on the train id. Eval sets are tiny next to a training
+    corpus, so the eval side broadcasts by default — the corpus is never
+    self-joined and shuffles only for the final aggregate. With n >= 8 a
+    shingle is effectively a fingerprint of shared phrasing, so the hot-
+    token fan-out that makes token_jaccard_pairs quadratic does not
+    arise; if boilerplate n-grams exist (licence headers), prune by
+    document frequency upstream exactly like ``max_token_df_frac``.
+    """
+    t_sh = _distinct_shingles(train, id_col, text_col, n, "id")
+    e_sh = _distinct_shingles(eval_df, id_col, text_col, n, "eval_id")
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
+    hits = t_sh.join(e_sh, "sh")
+    return hits.groupBy(F.col("id").alias(id_col)).agg(
+        F.countDistinct("sh").alias("n_shared_ngrams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )

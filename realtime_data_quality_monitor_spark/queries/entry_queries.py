@@ -2978,6 +2978,112 @@ SQL_E3 = """
 """
 
 
+def q_e4_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination (operators/export.py::ngram_decontaminate):
+    hash-split the corpus 90/10 into train/eval, then flag every train
+    doc sharing an 8-token n-gram with any eval doc. The leak
+    split_by_hash cannot catch — a train doc that textually contains
+    eval material. Candidates come from one equi-join on the shingle
+    (eval side broadcast); the corpus is never self-joined."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = export.split_by_hash(
+        docs, "doc_id", seed="decon1",
+        fractions={"train": 0.9, "eval": 0.1},
+    )
+    return export.ngram_decontaminate(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=8,
+    )
+
+
+SQL_E4 = """
+    WITH h AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|decon1|'), 1, 8)
+                  AS BIGINT) % 1000000 AS b
+      FROM documents),
+    tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM h WHERE b < 900000),
+    ev AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM h WHERE b >= 900000 AND b < 1000000),
+    tsh AS (
+      SELECT DISTINCT tr.doc_id AS id,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+      FROM tr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7),
+    esh AS (
+      SELECT DISTINCT ev.doc_id AS eval_id,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+      FROM ev JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7)
+    SELECT t.id AS doc_id,
+           COUNT(DISTINCT t.sh) AS n_shared_ngrams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs
+    FROM tsh t JOIN esh e ON t.sh = e.sh
+    GROUP BY t.id
+"""
+
+
+def q_t10_scrub_native_documents(spark, sf_dir):
+    """JVM-native PII/toxicity scrub (functions/scrub.py::scrub_native):
+    the lookaround-free pattern subset as a pure regexp_replace chain —
+    whole-stage codegen, no Python worker, the 100 TB scrub fast path
+    (the full lookaround set stays in the pandas-UDF scrub_text). The
+    documents table is synthetic word salad, so each row gets a
+    deterministic PII suffix built from doc_id (email, phone, and on
+    every third doc an SSN + lexicon word); the oracle builds the same
+    bytes and applies the same chain, so the scrubbed text is
+    hash-compared cell-exactly."""
+    from ..functions import scrub as scrub_fns
+
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789 you idiot")
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = scrub_fns.scrub_native(pii)
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+    )
+
+
+def _sql_t10() -> str:
+    from ..functions.scrub import NATIVE_SCRUB_PATTERNS, native_toxicity_pattern
+    from ..functions.constants import TOXICITY_REPLACEMENT
+
+    expr = "full_text"
+    for _name, pat, repl in NATIVE_SCRUB_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = (
+        f"regexp_replace({expr}, '{native_toxicity_pattern()}', "
+        f"'{TOXICITY_REPLACEMENT}', 'g')"
+    )
+    return f"""
+    WITH built AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or (555) 123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' ssn 123-45-6789 you idiot' ELSE '' END
+               AS full_text
+      FROM documents)
+    SELECT doc_id, md5({expr}) AS scrub_md5,
+           length({expr}) AS scrubbed_chars
+    FROM built
+"""
+
+
+SQL_T10 = _sql_t10()
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3041,6 +3147,8 @@ ENTRY_QUERIES = {
     "e1_shuffle_documents": (q_e1_shuffle_documents, SQL_E1),
     "e2_mix_sources_documents": (q_e2_mix_sources_documents, SQL_E2),
     "e3_split_documents": (q_e3_split_documents, SQL_E3),
+    "e4_decontaminate_documents": (q_e4_decontaminate_documents, SQL_E4),
+    "t10_scrub_native_documents": (q_t10_scrub_native_documents, SQL_T10),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),

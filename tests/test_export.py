@@ -118,3 +118,45 @@ def test_split_fractions_disjoint_stable(spark, docs):
 def test_split_rejects_oversum(spark, docs):
     with pytest.raises(ValueError):
         export.split_by_hash(docs, "doc_id", "s", {"a": 0.9, "b": 0.2})
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    # eval doc text planted verbatim inside one train doc; an unrelated
+    # train doc shares vocabulary but no 8-gram
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_rows = [
+        (0, "prefix words here " + eval_text + " suffix words"),   # leaked
+        (1, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),  # reversed: no shared 8-gram
+        (2, "totally unrelated text with many distinct tokens in a row"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in export.ngram_decontaminate(train, ev, n=8).collect()
+    }
+    assert set(out) == {0}
+    # 10-token eval doc has 3 8-grams, all contained in train doc 0
+    assert out[0] == (3, 1)
+
+
+def test_decontaminate_counts_distinct_ngrams_and_eval_docs(spark):
+    # one train doc contaminated by two different eval docs
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l m n o p")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "i j k l m n o p"), (3, "x y z q r s t u")],
+        ["doc_id", "text"],
+    )
+    [row] = export.ngram_decontaminate(train, ev, n=8).collect()
+    assert row["doc_id"] == 0
+    assert row["n_eval_docs"] == 2
+    assert row["n_shared_ngrams"] == 2
+
+
+def test_decontaminate_short_docs_skipped(spark):
+    # docs shorter than n tokens produce no shingles and never pair
+    train = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert export.ngram_decontaminate(train, ev, n=8).count() == 0

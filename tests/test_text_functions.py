@@ -312,3 +312,59 @@ def test_clean_text_matches_python_reference(spark, text):
     want = re.sub(r"[ \t\n\r\f]+", " ", want)
     want = want.strip(" ")
     assert got == want
+
+
+def test_scrub_native_matches_python_chain(spark):
+    """scrub_native is the RE2/Java-common subset chain; pin it against
+    a pure-Python re.sub application of the same constants."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.functions.constants import (
+        TOXICITY_REPLACEMENT,
+    )
+    from realtime_data_quality_monitor_spark.functions.scrub import (
+        NATIVE_SCRUB_PATTERNS,
+        native_toxicity_pattern,
+        scrub_native,
+    )
+
+    samples = [
+        "mail jane.doe@example.com now",
+        "call (415) 555-0132 today",
+        "ssn 123-45-6789 ok",
+        "that is bullshit ok",
+        "hello shell",  # no false positive inside words
+        "the system wrote the report",
+        "a@b.co (555) 123-4567 damn IDIOT",
+        "",
+    ]
+
+    def py_native(t: str) -> str:
+        for _n, pat, repl in NATIVE_SCRUB_PATTERNS:
+            t = re.sub(pat, repl, t)
+        return re.sub(native_toxicity_pattern(), TOXICITY_REPLACEMENT, t)
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "t"])
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrub_native(F.col("t")).alias("s")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == py_native(s), s
+
+
+def test_scrub_native_idempotent_on_samples(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.functions.scrub import scrub_native
+
+    samples = ["a@b.co x 123-45-6789 (555) 123-4567 damn", "clean text"]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    once = [
+        r["s"] for r in df.select(scrub_native(F.col("t")).alias("s")).collect()
+    ]
+    df2 = spark.createDataFrame([(s,) for s in once], ["t"])
+    twice = [
+        r["s"] for r in df2.select(scrub_native(F.col("t")).alias("s")).collect()
+    ]
+    assert once == twice
