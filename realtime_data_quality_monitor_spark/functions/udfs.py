@@ -18,11 +18,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from .scrub import scrub_text
-from .text_quality import (
-    avg_neg_logprob_batch,
-    detect_language_batch,
-    repetition_ratio_batch,
-)
+from .text_quality import avg_neg_logprob, detect_language, repetition_ratio
 
 _FEATURES_TYPE = StructType(
     [
@@ -39,27 +35,29 @@ def text_features_udf(texts: pd.Series) -> pd.DataFrame:
     ratio in ONE Arrow stage (the text crosses the JVM<->Python boundary
     once); null in -> nulls out.
 
-    Interior is the *_batch variants (functions/text_quality.py):
-    whole-batch numpy/pandas, bit-identical to the per-string contract
-    functions (pinned by tests/test_text_quality.py parity suite)."""
-    import numpy as np
-
-    vals = texts.to_numpy(dtype=object)
-    null_mask = pd.isna(vals)
-    present = [t for t, isna in zip(vals, null_mask) if not isna]
-    out = pd.DataFrame(
-        {
-            "lang": pd.Series([None] * len(vals), dtype=object),
-            "nll": pd.Series([None] * len(vals), dtype=object),
-            "rep": pd.Series([None] * len(vals), dtype=object),
-        }
-    )
-    if present:
-        idx = np.flatnonzero(~null_mask)
-        out.iloc[idx, 0] = detect_language_batch(present)
-        out.iloc[idx, 1] = avg_neg_logprob_batch(present)
-        out.iloc[idx, 2] = repetition_ratio_batch(present)
-    return out
+    Interior is the per-string contract functions, NOT the *_batch
+    numpy variants (functions/text_quality.py keeps both, parity-pinned
+    by tests/test_text_quality.py). Measured on this sandbox the batch
+    variants are 2x SLOWER end-to-end: the VM's RAM is lazily faulted
+    (snapshot restore + free-page reporting), so the large fresh numpy
+    arrays the batch path allocates per Arrow batch are mmap'd, returned
+    to the OS on free, and re-fault at ~5-30 MB/s on every batch, while
+    the per-string loop works in recycled small-object arena memory at
+    full speed. On hardware with normal first-touch cost the batch
+    variants win; switch the interior back if this ever runs there."""
+    langs = []
+    nlls = []
+    reps = []
+    for t in texts:
+        if t is None:
+            langs.append(None)
+            nlls.append(None)
+            reps.append(None)
+        else:
+            langs.append(detect_language(t))
+            nlls.append(avg_neg_logprob(t))
+            reps.append(repetition_ratio(t))
+    return pd.DataFrame({"lang": langs, "nll": nlls, "rep": reps})
 
 
 @pandas_udf(StringType())
