@@ -70,20 +70,24 @@ def main() -> None:
 
     timings = {}
 
-    # warmup: the full pipeline plan on a ~150k-row slice. This is sized to
-    # absorb the one-time per-JVM costs (C2 JIT of the generated/interpreted
-    # expression code needs ~10^4+ invocations; Python worker spawn; Arrow
-    # setup) — measured ~100s once per JVM, irrelevant at cluster scale but
-    # 4-6x distortion on a single cold run. A 5k-row warmup does NOT trigger
-    # C2 compilation; 150k does.
-    _noop(with_quality(spark.read.parquet(tpath).limit(150_000)))
+    # warmup: one FULL-SIZE untimed pipeline pass. Two one-time per-JVM
+    # costs must be absorbed before timing: (a) C2 JIT of the generated
+    # expression code (~10^4+ invocations; a 5k-row slice does NOT trigger
+    # C2, 150k does), and (b) this sandbox's lazily-faulted RAM (CLAUDE.md
+    # "Lazy-faulted RAM"): the first pass that grows the JVM heap / Python
+    # arenas / page cache pays first-touch faults at ~5-30 MB/s — measured
+    # 5-10x steady state (650s vs 75s), and a slice warmup only faults a
+    # slice of the working set. A real cluster pays neither per-query.
+    _noop(with_quality(spark.read.parquet(tpath)))
 
     def timed(make_frame) -> float:
-        # best of 2: this sandbox shares a host with uncontrollable
-        # external load (load-avg >12 with an idle local process table
-        # observed); the min of two passes is the steady-state figure
+        # best of 3: this sandbox shares a host with uncontrollable
+        # external load — SMT-sibling pressure from neighbor VMs halves
+        # single-thread speed with ZERO visible steal/load (measured), and
+        # lazily-faulted RAM makes early passes pay first-touch costs.
+        # The min of three passes is the steady-state figure.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _noop(make_frame())
             best = min(best, time.perf_counter() - t0)
