@@ -80,6 +80,13 @@ def main() -> None:
     # slice of the working set. A real cluster pays neither per-query.
     _noop(with_quality(spark.read.parquet(tpath)))
 
+    # Wall-clock budget guard: the full-size warmup can cost 10+ minutes
+    # when the VM's RAM is cold (first-touch faults), and an absent bench
+    # line (driver timeout) is worse than a one-pass one. After the first
+    # timed pass of each query, extra passes run only while under budget.
+    bench_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    t_bench_start = time.perf_counter()
+
     def timed(make_frame) -> float:
         # best of 3: this sandbox shares a host with uncontrollable
         # external load — SMT-sibling pressure from neighbor VMs halves
@@ -87,7 +94,9 @@ def main() -> None:
         # lazily-faulted RAM makes early passes pay first-touch costs.
         # The min of three passes is the steady-state figure.
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
+            if i > 0 and time.perf_counter() - t_bench_start > bench_budget_s:
+                break
             t0 = time.perf_counter()
             _noop(make_frame())
             best = min(best, time.perf_counter() - t0)
