@@ -133,14 +133,15 @@ def write_alert_outbox(formatted: DataFrame, path: str, run_id: str) -> None:
     """alerts.log analog (alerting.py:46-66): append-only parquet outbox
     partitioned by run_id; re-running a run_id replaces only its own
     partition (dynamic partition overwrite — idempotent replay)."""
-    spark = formatted.sparkSession
     with_run = formatted.withColumn("run_id", F.lit(run_id))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        with_run.write.mode("overwrite").partitionBy("run_id").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, NOT a session-conf toggle: a concurrent write in
+    # the same session must never observe a flipped global overwrite mode
+    (
+        with_run.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id")
+        .parquet(path)
+    )
 
 
 def format_email_body(
@@ -211,6 +212,11 @@ def send_smtp_alerts(
     ``smtp_factory(server, port)`` is injectable so tests drive the
     starttls/login/send_message/quit sequence against a fake. Returns
     the number of messages sent.
+
+    Per-message connection + per-message try/except mirror the reference
+    exactly (alerting.py:196-223: one smtplib.SMTP per email, errors
+    logged and swallowed so one bad recipient never blocks the rest);
+    the quit() in ``finally`` additionally guarantees no socket leaks.
     """
     if not enabled:
         return 0
@@ -239,11 +245,20 @@ def send_smtp_alerts(
             email_from,
             email_to,
         )
-        server = smtp_factory(smtp_server, smtp_port)
-        server.starttls()
-        if smtp_password:
-            server.login(email_from, smtp_password)
-        server.send_message(msg)
-        server.quit()
-        sent += 1
+        server = None
+        try:
+            server = smtp_factory(smtp_server, smtp_port)
+            server.starttls()
+            if smtp_password:
+                server.login(email_from, smtp_password)
+            server.send_message(msg)
+            sent += 1
+        except Exception:  # noqa: BLE001 - reference swallows per-email errors
+            pass  # alerting.py:222-223: log-and-continue; next row still sends
+        finally:
+            if server is not None:
+                try:
+                    server.quit()
+                except Exception:  # noqa: BLE001
+                    pass
     return sent

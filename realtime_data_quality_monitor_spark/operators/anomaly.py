@@ -89,13 +89,11 @@ def ks_statistic(
     )
 
 
-def mad_anomalies(
-    df: DataFrame, value_cols: list, k: float = 3.5
-) -> DataFrame:
-    """Robust per-window anomaly flags: |x - median| > k * MAD, per
-    feature column, plus an any-feature flag. Medians are EXACT
-    percentiles (window counts are small by construction); a zero MAD
-    (constant feature) never flags."""
+def _mad_stats(df: DataFrame, value_cols: list) -> tuple:
+    """Shared median/MAD aggregates for the MAD detector family:
+    (meds, mads, with_dev) where ``with_dev`` is df x broadcast(meds).
+    Factored so mad_explanations reuses the exact frames mad_anomalies
+    builds instead of re-aggregating the input."""
     med_exprs = [
         F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}") for c in value_cols
     ]
@@ -106,6 +104,17 @@ def mad_anomalies(
         for c in value_cols
     ]
     mads = with_dev.agg(*mad_exprs)
+    return meds, mads, with_dev
+
+
+def mad_anomalies(
+    df: DataFrame, value_cols: list, k: float = 3.5, _stats: tuple | None = None
+) -> DataFrame:
+    """Robust per-window anomaly flags: |x - median| > k * MAD, per
+    feature column, plus an any-feature flag. Medians are EXACT
+    percentiles (window counts are small by construction); a zero MAD
+    (constant feature) never flags."""
+    _meds, mads, with_dev = _stats or _mad_stats(df, value_cols)
     out = with_dev.crossJoin(F.broadcast(mads))
     flags = []
     for c in value_cols:
@@ -192,6 +201,8 @@ def sequence_forecast_anomalies(
     Shuffle shape: one global-window pass over the (tiny, aggregated)
     window-feature frame + two broadcast scalar joins. Input is windows,
     never raw records — same contract as the reference."""
+    if not feature_cols:
+        raise ValueError("sequence_forecast_anomalies needs >= 1 feature col")
     mins = [F.min(c).alias(f"_lo_{c}") for c in feature_cols]
     maxs = [F.max(c).alias(f"_hi_{c}") for c in feature_cols]
     bounds = df.agg(*mins, *maxs)
@@ -271,6 +282,13 @@ def reconstruction_anomalies(
     through DECIMAL casts (order-free exact) and ``quantize`` floors the
     error to BIGINT before the percentile — the catalog's
     oracle-exactness recipe for double pipelines."""
+    if len(feature_cols) < 2:
+        # with k=1 the "mean of the OTHER features" denominator is k-1=0;
+        # double /0.0 yields NaN silently (no ANSI throw), so fail loudly
+        raise ValueError(
+            "reconstruction_anomalies needs >= 2 feature_cols: each "
+            "feature is reconstructed from the mean of the others"
+        )
     n = F.count(F.lit(1))
     stats = df.agg(
         *[
@@ -347,20 +365,9 @@ def mad_explanations(
     Emits one row per (window, rank<=top_n) with columns
     ``feature``, ``contribution_z``, ``rank`` appended to the window's
     original columns. Only windows with ``any_anomaly`` appear."""
-    flagged = mad_anomalies(df, value_cols, k=k)
-    meds = df.agg(
-        *[
-            F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}")
-            for c in value_cols
-        ]
-    )
-    tmp = df.crossJoin(F.broadcast(meds))
-    mads = tmp.agg(
-        *[
-            F.expr(f"percentile(abs({c} - _med_{c}), 0.5)").alias(f"_mad_{c}")
-            for c in value_cols
-        ]
-    )
+    stats = _mad_stats(df, value_cols)
+    meds, mads, _ = stats
+    flagged = mad_anomalies(df, value_cols, k=k, _stats=stats)
     enriched = flagged.filter(F.col("any_anomaly")).crossJoin(
         F.broadcast(meds)
     ).crossJoin(F.broadcast(mads))

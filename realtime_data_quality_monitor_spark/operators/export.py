@@ -60,10 +60,13 @@ def deterministic_shuffle(
     colliding prefixes). Training readers consume shard files in shard
     order, giving a stream where source-adjacent rows are scattered.
 
-    One exchange: ``shuffle=True`` repartitions by shard so each
-    output partition is exactly one shard (write-ready); the per-shard
-    rank is a window over the same partitioning — subset-distribution
-    rule, no second exchange.
+    One exchange: ``shuffle=True`` hash-repartitions by shard so the
+    window rank needs no second exchange (subset-distribution rule).
+    Note hash partitioning does NOT make partitions shard-pure —
+    murmur3(shard) % n can map two shard values to one task and leave
+    another empty — so writers that need one FILE per shard should
+    ``.write.partitionBy("shard")`` (directory-per-shard, purity by
+    construction) rather than rely on task boundaries.
     """
     key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
     h = _key_hash(key, seed)
@@ -162,7 +165,7 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    broadcast_eval: bool = True,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: for every training document, count the
     distinct word ``n``-grams it shares with ANY eval document and how
@@ -174,9 +177,14 @@ def ngram_decontaminate(
 
     Scale shape: both sides explode to per-doc-distinct (id, shingle)
     pairs; candidates come from ONE equi-join on the shingle, then one
-    groupBy on the train id. Eval sets are tiny next to a training
-    corpus, so the eval side broadcasts by default — the corpus is never
-    self-joined and shuffles only for the final aggregate. With n >= 8 a
+    groupBy on the train id — the corpus is never self-joined. The
+    default is a plain shuffle join: it is safe at any eval size, and
+    AQE still converts it to a broadcast join at runtime when the
+    exploded eval side is actually small. Pass ``broadcast_eval=True``
+    only when you KNOW the eval shingle set fits in memory — a "10% of
+    the corpus" eval split exploded into distinct n-grams does not, and
+    a forced broadcast there OOMs where the shuffle join completes.
+    With n >= 8 a
     shingle is effectively a fingerprint of shared phrasing, so the hot-
     token fan-out that makes token_jaccard_pairs quadratic does not
     arise; if boilerplate n-grams exist (licence headers), prune by

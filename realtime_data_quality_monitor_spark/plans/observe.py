@@ -64,14 +64,22 @@ class StageTimer:
         @contextlib.contextmanager
         def _cm():
             t0 = _time.perf_counter()
-            yield
-            self.record(stage, (_time.perf_counter() - t0) * 1000.0)
+            try:
+                yield
+            finally:
+                # record even when the stage raises: a failed stage's
+                # latency is still an observation (and callers that catch
+                # the error and persist the table must not lose it)
+                self.record(stage, (_time.perf_counter() - t0) * 1000.0)
 
         return _cm()
 
     def table(self, spark) -> DataFrame:
+        # empty recorder -> EMPTY frame with the right schema; a fake
+        # ("none", 0.0) row would otherwise be appendable into a real
+        # ml_performance table and show up as a model in the endpoint
         return spark.createDataFrame(
-            self._rows or [("none", 0.0, False, 0)],
+            self._rows,
             "model_name string, latency_ms double, is_anomaly boolean, seq long",
         )
 

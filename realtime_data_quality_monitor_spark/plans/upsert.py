@@ -52,9 +52,24 @@ def merge_upsert(
     during the swap is repairable by re-running the swap from the intact
     staging copy (``resume_swap``) — no state exists where the kept
     (non-updated) rows of a touched partition are lost. Staging is
-    removed only after the swap commits."""
+    removed only after the swap commits.
+
+    The staging path is DETERMINISTIC (``<target>__staging`` unless
+    overridden) so recovery needs no out-of-band state: on entry, a
+    leftover staging dir from a crashed run is either replayed into the
+    target (its parquet write completed — ``_SUCCESS`` present — so the
+    crash was mid-swap and the staged copy is the source of truth) or
+    discarded (incomplete write; the target was never touched). The
+    deterministic name assumes one writer per target table, the same
+    single-writer contract a real MERGE INTO holds per commit."""
+    import os
     import shutil
-    import uuid
+
+    staging = staging_path or f"{target_path.rstrip('/')}__staging"
+    if os.path.isdir(staging):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            resume_swap(spark, staging, target_path, partition_col)
+        shutil.rmtree(staging, ignore_errors=True)
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -79,7 +94,6 @@ def merge_upsert(
     )
     merged = keep.unionByName(dedup.select(*keep.columns))
 
-    staging = staging_path or f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     (
         merged.write.mode("overwrite")
         .partitionBy(partition_col)

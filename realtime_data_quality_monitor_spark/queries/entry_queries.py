@@ -2984,7 +2984,8 @@ def q_e4_decontaminate_documents(spark, sf_dir):
     doc sharing an 8-token n-gram with any eval doc. The leak
     split_by_hash cannot catch — a train doc that textually contains
     eval material. Candidates come from one equi-join on the shingle
-    (eval side broadcast); the corpus is never self-joined."""
+    (shuffle join; AQE broadcasts the eval side at runtime when it is
+    actually small); the corpus is never self-joined."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     split = export.split_by_hash(
         docs, "doc_id", seed="decon1",

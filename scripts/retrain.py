@@ -98,13 +98,6 @@ def retrain(
     # endpoint reads (queries/endpoints.py::ml_performance). seq is offset
     # by the existing row count so recency stays a total order across
     # appended retrain runs.
-    perf_path = os.path.join(out_dir, "ml_performance")
-    offset = 0
-    if os.path.isdir(perf_path):
-        offset = spark.read.parquet(perf_path).count()
-    timer.table(spark).withColumn(
-        "seq", F.col("seq") + F.lit(offset)
-    ).write.mode("append").parquet(perf_path)
     registry = spark.createDataFrame(
         [
             (
@@ -128,6 +121,21 @@ def retrain(
         .partitionBy("model_version")
         .parquet(registry_path)
     )
+    # stage observations -> the ml_performance table the /ml/performance
+    # endpoint reads (queries/endpoints.py::ml_performance). Appended only
+    # AFTER the registry write (the commit marker): a crash before this
+    # point means the next run recomputes from scratch without having
+    # appended anything, so observations are never duplicated (a crash
+    # between registry and here loses this run's two rows — the lesser
+    # evil vs double-counting). seq is offset by the existing row count so
+    # recency stays a total order across appended retrain runs.
+    perf_path = os.path.join(out_dir, "ml_performance")
+    offset = 0
+    if os.path.isdir(perf_path):
+        offset = spark.read.parquet(perf_path).count()
+    timer.table(spark).withColumn(
+        "seq", F.col("seq") + F.lit(offset)
+    ).write.mode("append").parquet(perf_path)
     return {
         "model_version": version,
         "n_windows": n_windows,
