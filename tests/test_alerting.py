@@ -203,3 +203,33 @@ def test_email_body_contains_stats():
     assert "Records with Issues: 30 (30.0%)" in body
     assert "Critical Issues: 5" in body
     assert config.NOW_UTC_STR in body
+
+
+def test_smtp_send_error_continues_and_always_quits(spark, stats_df):
+    """Reference parity (alerting.py:222-223): a failing send is
+    swallowed and the remaining rows still deliver; every opened
+    connection is quit (no socket leak)."""
+    _FakeSMTP.instances = []
+
+    class _Flaky(_FakeSMTP):
+        def send_message(self, msg):
+            if len(_FakeSMTP.instances) == 1:  # first connection fails
+                raise RuntimeError("recipient rejected")
+            super().send_message(msg)
+
+    rows = (
+        alerting.format_alert_messages(metrics.check_alerts(stats_df))
+        .orderBy("grp", "alert_type")
+        .collect()
+    )
+    assert len(rows) >= 2
+    sent = alerting.send_smtp_alerts(
+        rows,
+        email_from="monitor@example.com",
+        email_to="oncall@example.com",
+        enabled=True,
+        smtp_factory=_Flaky,
+    )
+    assert sent == len(rows) - 1
+    assert len(_FakeSMTP.instances) == len(rows)
+    assert all(inst.calls[-1] == "quit" for inst in _FakeSMTP.instances)

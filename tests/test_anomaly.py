@@ -194,3 +194,19 @@ def test_perfmon_reference_p95_semantics(spark):
     m2 = out["m2"]  # n=5 <= 20 -> p95 falls back to max
     assert m2.predictions_count == 5
     assert m2.p95_latency_ms == m2.max_latency_ms
+
+
+def test_reconstruction_rejects_single_feature(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "a double")
+    with pytest.raises(ValueError, match=">= 2 feature_cols"):
+        anomaly.reconstruction_anomalies(df, ["a"])
+
+
+def test_sequence_forecast_rejects_empty_features(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "t int, a double")
+    with pytest.raises(ValueError, match=">= 1 feature col"):
+        anomaly.sequence_forecast_anomalies(df, "t", [])

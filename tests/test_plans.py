@@ -183,3 +183,22 @@ def test_perfmon_last_n_single_exchange(spark):
         ev, order_cols=["ts", "event_id"], window_size=100
     )
     assert _n_shuffles(spark, df) == 1
+
+
+def test_stage_timer_records_on_raise_and_empty_table_is_empty(spark):
+    from realtime_data_quality_monitor_spark.plans.observe import StageTimer
+
+    t = StageTimer()
+    # empty recorder -> EMPTY frame with the schema, never a fake row
+    empty = t.table(spark)
+    assert empty.count() == 0
+    assert empty.columns == ["model_name", "latency_ms", "is_anomaly", "seq"]
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        with t.time("boom"):
+            raise RuntimeError("stage failed")
+    rows = t.table(spark).collect()
+    assert [r.model_name for r in rows] == ["boom"]
+    assert rows[0].latency_ms >= 0.0

@@ -136,3 +136,55 @@ def test_table_diff_after_merge_matches_update_batch(spark, tmp_path):
         for r in diff.table_diff(before, after, ["k"]).collect()
     }
     assert d == {0: "update", 9990: "insert"}
+
+
+def test_crash_recovery_replays_completed_staging(spark, tmp_path):
+    """A COMPLETED staging copy (_SUCCESS present) left by a crash
+    mid-swap is replayed into the target on the next merge_upsert call,
+    restoring a partition the interrupted dynamic overwrite had
+    deleted — then removed."""
+    import shutil
+
+    path = str(tmp_path / "tbl_rec")
+    _seed_table(spark, path)
+    staging = path + "__staging"
+    merged_p0 = (
+        spark.read.parquet(path)
+        .filter("p = 0")
+        .withColumn(
+            "v", F.when(F.col("k") == 0, F.lit(-99)).otherwise(F.col("v"))
+        )
+    )
+    merged_p0.write.mode("overwrite").partitionBy("p").parquet(staging)
+    # simulate the crash window: overwrite deleted the partition dir,
+    # the staged move never happened
+    shutil.rmtree(os.path.join(path, "p=0"))
+    assert spark.read.parquet(path).count() == 800
+
+    updates = spark.createDataFrame([(1, -5, 1)], "k long, v long, p long")
+    upsert.merge_upsert(spark, path, updates, key_cols=["k"], partition_col="p")
+
+    after = spark.read.parquet(path)
+    assert after.count() == 1000  # p=0 fully restored from staging
+    assert after.filter("k = 0").collect()[0]["v"] == -99  # staged update kept
+    assert after.filter("k = 1").collect()[0]["v"] == -5  # new batch applied
+    assert not os.path.isdir(staging)
+
+
+def test_crash_recovery_discards_incomplete_staging(spark, tmp_path):
+    """A staging dir WITHOUT _SUCCESS (crash during the staging write,
+    target untouched by that run) is discarded, not replayed."""
+    path = str(tmp_path / "tbl_disc")
+    _seed_table(spark, path)
+    staging = path + "__staging"
+    os.makedirs(os.path.join(staging, "p=0"))
+    with open(os.path.join(staging, "p=0", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    updates = spark.createDataFrame([(2, -6, 2)], "k long, v long, p long")
+    upsert.merge_upsert(spark, path, updates, key_cols=["k"], partition_col="p")
+
+    after = spark.read.parquet(path)
+    assert after.count() == 1000
+    assert after.filter("k = 2").collect()[0]["v"] == -6
+    assert not os.path.isdir(staging)
