@@ -254,7 +254,13 @@ def send_smtp_alerts(
             server.send_message(msg)
             sent += 1
         except Exception:  # noqa: BLE001 - reference swallows per-email errors
-            pass  # alerting.py:222-223: log-and-continue; next row still sends
+            # alerting.py:222-223: log-and-continue; next row still sends
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "alert email send failed (subject=%r)", d.get("subject"),
+                exc_info=True,
+            )
         finally:
             if server is not None:
                 try:

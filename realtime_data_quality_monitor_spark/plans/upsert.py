@@ -54,22 +54,30 @@ def merge_upsert(
     (non-updated) rows of a touched partition are lost. Staging is
     removed only after the swap commits.
 
-    The staging path is DETERMINISTIC (``<target>__staging`` unless
-    overridden) so recovery needs no out-of-band state: on entry, a
-    leftover staging dir from a crashed run is either replayed into the
-    target (its parquet write completed — ``_SUCCESS`` present — so the
-    crash was mid-swap and the staged copy is the source of truth) or
-    discarded (incomplete write; the target was never touched). The
-    deterministic name assumes one writer per target table, the same
-    single-writer contract a real MERGE INTO holds per commit."""
+    The default staging path is DETERMINISTIC (``<target>__staging``)
+    so recovery needs no out-of-band state: on entry, a leftover default
+    staging dir from a crashed run is either replayed into the target
+    (it carries this module's own ``_STAGED_COMMIT`` marker, written
+    only after the staging job committed — independent of ``_SUCCESS``,
+    which sessions can disable — AND still holds data files, guarding
+    against a half-deleted dir) or discarded (no marker: the staging
+    write never finished, so the target was never touched). Recovery
+    NEVER applies to a caller-supplied ``staging_path`` — an arbitrary
+    pre-existing directory must not be swapped into the target.
+
+    The deterministic name assumes ONE writer per target table (the
+    single-writer contract a real MERGE INTO holds per commit); a
+    concurrent second writer could discard or replay the first writer's
+    in-flight staging. ``streaming/pipeline.py::run_stream_upsert``
+    documents the same constraint for its micro-batch sink."""
     import os
     import shutil
 
     staging = staging_path or f"{target_path.rstrip('/')}__staging"
-    if os.path.isdir(staging):
-        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+    if staging_path is None and os.path.isdir(staging):
+        if _staging_committed(staging):
             resume_swap(spark, staging, target_path, partition_col)
-        shutil.rmtree(staging, ignore_errors=True)
+        _remove_staging(staging)
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -99,11 +107,48 @@ def merge_upsert(
         .partitionBy(partition_col)
         .parquet(staging)
     )
+    # own commit marker: written only after the staging job committed, so
+    # recovery does not depend on _SUCCESS (disable-able session-side)
+    open(os.path.join(staging, _COMMIT_MARKER), "a").close()
     staged = spark.read.parquet(staging)
     n = staged.count()
     resume_swap(spark, staging, target_path, partition_col)
-    shutil.rmtree(staging, ignore_errors=True)
+    _remove_staging(staging)
     return {"touched_partitions": sorted(parts), "upserted_rows": n}
+
+
+_COMMIT_MARKER = "_STAGED_COMMIT"
+
+
+def _staging_committed(staging: str) -> bool:
+    """True iff the staging write committed (our marker) AND data files
+    are still present (a half-deleted dir with a surviving marker must be
+    discarded, not replayed — spark.read on a data-less dir throws before
+    cleanup could run, wedging every subsequent call)."""
+    import glob
+    import os
+
+    if not os.path.exists(os.path.join(staging, _COMMIT_MARKER)):
+        return False
+    return any(
+        "_temporary" not in f
+        for f in glob.glob(
+            os.path.join(staging, "**", "*.parquet"), recursive=True
+        )
+    )
+
+
+def _remove_staging(staging: str) -> None:
+    """Marker first, then the tree: an interrupted removal leaves a
+    marker-less dir, which the next entry classifies as uncommitted and
+    simply discards."""
+    import contextlib
+    import os
+    import shutil
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(staging, _COMMIT_MARKER))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def resume_swap(

@@ -206,7 +206,14 @@ def run_stream_upsert(
 
     This is the streaming half of the reference's Postgres INSERT path
     upgraded to upsert semantics (late corrections replace, not
-    duplicate)."""
+    duplicate).
+
+    SINGLE-WRITER contract: merge_upsert stages to the deterministic
+    ``<target>__staging`` dir and self-heals from it on entry, so
+    exactly one writer (this query OR a batch job, never both) may
+    target the table at a time — the same per-commit exclusivity a real
+    MERGE INTO takes via the table's commit protocol. Micro-batches of
+    one query are naturally serialized by foreachBatch."""
     from ..plans.upsert import merge_upsert
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -139,8 +139,8 @@ def test_table_diff_after_merge_matches_update_batch(spark, tmp_path):
 
 
 def test_crash_recovery_replays_completed_staging(spark, tmp_path):
-    """A COMPLETED staging copy (_SUCCESS present) left by a crash
-    mid-swap is replayed into the target on the next merge_upsert call,
+    """A COMPLETED staging copy (_STAGED_COMMIT marker present) left by a
+    crash mid-swap is replayed into the target on the next merge_upsert call,
     restoring a partition the interrupted dynamic overwrite had
     deleted — then removed."""
     import shutil
@@ -156,6 +156,8 @@ def test_crash_recovery_replays_completed_staging(spark, tmp_path):
         )
     )
     merged_p0.write.mode("overwrite").partitionBy("p").parquet(staging)
+    # merge_upsert writes its own commit marker after the staging job
+    open(os.path.join(staging, upsert._COMMIT_MARKER), "a").close()
     # simulate the crash window: overwrite deleted the partition dir,
     # the staged move never happened
     shutil.rmtree(os.path.join(path, "p=0"))
@@ -172,8 +174,8 @@ def test_crash_recovery_replays_completed_staging(spark, tmp_path):
 
 
 def test_crash_recovery_discards_incomplete_staging(spark, tmp_path):
-    """A staging dir WITHOUT _SUCCESS (crash during the staging write,
-    target untouched by that run) is discarded, not replayed."""
+    """A staging dir WITHOUT the commit marker (crash during the staging
+    write, target untouched by that run) is discarded, not replayed."""
     path = str(tmp_path / "tbl_disc")
     _seed_table(spark, path)
     staging = path + "__staging"
@@ -188,3 +190,48 @@ def test_crash_recovery_discards_incomplete_staging(spark, tmp_path):
     assert after.count() == 1000
     assert after.filter("k = 2").collect()[0]["v"] == -6
     assert not os.path.isdir(staging)
+
+
+def test_marker_without_data_is_discarded_not_wedged(spark, tmp_path):
+    """A surviving _STAGED_COMMIT marker in a half-deleted (data-less)
+    staging dir must be discarded — replaying would throw
+    UNABLE_TO_INFER_SCHEMA before cleanup and wedge every later call."""
+    path = str(tmp_path / "tbl_wedge")
+    _seed_table(spark, path)
+    staging = path + "__staging"
+    os.makedirs(staging)
+    open(os.path.join(staging, upsert._COMMIT_MARKER), "a").close()
+
+    updates = spark.createDataFrame([(3, -7, 3)], "k long, v long, p long")
+    upsert.merge_upsert(spark, path, updates, key_cols=["k"], partition_col="p")
+    after = spark.read.parquet(path)
+    assert after.count() == 1000
+    assert after.filter("k = 3").collect()[0]["v"] == -7
+    assert not os.path.isdir(staging)
+
+
+def test_explicit_staging_path_gets_no_recovery_replay(spark, tmp_path):
+    """A caller-supplied staging_path pointing at a pre-existing
+    directory (e.g. another job's committed output) must NOT be swapped
+    into the target on entry."""
+    path = str(tmp_path / "tbl_foreign")
+    _seed_table(spark, path)
+    foreign = str(tmp_path / "foreign_out")
+    (
+        spark.createDataFrame([(12345, -1000, 0)], "k long, v long, p long")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(foreign)
+    )
+    open(os.path.join(foreign, upsert._COMMIT_MARKER), "a").close()
+
+    updates = spark.createDataFrame([(4, -8, 4)], "k long, v long, p long")
+    upsert.merge_upsert(
+        spark, path, updates, key_cols=["k"], partition_col="p",
+        staging_path=foreign,
+    )
+    after = spark.read.parquet(path)
+    # the foreign row never appears; p=0 keeps all 200 original rows
+    assert after.filter("k = 12345").count() == 0
+    assert after.filter("p = 0").count() == 200
+    assert after.filter("k = 4").collect()[0]["v"] == -8
