@@ -199,3 +199,57 @@ def ngram_decontaminate(
         F.countDistinct("sh").alias("n_shared_ngrams"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Tokenizer-vocabulary construction: global token counts, top-k by
+    frequency, dense rank ids. Returns ``(token, cnt, token_id)`` with
+    token_id 1..k assigned by (cnt DESC, token ASC) — the deterministic
+    tie-break every engine reproduces.
+
+    Scale shape: explode + hash-aggregate with map-side partial combine
+    (one shuffle keyed by token), then TakeOrderedAndProject for the
+    top-k — Spark computes per-partition top-k and merges, never a
+    global sort. The rank window runs AFTER the limit, over k rows in
+    one task: bounded by the vocabulary size you asked for, not the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w))
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    seed: str,
+    max_score: int = 100,
+) -> DataFrame:
+    """Quality-proportional downsampling: keep a row with probability
+    ``score / max_score`` using the keyed md5 hash as the uniform draw
+    (score 0 never kept, score == max_score always kept). The standard
+    soft alternative to a hard keep/drop threshold: low-quality
+    documents survive at a rate proportional to their score, which
+    preserves distributional coverage while shifting mass toward
+    quality — and the decision is a pure function of (key, seed), so
+    the same corpus resamples identically on any engine or cluster.
+
+    Row-local predicate, no shuffle; Catalyst evaluates it at scan
+    time. Integer-exact: hash % max_score < score.
+    """
+    h = _key_hash(F.col(key_col).cast("string"), seed, "qsample")
+    score = F.col(score_col).cast("long")
+    return df.filter((h % F.lit(max_score)) < score)

@@ -1,0 +1,251 @@
+"""Published web-corpus quality-filter heuristics as native Columns.
+
+The Gopher rule family (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", appendix A1.1) and
+C4-style lexical statistics (Raffel et al. 2020) re-expressed as pure
+Spark column algebra over a documents-shaped table (doc_id, text, ...):
+
+  * word-level stats: word count, mean word length, type-token ratio,
+    stop-word hits (the paper's eight-word "stop word" presence test);
+  * repetition signals: fraction of characters contained in the most
+    frequent word n-gram, and in duplicated n-grams;
+  * a composed keep/drop decision with the paper's thresholds exposed
+    as parameters (defaults adapted to the short-document fixture,
+    paper values noted per parameter).
+
+Cross-engine exactness: every fraction is emitted as a scaled BIGINT
+(floor(x * 1e6), exact integer floor division) so the DuckDB oracle is
+cell-exact — see queries/entry_queries.py's parity rules.
+
+Scale shape: every signal is WITHIN-document, computed with array
+algebra on the row — no explode, no shuffle, the corpus scan stays
+embarrassingly parallel. The repetition stats deliberately avoid the
+naive nested-lambda formulation (count each distinct gram by filtering
+the gram array = O(k^2)..O(k^3) per row, which also bloats the Catalyst
+expression tree past what codegen handles): instead the grams are
+``array_sort``-ed so duplicates are adjacent, and ONE ``F.aggregate``
+pass with a struct accumulator tracks (current run length, best count,
+best gram, duplicate char mass) — O(k log k) per row with a
+constant-size expression tree. The alternative explode + groupBy(doc,
+gram) shape shuffles n x corpus rows; at 100 TB the no-shuffle row-local
+sweep wins (documents are length-capped upstream by the word-count rule
+itself). The DuckDB oracle intentionally uses the explode shape — an
+independent algorithm computing the same definition.
+
+Reference parity note: the reference repo has no corpus-level quality
+filters (it validates event records — flink/src/quality_checker.py);
+this module is part of the training-data-pipeline surface the engine
+adds on top, per SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+MILLION = 1_000_000
+
+# Rae et al. 2021 A1.1: "contains at least two of the following English
+# stop words: the, be, to, of, and, that, have, with".
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division of non-negative BIGINTs without
+    leaving column algebra: (a - a % b) is exactly divisible by b, and
+    an exactly-divisible double division below 2^53 is exact."""
+    a = a.cast("long")
+    b = b.cast("long")
+    return ((a - (a % b)) / b).cast("long")
+
+
+def word_char_count(toks: Column) -> Column:
+    """Total characters across tokens (spaces excluded) — the
+    denominator for every character-mass fraction here."""
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+
+
+def mean_word_len_u(toks: Column) -> Column:
+    """floor(mean token length * 1e6) as BIGINT; 0 for empty docs."""
+    n = F.size(toks)
+    return F.when(
+        n > 0, _idiv(word_char_count(toks) * MILLION, n)
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def type_token_ratio_u(toks: Column) -> Column:
+    """floor(distinct/total * 1e6) as BIGINT; 0 for empty docs."""
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        _idiv(F.size(F.array_distinct(toks)).cast("long") * MILLION, n),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def stopword_hits(toks: Column, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens in the (Gopher) stop-word list — count-based,
+    not set-based, matching textstats.langid_hits' parity convention."""
+    stop = F.array(*[F.lit(w) for w in (stopwords or GOPHER_STOPWORDS)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty array when the doc has
+    fewer than n tokens."""
+    npos = F.size(toks) - n + 1
+    return F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_run_stats(grams: Column, n: int) -> Column:
+    """One sorted sweep over the doc's n-grams. Returns a struct:
+
+      bestc    — occurrence count of the most frequent gram,
+      best     — that gram (ties: lexicographically smallest — in
+                 sorted order the strict ``>`` update keeps the first,
+                 i.e. smallest, gram that reaches the max count),
+      dup_mass — total (non-space) chars across ALL occurrences of
+                 every gram that occurs >= 2 times, accumulated
+                 incrementally: the 2nd occurrence of a run adds
+                 2 * gram_chars (retroactively counting the 1st),
+                 every further occurrence adds gram_chars.
+
+    gram_chars = length(gram) - (n-1) separator spaces.
+    """
+    zero = F.lit(0).cast("long")
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        gl = (F.length(g) - F.lit(n - 1)).cast("long")
+        dup = acc["dup"] + (
+            F.when(run == 2, gl * 2).when(run > 2, gl).otherwise(zero)
+        )
+        is_best = run > acc["bestc"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(is_best, run).otherwise(acc["bestc"]).alias("bestc"),
+            F.when(is_best, g).otherwise(acc["best"]).alias("best"),
+            dup.alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("bestc"),
+        F.lit("").alias("best"),
+        zero.alias("dup"),
+    )
+    return F.aggregate(F.array_sort(grams), init, step)
+
+
+def top_ngram_char_frac_u(toks: Column, n: int) -> Column:
+    """Gopher repetition signal: fraction of (non-space) characters
+    contained in occurrences of the single most frequent word n-gram,
+    as floor(frac * 1e6) BIGINT. 0 when the doc has fewer than n
+    tokens; capped at 1e6 (overlapping occurrences can push raw char
+    mass past the total)."""
+    stats = _gram_run_stats(word_ngrams(toks, n), n)
+    total = word_char_count(toks)
+    mass = stats["bestc"] * (F.length(stats["best"]) - F.lit(n - 1)).cast(
+        "long"
+    )
+    return F.when(
+        (total > 0) & (stats["bestc"] > 0),
+        F.least(F.lit(MILLION).cast("long"), _idiv(mass * MILLION, total)),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def dup_ngram_char_frac_u(toks: Column, n: int) -> Column:
+    """Gopher repetition signal: fraction of (non-space) characters
+    contained in word n-grams that occur more than once, as
+    floor(frac * 1e6) BIGINT, capped at 1e6. Char mass counts every
+    occurrence of every duplicated gram (the paper's definition over
+    overlapping grams can double-count; the cap keeps the output a
+    fraction)."""
+    stats = _gram_run_stats(word_ngrams(toks, n), n)
+    total = word_char_count(toks)
+    return F.when(
+        total > 0,
+        F.least(
+            F.lit(MILLION).cast("long"),
+            _idiv(stats["dup"] * MILLION, total),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def with_gopher_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher word-level stat columns (all BIGINT)."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_words": F.size(toks).cast("long"),
+            "mean_word_len_u": mean_word_len_u(toks),
+            "ttr_u": type_token_ratio_u(toks),
+            "stop_hits": stopword_hits(toks).cast("long"),
+        }
+    )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher repetition columns (scaled BIGINT fractions):
+    top-2-gram and top-3-gram char fraction, duplicate-3-gram char
+    fraction."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumns(
+        {
+            "top2_frac_u": top_ngram_char_frac_u(toks, 2),
+            "top3_frac_u": top_ngram_char_frac_u(toks, 3),
+            "dup3_frac_u": dup_ngram_char_frac_u(toks, 3),
+        }
+    )
+
+
+# Thresholds: paper values in comments; defaults adapted to the short
+# word-soup fixture (docs are 8-110 tokens from a ~40-word vocabulary,
+# so the paper's 50-word floor and 0.2 repetition caps would be
+# degenerate — thresholds stay honest parameters either way).
+def gopher_keep_flag(
+    df: DataFrame,
+    min_words: int = 10,  # paper: 50
+    max_words: int = 100_000,  # paper: 100,000
+    min_mean_word_len_u: int = 3 * MILLION,  # paper: 3
+    max_mean_word_len_u: int = 10 * MILLION,  # paper: 10
+    min_stop_hits: int = 1,  # paper: 2 of 8 stop words
+    max_top2_frac_u: int = 300_000,  # paper: 0.20
+    max_dup3_frac_u: int = 600_000,  # paper's dup-gram family caps
+) -> DataFrame:
+    """Compose the word-stat and repetition columns into the Gopher
+    keep/drop decision plus a first-failed-rule drop reason (priority
+    order = the order the paper lists the rules)."""
+    out = with_repetition_stats(with_gopher_word_stats(df))
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(
+            (F.col("mean_word_len_u") < min_mean_word_len_u)
+            | (F.col("mean_word_len_u") > max_mean_word_len_u),
+            F.lit("word_length"),
+        )
+        .when(F.col("stop_hits") < min_stop_hits, F.lit("no_stop_words"))
+        .when(F.col("top2_frac_u") > max_top2_frac_u, F.lit("top2_repetition"))
+        .when(F.col("dup3_frac_u") > max_dup3_frac_u, F.lit("dup3_repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.withColumns(
+        {
+            "drop_reason": reason,
+            "keep": (reason == "kept").cast("int"),
+        }
+    )

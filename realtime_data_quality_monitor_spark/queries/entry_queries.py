@@ -37,6 +37,7 @@ from ..operators import (
     export,
     metrics,
     multimodal,
+    quality_filters,
     similarity,
     skew,
     temporal,
@@ -3086,6 +3087,218 @@ SQL_T10 = _sql_t10()
 
 
 # ---------------------------------------------------------------------------
+# g* — published corpus quality-filter heuristics (operators/
+# quality_filters.py): the Gopher rule family (Rae et al. 2021 A1.1) as
+# row-local array algebra — no explode, no shuffle; fractions are scaled
+# BIGINTs so the oracles are cell-exact. The Spark side counts gram
+# occurrences with a sorted O(k log k) aggregate sweep; the oracles use
+# the independent explode + GROUP BY shape — same definition, different
+# algorithm, which is exactly what a parity gate should compare.
+# ---------------------------------------------------------------------------
+
+_SQL_G_TOKS = """
+    toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, lang, source, toks,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+          AS char_sum,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','be','to','of','and','that','have','with'], t)))
+          AS BIGINT) AS stop_hits
+      FROM toks)
+"""
+
+_SQL_G_REP = """
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(n_words, 1)),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM base WHERE n_words >= 2),
+    g2c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM g2 GROUP BY 1, 2),
+    g2top AS (
+      SELECT doc_id, cnt AS bestc2,
+             CAST(length(gram) - 1 AS BIGINT) AS glen2
+      FROM g2c
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) = 1),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(n_words - 1, 1)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM base WHERE n_words >= 3),
+    g3c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM g3 GROUP BY 1, 2),
+    g3top AS (
+      SELECT doc_id, cnt AS bestc3,
+             CAST(length(gram) - 2 AS BIGINT) AS glen3
+      FROM g3c
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) = 1),
+    g3dup AS (
+      SELECT doc_id, CAST(SUM(cnt * (length(gram) - 2)) AS BIGINT)
+               AS dup3_mass
+      FROM g3c WHERE cnt >= 2 GROUP BY 1),
+    rep AS (
+      SELECT b.doc_id, b.lang, b.source, b.n_words, b.char_sum,
+        b.n_distinct, b.stop_hits,
+        CASE WHEN b.n_words > 0
+             THEN b.char_sum * 1000000 // b.n_words ELSE 0 END
+          AS mean_word_len_u,
+        CASE WHEN b.n_words > 0
+             THEN b.n_distinct * 1000000 // b.n_words ELSE 0 END AS ttr_u,
+        CASE WHEN t2.bestc2 IS NOT NULL AND b.char_sum > 0
+             THEN least(CAST(1000000 AS BIGINT),
+                        t2.bestc2 * t2.glen2 * 1000000 // b.char_sum)
+             ELSE 0 END AS top2_frac_u,
+        CASE WHEN t3.bestc3 IS NOT NULL AND b.char_sum > 0
+             THEN least(CAST(1000000 AS BIGINT),
+                        t3.bestc3 * t3.glen3 * 1000000 // b.char_sum)
+             ELSE 0 END AS top3_frac_u,
+        CASE WHEN b.char_sum > 0
+             THEN least(CAST(1000000 AS BIGINT),
+                        coalesce(d3.dup3_mass, 0) * 1000000 // b.char_sum)
+             ELSE 0 END AS dup3_frac_u
+      FROM base b
+      LEFT JOIN g2top t2 USING (doc_id)
+      LEFT JOIN g3top t3 USING (doc_id)
+      LEFT JOIN g3dup d3 USING (doc_id))
+"""
+
+
+def q_g1_gopher_stats_documents(spark, sf_dir):
+    """Gopher word-level stats per document (Rae et al. 2021 A1.1):
+    word count, mean word length, type-token ratio, stop-word hits —
+    all exact scaled BIGINTs, all row-local column algebra."""
+    d = quality_filters.with_gopher_word_stats(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_words", "mean_word_len_u", "ttr_u", "stop_hits")
+
+
+SQL_G1 = f"""
+    WITH {_SQL_G_TOKS}
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words ELSE 0 END
+        AS mean_word_len_u,
+      CASE WHEN n_words > 0 THEN n_distinct * 1000000 // n_words ELSE 0 END
+        AS ttr_u,
+      stop_hits
+    FROM base
+"""
+
+
+def q_g2_repetition_documents(spark, sf_dir):
+    """Gopher repetition signals per document: char fraction of the
+    most frequent 2-gram/3-gram and of duplicated 3-grams. Spark
+    computes them with one sorted-run aggregate sweep per n (O(k log k)
+    per row, no shuffle); the oracle uses explode + GROUP BY."""
+    d = quality_filters.with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "top2_frac_u", "top3_frac_u", "dup3_frac_u")
+
+
+SQL_G2 = f"""
+    WITH {_SQL_G_TOKS},
+    {_SQL_G_REP}
+    SELECT doc_id, top2_frac_u, top3_frac_u, dup3_frac_u FROM rep
+"""
+
+
+def q_g3_gopher_filter_summary(spark, sf_dir):
+    """The composed Gopher keep/drop decision, summarized per drop
+    reason (first failed rule, paper order): document count and exact
+    average word count per reason."""
+    d = quality_filters.gopher_keep_flag(_t(spark, sf_dir, "documents"))
+    return d.groupBy("drop_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _sum_int("keep").alias("n_kept"),
+        _avg_int("n_words").alias("avg_words"),
+    )
+
+
+SQL_G3 = f"""
+    WITH {_SQL_G_TOKS},
+    {_SQL_G_REP},
+    decided AS (
+      SELECT *,
+        CASE
+          WHEN n_words < 10 THEN 'too_few_words'
+          WHEN n_words > 100000 THEN 'too_many_words'
+          WHEN mean_word_len_u < 3000000 OR mean_word_len_u > 10000000
+            THEN 'word_length'
+          WHEN stop_hits < 1 THEN 'no_stop_words'
+          WHEN top2_frac_u > 300000 THEN 'top2_repetition'
+          WHEN dup3_frac_u > 600000 THEN 'dup3_repetition'
+          ELSE 'kept'
+        END AS drop_reason
+      FROM rep)
+    SELECT drop_reason, COUNT(*) AS n_docs,
+           CAST(SUM((drop_reason = 'kept')::INT) AS BIGINT) AS n_kept,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words
+    FROM decided GROUP BY drop_reason
+"""
+
+
+def q_e5_vocab_topk_documents(spark, sf_dir):
+    """Tokenizer-vocabulary build (operators/export.py::build_vocab):
+    global token counts -> top-50 by (count DESC, token ASC) -> dense
+    token ids. One hash-agg shuffle + TakeOrderedAndProject; the rank
+    window runs over the 50 surviving rows only."""
+    return export.build_vocab(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+SQL_E5 = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)
+             AS token_id
+    FROM c ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
+def q_e6_quality_sample_documents(spark, sf_dir):
+    """Quality-proportional sampling (operators/export.py::
+    quality_weighted_sample): keep each doc with probability
+    quality/100 via the keyed md5 draw — deterministic, row-local,
+    integer-exact, so the oracle reproduces the exact member set."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "quality", textstats.quality_score(F.col("text"), F.col("n_chars"))
+    )
+    out = export.quality_weighted_sample(d, "doc_id", "quality", seed="exp-q")
+    return out.select("doc_id", "lang", F.col("quality").cast("int").alias("quality"))
+
+
+SQL_E6 = """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+        len(list_filter(string_split(text, ' '), x -> x != '')) AS ntok,
+        len(list_distinct(list_filter(string_split(text, ' '),
+            x -> x != ''))) AS ndis,
+        length(text) AS nlen
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+        (n_chars BETWEEN 100 AND 450)::INT * 40
+        + (CASE WHEN ntok > 0 THEN (ndis::DOUBLE / ntok) ELSE 0.0e0 END
+           >= 0.3e0)::INT * 30
+        + (CASE WHEN ntok > 0 THEN (nlen::DOUBLE / ntok) ELSE 0.0e0 END
+           BETWEEN 3.0e0 AND 9.0e0)::INT * 30 AS quality
+      FROM s)
+    SELECT doc_id, lang, CAST(quality AS INT) AS quality
+    FROM q
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|exp-q|qsample'),
+               1, 8) AS BIGINT) % 100 < quality
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -3150,12 +3363,19 @@ ENTRY_QUERIES = {
     "e3_split_documents": (q_e3_split_documents, SQL_E3),
     "e4_decontaminate_documents": (q_e4_decontaminate_documents, SQL_E4),
     "t10_scrub_native_documents": (q_t10_scrub_native_documents, SQL_T10),
+    "g1_gopher_stats_documents": (q_g1_gopher_stats_documents, SQL_G1),
+    "g2_repetition_documents": (q_g2_repetition_documents, SQL_G2),
+    "g3_gopher_filter_summary": (q_g3_gopher_filter_summary, SQL_G3),
+    "e5_vocab_topk_documents": (q_e5_vocab_topk_documents, SQL_E5),
+    "e6_quality_sample_documents": (q_e6_quality_sample_documents, SQL_E6),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
+    "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
+    # -- past the driver's 50-entry window (rotating coverage; all were
+    #    driver-green in round 1 and stay gated by scripts/check_entry.py)
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
-    "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     "j4_semi_anti_customers": (q_j4_semi_anti_customers, SQL_J4),
     "w1_session_stats_events": (q_w1_session_stats_events, SQL_W1),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
@@ -3165,8 +3385,6 @@ ENTRY_QUERIES = {
     "d4_simhash_documents": (q_d4_simhash_documents, None),
     "t1_langid_documents": (q_t1_langid_documents, SQL_T1),
     "t7_clean_text_documents": (q_t7_clean_text_documents, SQL_T7),
-    # -- past the driver's 50-entry window (rotating coverage; all were
-    #    driver-green in round 1 and stay gated by scripts/check_entry.py)
     "p9_props_json_stats": (q_p9_props_json_stats, SQL_P9),
     "a7_pivot_daily_type_value": (q_a7_pivot_daily_type_value, SQL_A7),
     "t3_quality_score_documents": (q_t3_quality_score_documents, SQL_T3),

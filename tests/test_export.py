@@ -160,3 +160,39 @@ def test_decontaminate_short_docs_skipped(spark):
     train = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     ev = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     assert export.ngram_decontaminate(train, ev, n=8).count() == 0
+
+
+def test_build_vocab_counts_and_ranks(spark):
+    df = spark.createDataFrame(
+        [(0, "b a a"), (1, "c b a"), (2, "c c b b")], ["doc_id", "text"]
+    )
+    rows = export.build_vocab(df, top_k=2).collect()
+    # counts: a=3, b=4, c=3 -> top2 is b(4) then a(3, ties with c broken
+    # lexicographically)
+    assert [(r["token"], r["cnt"], r["token_id"]) for r in rows] == [
+        ("b", 4, 1),
+        ("a", 3, 2),
+    ]
+
+
+def test_build_vocab_smaller_corpus_than_k(spark):
+    df = spark.createDataFrame([(0, "z y")], ["doc_id", "text"])
+    rows = export.build_vocab(df, top_k=10).collect()
+    assert [(r["token"], r["token_id"]) for r in rows] == [("y", 1), ("z", 2)]
+
+
+def test_quality_weighted_sample_matches_python_hash(spark, docs):
+    scored = docs.withColumn("score", (F.col("doc_id") % 101).cast("int"))
+    kept = {
+        r["doc_id"]
+        for r in export.quality_weighted_sample(
+            scored, "doc_id", "score", seed="s1"
+        ).collect()
+    }
+    expected = {
+        i for i in range(N) if _py_hash(str(i), "s1", "qsample") % 100 < i % 101
+    }
+    assert kept == expected
+    # score 0 never kept; score >= 100 always kept
+    assert not any(i % 101 == 0 for i in kept)
+    assert all(i in kept for i in range(N) if i % 101 == 100)

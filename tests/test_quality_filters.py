@@ -1,0 +1,121 @@
+"""Gopher-rule quality filters vs a pure-Python reference.
+
+The Spark implementation counts n-gram occurrences with a sorted-run
+aggregate sweep (operators/quality_filters.py); this oracle uses a
+Counter — independent algorithm, same definition, exact integers."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import quality_filters as qf
+
+M = qf.MILLION
+
+
+def _py_doc_stats(text: str) -> dict:
+    toks = [t for t in text.split(" ") if t]
+    n_words = len(toks)
+    char_sum = sum(len(t) for t in toks)
+    out = {
+        "n_words": n_words,
+        "mean_word_len_u": char_sum * M // n_words if n_words else 0,
+        "ttr_u": len(set(toks)) * M // n_words if n_words else 0,
+        "stop_hits": sum(t in qf.GOPHER_STOPWORDS for t in toks),
+    }
+    for n, top_name in ((2, "top2_frac_u"), (3, "top3_frac_u")):
+        grams = [" ".join(toks[i : i + n]) for i in range(n_words - n + 1)]
+        if grams and char_sum:
+            c = Counter(grams)
+            bestc = max(c.values())
+            best = min(g for g, k in c.items() if k == bestc)
+            mass = bestc * (len(best) - (n - 1))
+            out[top_name] = min(M, mass * M // char_sum)
+        else:
+            out[top_name] = 0
+    grams3 = [" ".join(toks[i : i + 3]) for i in range(n_words - 2)]
+    c3 = Counter(grams3)
+    dup_mass = sum(k * (len(g) - 2) for g, k in c3.items() if k >= 2)
+    out["dup3_frac_u"] = min(M, dup_mass * M // char_sum) if char_sum else 0
+    return out
+
+
+EDGE_DOCS = [
+    "",
+    "a",
+    "ab",
+    "a b",
+    "a a",
+    "a a a a a a",  # one gram repeated: top fracs hit the 1e6 cap
+    "ab cd ab cd ab",  # overlapping repeated 2-grams
+    "the quick brown fox jumps over the lazy dog the quick brown fox",
+    "x " * 5 + "yz",  # trailing token, repeated unigram pairs
+    "one two three four five six seven eight nine ten",
+    "to be or not to be that is the question to be or not",
+]
+
+
+@pytest.fixture(scope="module")
+def stats_df(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_DOCS)], ["doc_id", "text"]
+    )
+    out = qf.with_repetition_stats(qf.with_gopher_word_stats(df))
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    return rows
+
+
+COLS = [
+    "n_words", "mean_word_len_u", "ttr_u", "stop_hits",
+    "top2_frac_u", "top3_frac_u", "dup3_frac_u",
+]
+
+
+@pytest.mark.parametrize("i", range(len(EDGE_DOCS)))
+def test_edge_docs_match_python_oracle(stats_df, i):
+    expected = _py_doc_stats(EDGE_DOCS[i])
+    got = {c: stats_df[i][c] for c in COLS}
+    assert got == {c: expected[c] for c in COLS}, EDGE_DOCS[i]
+
+
+def test_all_identical_words_cap(stats_df):
+    # "a a a a a a": the 2-gram "a a" occurs 5 times at 2 non-space
+    # chars each -> mass 10 over 6 total chars; 3-gram "a a a" occurs
+    # 4 times at 3 chars -> mass 12. Overlap pushes both past the
+    # total, so all three fractions hit the 1e6 cap.
+    r = stats_df[5]
+    assert r["top2_frac_u"] == M
+    assert r["top3_frac_u"] == M
+    assert r["dup3_frac_u"] == M
+
+
+def test_keep_flag_reasons(spark):
+    docs = [
+        (0, "the " + " ".join(f"word{i}" for i in range(30))),  # kept
+        (1, "a b c"),  # too few words (fires before mean-word-length)
+        (2, "the " + "supercalifragilistic " * 20),  # word_length (mean>10)
+        (3, " ".join(f"word{i}" for i in range(30))),  # no stop words
+        (4, "the cat " * 15),  # top2 repetition
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in qf.gopher_keep_flag(df).select("doc_id", "drop_reason").collect()
+    }
+    assert out == {
+        0: "kept",
+        1: "too_few_words",
+        2: "word_length",
+        3: "no_stop_words",
+        4: "top2_repetition",
+    }
+
+
+def test_no_shuffle_in_plan(spark):
+    """The whole stat stack is row-local: the physical plan of the
+    per-doc stats must contain no Exchange."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = qf.with_repetition_stats(qf.with_gopher_word_stats(df))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
