@@ -311,3 +311,123 @@ def lsh_topk_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def _quantize(vec: Column, scale: int) -> Column:
+    """floor(x * scale) as BIGINT per element — a single IEEE multiply +
+    floor on identical inputs, so every engine produces identical
+    integers (the repo's standard embedding-quantization contract)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared-Euclidean distance of quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means on quantized embeddings — the IVF
+    coarse-quantizer trainer (``ivf_topk`` consumes arbitrary centroid
+    tables; this builds good ones instead of the seed-row shortcut).
+
+    Everything is exact integer arithmetic, so the result is identical
+    on any engine / partitioning / run:
+
+      * vectors quantize to BIGINT via floor(x * scale) (scale=1e3 keeps
+        per-vector squared distances <= ~1e8 and corpus-wide inertia
+        sums far below 2^63 — the 1e7 dot-product scale would overflow
+        an inertia SUM);
+      * assignment = argmin integer squared-Euclidean distance, ties on
+        the smaller centroid id;
+      * update = per-dimension integer mean, truncated toward zero via
+        (s - s % n) / n (both engines' % follows the dividend sign, so
+        the truncation is portable even for negative sums);
+      * init = the k rows with smallest id (deterministic seed);
+      * an emptied cluster keeps its previous centroid.
+
+    Scale shape per iteration: the centroid table is k x d BIGINTs —
+    aggregate-grain, so it is collect()ed to the driver and
+    re-broadcast as a literal frame (the MLlib pattern; this also
+    truncates the lineage so iterations don't stack a growing plan).
+    Assignment is a broadcast cross join against k rows; the update is
+    ONE shuffle keyed (centroid, dim) with map-side partial sums.
+    Nothing corpus-sized ever reaches the driver.
+
+    Returns one row per centroid: (centroid_id, n_vecs, inertia_q,
+    centroid_sum_q, centroid_q) where inertia_q is the exact integer
+    inertia of the FINAL assignment against the final centroids,
+    centroid_sum_q the BIGINT sum of the centroid's components (a
+    scalar fingerprint of the vector) and centroid_q the quantized
+    centroid itself.
+    """
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
+    )
+    seed_rows = vecs.orderBy("id").limit(k).collect()
+    centroids: dict[int, list[int]] = {
+        i: list(r["xq"]) for i, r in enumerate(seed_rows)
+    }
+
+    def _assign(cent: dict[int, list[int]]) -> DataFrame:
+        cdf = spark.createDataFrame(
+            [(cid, c) for cid, c in sorted(cent.items())], ["cid", "c"]
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cid"))
+        return (
+            vecs.crossJoin(F.broadcast(cdf))  # k rows — a broadcast fan-out,
+            # not a corpus x corpus product
+            .withColumn("dist", _sq_dist(F.col("xq"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "xq", "cid", "dist")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(centroids)
+        sums = (
+            assigned.select("cid", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "mean",
+                ((F.col("s") - F.col("s") % F.col("n")) / F.col("n")).cast("long"),
+            )
+            .collect()  # k x d rows — aggregate-grain by construction
+        )
+        new: dict[int, dict[int, int]] = {}
+        for r in sums:
+            new.setdefault(r["cid"], {})[r["pos"]] = r["mean"]
+        centroids = {
+            cid: [new[cid][p] for p in range(len(old))] if cid in new else old
+            for cid, old in centroids.items()
+        }
+
+    final = _assign(centroids)
+    stats = final.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").alias("inertia_q"),
+    )
+    cdf = spark.createDataFrame(
+        [
+            (cid, sum(c), c)
+            for cid, c in sorted(centroids.items())
+        ],
+        ["centroid_id", "centroid_sum_q", "centroid_q"],
+    )
+    return stats.join(F.broadcast(cdf), "centroid_id").select(
+        "centroid_id", "n_vecs", "inertia_q", "centroid_sum_q", "centroid_q"
+    )

@@ -3298,6 +3298,76 @@ SQL_E6 = """
 """
 
 
+def q_s6_kmeans_embeddings(spark, sf_dir):
+    """Deterministic quantized k-means (similarity.kmeans_fit): Lloyd's
+    with k=4, 2 iterations, exact integer arithmetic end to end — so an
+    ITERATIVE ML algorithm gets a cell-exact SQL oracle (the oracle
+    unrolls the two iterations as chained CTEs). Scalar outputs only
+    (the centroid vector is fingerprinted by its component sum)."""
+    out = similarity.kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, scale=1000
+    )
+    return out.select("centroid_id", "n_vecs", "inertia_q", "centroid_sum_q")
+
+
+def _sql_s6(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (assign a{i} -> dim
+    sums u{i} -> centroids c{i}, empty clusters keep c{i-1}'s row)."""
+
+    def assign(cin: str, aout: str) -> str:
+        return f"""
+    {aout} AS (
+      SELECT id, xq, cid,
+             CAST(list_sum(list_transform(range(1, len(xq) + 1),
+               j -> (xq[j] - c[j]) * (xq[j] - c[j]))) AS BIGINT) AS dist
+      FROM v CROSS JOIN {cin}
+      QUALIFY row_number() OVER (PARTITION BY id
+                                 ORDER BY dist ASC, cid ASC) = 1)"""
+
+    parts = [
+        f"""
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * {float(scale)}) AS BIGINT)) AS xq
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid, xq AS c
+      FROM (SELECT id, xq FROM v ORDER BY id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"c{i-1}", f"a{i}"))
+        parts.append(f"""
+    u{i} AS (
+      SELECT cid, u.i AS pos, CAST(SUM(u.x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cid,
+                   unnest(list_transform(xq, (x, i) -> {{'i': i, 'x': x}})) AS u
+            FROM a{i})
+      GROUP BY 1, 2),
+    c{i} AS (
+      SELECT prev.cid, coalesce(m.c, prev.c) AS c
+      FROM c{i-1} prev LEFT JOIN (
+        SELECT cid, list(CAST((s - (s % n)) / n AS BIGINT) ORDER BY pos) AS c
+        FROM u{i} GROUP BY cid) m USING (cid))""")
+    parts.append(assign(f"c{iters}", "afinal"))
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.centroid_id, f.n_vecs, f.inertia_q, cs.centroid_sum_q
+    FROM (
+      SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(dist) AS BIGINT) AS inertia_q
+      FROM afinal GROUP BY cid) f
+    JOIN (
+      SELECT cid AS centroid_id, CAST(list_sum(c) AS BIGINT) AS centroid_sum_q
+      FROM c{iters}) cs USING (centroid_id)
+"""
+
+
+SQL_S6 = _sql_s6()
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3368,12 +3438,13 @@ ENTRY_QUERIES = {
     "g3_gopher_filter_summary": (q_g3_gopher_filter_summary, SQL_G3),
     "e5_vocab_topk_documents": (q_e5_vocab_topk_documents, SQL_E5),
     "e6_quality_sample_documents": (q_e6_quality_sample_documents, SQL_E6),
+    "s6_kmeans_embeddings": (q_s6_kmeans_embeddings, SQL_S6),
     # -- group 4: round-1 driver-green regression sentinels ---------------
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
-    "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     # -- past the driver's 50-entry window (rotating coverage; all were
     #    driver-green in round 1 and stay gated by scripts/check_entry.py)
+    "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),
     "j4_semi_anti_customers": (q_j4_semi_anti_customers, SQL_J4),

@@ -243,3 +243,41 @@ def test_lsh_plane_offset_zero_preserves_buckets(spark):
         lsh_bucket_col(F.col("embedding"), 4, dim, plane_offset=0).alias("b")
     ).collect()
     assert a == b
+
+
+def test_kmeans_deterministic_and_partition_invariant(spark, emb):
+    a = {r["centroid_id"]: r.asDict() for r in similarity.kmeans_fit(emb).collect()}
+    b = {
+        r["centroid_id"]: r.asDict()
+        for r in similarity.kmeans_fit(emb.repartition(7)).collect()
+    }
+    assert a == b
+    assert sum(r["n_vecs"] for r in a.values()) == emb.count()
+
+
+def test_kmeans_iterations_reduce_inertia(spark, emb):
+    def inertia(iters):
+        rows = similarity.kmeans_fit(emb, k=4, iters=iters).collect()
+        return sum(r["inertia_q"] for r in rows)
+
+    i0, i2 = inertia(0), inertia(2)
+    # Lloyd's decreases inertia (quantized truncation can only add a
+    # bounded perturbation; on this fixture the drop is large)
+    assert i2 < i0
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # two far blobs, k=3: the duplicated seed (id 0 and 1 identical)
+    # leaves one centroid empty after reassignment; it must survive
+    # with its seed vector rather than crash or emit NULLs
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [0.001, 0.0]),
+        (3, [10.0, 10.0]),
+        (4, [10.0, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_fit(df, k=3, iters=2, scale=1000).collect()
+    assert sum(r["n_vecs"] for r in out) == 5
+    assert all(r["inertia_q"] >= 0 for r in out)
