@@ -73,6 +73,22 @@ def main(sf_dir: str, k: int = 10, n_queries: int = 50) -> None:
         )
         ivf_recalls[f"probe={n_probe}"] = _recall(approx, exact, k)
 
+    # IVF with TRAINED centroids (similarity.kmeans_fit, k=16, 3 Lloyd
+    # iterations) instead of the first-16-rows shortcut: same probe
+    # budget, better-placed cells. Dequantize centroid_q back to doubles
+    # for the cosine assignment.
+    km = similarity.kmeans_fit(emb, k=16, iters=3, scale=1000)
+    cents_km = km.select(
+        "centroid_id",
+        F.transform("centroid_q", lambda q: q / F.lit(1000.0)).alias("centroid"),
+    )
+    ivf_km_recalls = {}
+    for n_probe in (1, 2, 4, 8):
+        approx = _topk_sets(
+            similarity.ivf_topk(emb, queries, cents_km, k=k, n_probe=n_probe), k
+        )
+        ivf_km_recalls[f"probe={n_probe}"] = _recall(approx, exact, k)
+
     print(
         json.dumps(
             {
@@ -84,6 +100,7 @@ def main(sf_dir: str, k: int = 10, n_queries: int = 50) -> None:
                 "lsh": lsh_recalls,
                 "lsh_multi": multi_recalls,
                 "ivf": ivf_recalls,
+                "ivf_kmeans": ivf_km_recalls,
             }
         )
     )
