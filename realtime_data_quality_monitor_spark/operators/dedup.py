@@ -83,7 +83,8 @@ def ngram_jaccard_pairs(
     the same vocabulary no longer pairs; only shared phrasing does. The
     standard near-dup signal for training corpora (shingles feed MinHash
     at full scale; this is the exact formulation)."""
-    toks = tokens_col(F.col(text_col))
+    staged = df.withColumn("__sj_toks", tokens_col(F.col(text_col)))
+    toks = F.col("__sj_toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -92,7 +93,7 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    sh = df.filter(F.size(toks) >= n).select(
+    sh = staged.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("token")
     )
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
@@ -227,11 +228,11 @@ def minhash_lsh_candidates(
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash of the token multiset: per-token xxhash64, sum the
-    per-bit +1/-1 votes with bitwise column algebra (no UDF)."""
-    toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def _simhash_from_hashes(hashes, bits: int = 64):
+    """SimHash from a precomputed token-hash array column. Each bit vote
+    is one O(k) scan of the (attribute) array — pass an attribute, not
+    an expression: each of the 64 votes re-evaluates its input, and
+    Catalyst cannot CSE across lambda functions."""
     bit_votes = [
         F.aggregate(
             hashes,
@@ -248,6 +249,23 @@ def simhash_col(text_col, bits: int = 64):
     return out
 
 
+def token_hashes_col(text_col):
+    """xxhash64 of each token — the staged input for SimHash."""
+    return F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash of the token multiset: per-token xxhash64, sum the
+    per-bit +1/-1 votes with bitwise column algebra (no UDF).
+
+    NOTE: as a single Column this re-tokenizes AND re-hashes the token
+    array once per bit (64x per row) — no CSE across lambdas. Prefer
+    staging ``token_hashes_col`` as its own column and calling
+    ``_simhash_from_hashes`` on the attribute (see
+    simhash_near_duplicates)."""
+    return _simhash_from_hashes(token_hashes_col(text_col), bits)
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     max_hamming: int = 3,
@@ -257,8 +275,9 @@ def simhash_near_duplicates(
     """SimHash near-dups: candidates share one of 4 16-bit sub-keys
     (pigeonhole guarantees recall for Hamming distance <= 3), then exact
     Hamming verification via bit_count(xor)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("simhash")
+    sh = df.withColumn("__sh_hashes", token_hashes_col(F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        _simhash_from_hashes(F.col("__sh_hashes")).alias("simhash"),
     )
     pieces = F.array(
         *[

@@ -144,8 +144,14 @@ def split_by_hash(
 def _distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(id, shingle) pairs: per-doc DISTINCT word n-grams, exploded."""
-    toks = tokens_col(F.col(text_col))
+    """(id, shingle) pairs: per-doc DISTINCT word n-grams, exploded.
+
+    The token array is staged as its own column: each ``element_at``
+    inside the transform lambda would otherwise re-evaluate the
+    split+filter chain (no CSE across lambdas) — n+2 tokenizations per
+    row for n-shingles."""
+    staged = df.withColumn("__ds_toks", tokens_col(F.col(text_col)))
+    toks = F.col("__ds_toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -154,7 +160,7 @@ def _distinct_shingles(
             ),
         )
     )
-    return df.filter(F.size(toks) >= n).select(
+    return staged.filter(F.size(toks) >= n).select(
         F.col(id_col).alias(out_id), F.explode(shingles).alias("sh")
     )
 

@@ -150,14 +150,9 @@ def _gram_run_stats(grams: Column, n: int) -> Column:
     return F.aggregate(F.array_sort(grams), init, step)
 
 
-def top_ngram_char_frac_u(toks: Column, n: int) -> Column:
-    """Gopher repetition signal: fraction of (non-space) characters
-    contained in occurrences of the single most frequent word n-gram,
-    as floor(frac * 1e6) BIGINT. 0 when the doc has fewer than n
-    tokens; capped at 1e6 (overlapping occurrences can push raw char
-    mass past the total)."""
-    stats = _gram_run_stats(word_ngrams(toks, n), n)
-    total = word_char_count(toks)
+def _top_frac_from(stats: Column, total: Column, n: int) -> Column:
+    """top-n-gram char fraction from a precomputed run-stats struct and
+    precomputed total char count (see top_ngram_char_frac_u)."""
     mass = stats["bestc"] * (F.length(stats["best"]) - F.lit(n - 1)).cast(
         "long"
     )
@@ -165,6 +160,28 @@ def top_ngram_char_frac_u(toks: Column, n: int) -> Column:
         (total > 0) & (stats["bestc"] > 0),
         F.least(F.lit(MILLION).cast("long"), _idiv(mass * MILLION, total)),
     ).otherwise(F.lit(0).cast("long"))
+
+
+def _dup_frac_from(stats: Column, total: Column) -> Column:
+    """duplicate-gram char fraction from precomputed inputs (see
+    dup_ngram_char_frac_u)."""
+    return F.when(
+        total > 0,
+        F.least(
+            F.lit(MILLION).cast("long"),
+            _idiv(stats["dup"] * MILLION, total),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def top_ngram_char_frac_u(toks: Column, n: int) -> Column:
+    """Gopher repetition signal: fraction of (non-space) characters
+    contained in occurrences of the single most frequent word n-gram,
+    as floor(frac * 1e6) BIGINT. 0 when the doc has fewer than n
+    tokens; capped at 1e6 (overlapping occurrences can push raw char
+    mass past the total)."""
+    stats = _gram_run_stats(word_ngrams(toks, n), n)
+    return _top_frac_from(stats, word_char_count(toks), n)
 
 
 def dup_ngram_char_frac_u(toks: Column, n: int) -> Column:
@@ -175,20 +192,24 @@ def dup_ngram_char_frac_u(toks: Column, n: int) -> Column:
     overlapping grams can double-count; the cap keeps the output a
     fraction)."""
     stats = _gram_run_stats(word_ngrams(toks, n), n)
-    total = word_char_count(toks)
-    return F.when(
-        total > 0,
-        F.least(
-            F.lit(MILLION).cast("long"),
-            _idiv(stats["dup"] * MILLION, total),
-        ),
-    ).otherwise(F.lit(0).cast("long"))
+    return _dup_frac_from(stats, word_char_count(toks))
 
 
-def with_gopher_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the Gopher word-level stat columns (all BIGINT)."""
-    toks = tokens_col(F.col(text_col))
-    return df.withColumns(
+# Shared-work staging: the pure-Column helpers above re-expand their
+# inputs per use, and Catalyst cannot CSE across lambda functions —
+# naively attaching all seven stat columns evaluates tokens_col ~7x and
+# runs the O(k log k) 3-gram sort+sweep twice per row. The DataFrame
+# functions below therefore stage each non-cheap shared subexpression
+# (token array, char total, per-n run-stats struct) as a temp column in
+# its own Project: CollapseProject refuses to inline a non-cheap alias
+# referenced more than once, so each is evaluated exactly once per row
+# while everything stays inside one WholeStageCodegen span (asserted in
+# tests/test_quality_filters.py::test_shared_work_evaluated_once).
+_TOKS = "__qf_toks"
+
+
+def _attach_word_stats(staged: DataFrame, toks: Column) -> DataFrame:
+    return staged.withColumns(
         {
             "n_words": F.size(toks).cast("long"),
             "mean_word_len_u": mean_word_len_u(toks),
@@ -198,18 +219,37 @@ def with_gopher_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _attach_repetition_stats(staged: DataFrame, toks: Column) -> DataFrame:
+    staged = staged.withColumns(
+        {
+            "__qf_wcc": word_char_count(toks),
+            "__qf_g2": _gram_run_stats(word_ngrams(toks, 2), 2),
+            "__qf_g3": _gram_run_stats(word_ngrams(toks, 3), 3),
+        }
+    )
+    wcc, g2, g3 = F.col("__qf_wcc"), F.col("__qf_g2"), F.col("__qf_g3")
+    staged = staged.withColumns(
+        {
+            "top2_frac_u": _top_frac_from(g2, wcc, 2),
+            "top3_frac_u": _top_frac_from(g3, wcc, 3),
+            "dup3_frac_u": _dup_frac_from(g3, wcc),
+        }
+    )
+    return staged.drop("__qf_wcc", "__qf_g2", "__qf_g3")
+
+
+def with_gopher_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher word-level stat columns (all BIGINT)."""
+    staged = df.withColumn(_TOKS, tokens_col(F.col(text_col)))
+    return _attach_word_stats(staged, F.col(_TOKS)).drop(_TOKS)
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the Gopher repetition columns (scaled BIGINT fractions):
     top-2-gram and top-3-gram char fraction, duplicate-3-gram char
     fraction."""
-    toks = tokens_col(F.col(text_col))
-    return df.withColumns(
-        {
-            "top2_frac_u": top_ngram_char_frac_u(toks, 2),
-            "top3_frac_u": top_ngram_char_frac_u(toks, 3),
-            "dup3_frac_u": dup_ngram_char_frac_u(toks, 3),
-        }
-    )
+    staged = df.withColumn(_TOKS, tokens_col(F.col(text_col)))
+    return _attach_repetition_stats(staged, F.col(_TOKS)).drop(_TOKS)
 
 
 # Thresholds: paper values in comments; defaults adapted to the short
@@ -229,7 +269,11 @@ def gopher_keep_flag(
     """Compose the word-stat and repetition columns into the Gopher
     keep/drop decision plus a first-failed-rule drop reason (priority
     order = the order the paper lists the rules)."""
-    out = with_repetition_stats(with_gopher_word_stats(df))
+    staged = df.withColumn(_TOKS, tokens_col(F.col("text")))
+    toks = F.col(_TOKS)
+    out = _attach_repetition_stats(
+        _attach_word_stats(staged, toks), toks
+    ).drop(_TOKS)
     reason = (
         F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
         .when(F.col("n_words") > max_words, F.lit("too_many_words"))

@@ -44,23 +44,58 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(text))
 
 
+def _hits_from(ltoks: Column, lang: str) -> Column:
+    """Stopword-profile hit count from a pre-lowercased token array."""
+    stop = F.array(*[F.lit(w) for w in LANGID_STOPWORDS[lang]])
+    return F.size(F.filter(ltoks, lambda t: F.array_contains(stop, t)))
+
+
 def langid_hits(text: Column, lang: str) -> Column:
     """Number of tokens that hit the language's stopword profile
     (count-based, not set-based, for exact cross-engine parity)."""
-    toks = F.transform(tokens_col(text), F.lower)
-    stop = F.array(*[F.lit(w) for w in LANGID_STOPWORDS[lang]])
-    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return _hits_from(F.transform(tokens_col(text), F.lower), lang)
 
 
-def langid_col(text: Column) -> Column:
+def _langid_from_hits(hits: dict[str, Column]) -> Column:
     """Argmax language with LANGID_LANGS tie-break order; zero hits ->
-    'unknown'. Mirrors functions/text_quality.detect_language."""
-    hits = {lang: langid_hits(text, lang) for lang in LANGID_LANGS}
+    'unknown'."""
     best = F.greatest(*hits.values())
     expr = F.when(best <= 0, F.lit("unknown"))
     for lang in LANGID_LANGS:
         expr = expr.when(hits[lang] == best, F.lit(lang))
     return expr
+
+
+def langid_col(text: Column) -> Column:
+    """Argmax language with LANGID_LANGS tie-break order; zero hits ->
+    'unknown'. Mirrors functions/text_quality.detect_language.
+
+    NOTE: as a single Column this re-expands the tokenize+lower+filter
+    chain ~2x per language (Catalyst cannot CSE across lambda
+    functions) — prefer `with_langid` on a DataFrame, which stages the
+    shared work so each piece is evaluated once per row."""
+    hits = {lang: langid_hits(text, lang) for lang in LANGID_LANGS}
+    return _langid_from_hits(hits)
+
+
+def with_langid(
+    df: DataFrame, text_col: str = "text", out_col: str = "detected_lang"
+) -> DataFrame:
+    """Staged langid: tokenize+lower once, one hit-count column per
+    language, then the argmax — each non-cheap piece evaluated exactly
+    once per row (CollapseProject keeps multi-referenced non-cheap
+    aliases in their own Project)."""
+    staged = df.withColumn(
+        "__li_ltoks", F.transform(tokens_col(F.col(text_col)), F.lower)
+    )
+    hit_cols = {
+        f"__li_hit_{lang}": _hits_from(F.col("__li_ltoks"), lang)
+        for lang in LANGID_LANGS
+    }
+    staged = staged.withColumns(hit_cols)
+    hits = {lang: F.col(f"__li_hit_{lang}") for lang in LANGID_LANGS}
+    staged = staged.withColumn(out_col, _langid_from_hits(hits))
+    return staged.drop("__li_ltoks", *hit_cols)
 
 
 def quality_score(text: Column, n_chars: Column) -> Column:
@@ -116,16 +151,65 @@ def winnowing_fingerprints(
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / n_distinct_tokens / diversity / detected_lang /
+    fingerprint. Staged so the tokenize chain runs once per row instead
+    of once per derived column (and ~2x per language inside langid):
+    values are identical to the naive single-Column composition
+    (pinned in tests/test_text_functions.py)."""
     t = F.col(text_col)
-    return df.withColumns(
+    staged = df.withColumn("__ts_toks", tokens_col(t))
+    toks = F.col("__ts_toks")
+    staged = staged.withColumns(
         {
-            "n_tokens": token_count(t),
-            "n_distinct_tokens": distinct_token_count(t),
-            "diversity": token_diversity(t),
-            "detected_lang": langid_col(t),
+            "__ts_n": F.size(toks),
+            "__ts_nd": F.size(F.array_distinct(toks)),
+            "__ts_ltoks": F.transform(toks, F.lower),
+        }
+    )
+    hit_cols = {
+        f"__ts_hit_{lang}": _hits_from(F.col("__ts_ltoks"), lang)
+        for lang in LANGID_LANGS
+    }
+    staged = staged.withColumns(hit_cols)
+    hits = {lang: F.col(f"__ts_hit_{lang}") for lang in LANGID_LANGS}
+    n, nd = F.col("__ts_n"), F.col("__ts_nd")
+    staged = staged.withColumns(
+        {
+            "n_tokens": n,
+            "n_distinct_tokens": nd,
+            "diversity": F.when(n > 0, nd / n).otherwise(F.lit(0.0)),
+            "detected_lang": _langid_from_hits(hits),
             "fingerprint": fingerprint(t),
         }
     )
+    return staged.drop("__ts_toks", "__ts_n", "__ts_nd", "__ts_ltoks", *hit_cols)
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+    out_col: str = "quality",
+) -> DataFrame:
+    """Staged quality_score: tokenize once per row (the naive Column
+    form re-expands the token chain 3-4x). Identical values."""
+    t = F.col(text_col)
+    staged = df.withColumn("__qs_toks", tokens_col(t))
+    toks = F.col("__qs_toks")
+    staged = staged.withColumns(
+        {
+            "__qs_n": F.size(toks),
+            "__qs_nd": F.size(F.array_distinct(toks)),
+        }
+    )
+    n, nd = F.col("__qs_n"), F.col("__qs_nd")
+    diversity = F.when(n > 0, nd / n).otherwise(F.lit(0.0))
+    len_ok = F.col(n_chars_col).between(100, 450).cast("int") * 40
+    div_ok = (diversity >= 0.3).cast("int") * 30
+    avg_tok_len = F.when(n > 0, F.length(t) / n).otherwise(F.lit(0.0))
+    tok_ok = avg_tok_len.between(3.0, 9.0).cast("int") * 30
+    staged = staged.withColumn(out_col, len_ok + div_ok + tok_ok)
+    return staged.drop("__qs_toks", "__qs_n", "__qs_nd")
 
 
 def clean_text(text: Column) -> Column:

@@ -809,7 +809,7 @@ def q_t1_langid_documents(spark, sf_dir):
     """Stopword-profile language ID (native-Column variant) — confusion
     matrix of labeled vs detected language."""
     docs = _t(spark, sf_dir, "documents")
-    out = docs.withColumn("detected_lang", textstats.langid_col(F.col("text")))
+    out = textstats.with_langid(docs)
     return out.groupBy("lang", "detected_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -869,9 +869,7 @@ SQL_T2 = """
 def q_t3_quality_score_documents(spark, sf_dir):
     """Heuristic doc quality score histogram (exact integer score)."""
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.withColumn(
-        "quality", textstats.quality_score(F.col("text"), F.col("n_chars"))
-    )
+    scored = textstats.with_quality_score(docs)
     return scored.groupBy("quality").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -2784,6 +2782,135 @@ SQL_Q5 = """
 """
 
 
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — the fraction of a
+    region's STANDARD-part revenue supplied by one nation, per order
+    year. 8-way join: lineitem-orders is the one shuffle join; part,
+    supplier and both nation copies broadcast (customer rides the
+    q5 broadcast pattern). Numerator and denominator are exact decimal
+    sums; the share is ONE final double division on both engines (the
+    driver-green q14 ratio pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0)
+            )
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            (
+                F.lit(100.0)
+                * F.col("nation_volume")
+                / F.col("total_volume")
+            ).alias("mkt_share_pct"),
+            "nation_volume",
+            "total_volume",
+        )
+    )
+
+
+SQL_Q8 = """
+    WITH v AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE 0 END) AS DOUBLE) AS nation_volume,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      GROUP BY 1)
+    SELECT CAST(o_year AS INT) AS o_year,
+           100.0e0 * nation_volume / total_volume AS mkt_share_pct,
+           nation_volume, total_volume
+    FROM v
+"""
+
+
+def q_q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customers — orders whose total
+    quantity exceeds a threshold (a HAVING-filtered aggregate used as a
+    semi-join input), joined back to orders and customer, top-100 by
+    total price. The heavy groupBy(l_orderkey) aggregate runs FIRST and
+    shrinks the fact table to the qualifying keys before any join;
+    customer dim broadcast; quantities are integral, summed as BIGINT
+    for cross-engine exactness; full (o_totalprice DESC, o_orderkey)
+    tie-break makes top-100 deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum_qty AS BIGINT) AS sum_qty
+    FROM (
+      SELECT l_orderkey AS big_okey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+    ) big
+    JOIN orders ON big_okey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # skew-safe aggregation + deterministic sampling
 # ---------------------------------------------------------------------------
@@ -3268,9 +3395,7 @@ def q_e6_quality_sample_documents(spark, sf_dir):
     quality_weighted_sample): keep each doc with probability
     quality/100 via the keyed md5 draw — deterministic, row-local,
     integer-exact, so the oracle reproduces the exact member set."""
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "quality", textstats.quality_score(F.col("text"), F.col("n_chars"))
-    )
+    d = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
     out = export.quality_weighted_sample(d, "doc_id", "quality", seed="exp-q")
     return out.select("doc_id", "lang", F.col("quality").cast("int").alias("quality"))
 
@@ -3439,11 +3564,13 @@ ENTRY_QUERIES = {
     "e5_vocab_topk_documents": (q_e5_vocab_topk_documents, SQL_E5),
     "e6_quality_sample_documents": (q_e6_quality_sample_documents, SQL_E6),
     "s6_kmeans_embeddings": (q_s6_kmeans_embeddings, SQL_S6),
-    # -- group 4: round-1 driver-green regression sentinels ---------------
-    "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
-    "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
+    # -- group 4: round-2 additions (slots 49-50 of the driver window) ----
+    "q8_market_share": (q_q8_market_share, SQL_Q8),
+    "q18_large_volume_customers": (q_q18_large_volume_customers, SQL_Q18),
     # -- past the driver's 50-entry window (rotating coverage; all were
     #    driver-green in round 1 and stay gated by scripts/check_entry.py)
+    "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
+    "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),
     "a13_exact_group_median": (q_a13_exact_group_median, SQL_A13),
     "o1_topk_recent_errors": (q_o1_topk_recent_errors, SQL_O1),

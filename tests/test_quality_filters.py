@@ -112,6 +112,22 @@ def test_keep_flag_reasons(spark):
     }
 
 
+def test_shared_work_evaluated_once(spark):
+    """Catalyst can't CSE across lambda functions, so the module stages
+    shared subexpressions as temp columns. Pin that the optimized plan
+    tokenizes once and sorts each n-gram array once (the 3-gram sweep
+    feeds both top3 and dup3 from a single struct)."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        qf.gopher_keep_flag(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+    assert plan.count("array_sort(") == 2, plan
+
+
 def test_no_shuffle_in_plan(spark):
     """The whole stat stack is row-local: the physical plan of the
     per-doc stats must contain no Exchange."""

@@ -368,3 +368,53 @@ def test_scrub_native_idempotent_on_samples(spark):
         r["s"] for r in df2.select(scrub_native(F.col("t")).alias("s")).collect()
     ]
     assert once == twice
+
+
+# ---------------------------------------------------------------------------
+# Staged textstats variants (operators/textstats.py): identical values to
+# the naive single-Column composition, with the shared tokenize chain
+# evaluated once per row instead of once per derived column.
+
+def test_staged_text_stats_match_naive(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import textstats as ts
+
+    docs = [
+        (0, "", 0),
+        (1, "the the the", 11),
+        (2, "el la los y de spark rows", 25),
+        (3, "a b c d e f g h i j " * 10, 200),
+        (4, "der und die das ist nicht", 25),
+        (5, "spark " * 40 + "query", 245),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "n_chars"])
+    t = F.col("text")
+    naive = df.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.distinct_token_count(t).alias("n_distinct_tokens"),
+        ts.token_diversity(t).alias("diversity"),
+        ts.langid_col(t).alias("detected_lang"),
+        ts.fingerprint(t).alias("fingerprint"),
+        ts.quality_score(t, F.col("n_chars")).alias("quality"),
+    )
+    staged = ts.with_quality_score(ts.with_text_stats(df)).select(*naive.columns)
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+
+
+def test_staged_text_stats_tokenize_once(spark):
+    """Pin the staging: Catalyst can't CSE across lambdas, so each
+    staged frame must show exactly one split( in its optimized plan."""
+    from realtime_data_quality_monitor_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([(1, "a b", 3)], ["doc_id", "text", "n_chars"])
+    for out in (
+        ts.with_text_stats(df),
+        ts.with_langid(df),
+        ts.with_quality_score(df),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
