@@ -141,6 +141,66 @@ def split_by_hash(
     return df.withColumn("split", expr).filter(F.col("split").isNotNull())
 
 
+def pack_sequences(
+    df: DataFrame,
+    seed: str,
+    budget_tokens: int = 4096,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle: bool = True,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (concat-and-cut layout): documents are laid out in the
+    deterministic_shuffle order (md5 keyed hash within a shard), each
+    document gets the running token offset where it starts, and
+    ``seq_id = tok_start // budget_tokens`` — the training sequence
+    whose window its first token falls in. A document may straddle a
+    sequence boundary; the trainer cuts at token granularity downstream
+    — the engine's contract is the deterministic layout (same seed ->
+    identical packing across runs and engines).
+
+    Adds ``shard`` (int), ``n_tokens``, ``tok_start``, ``seq_id``,
+    ``tok_offset`` (all BIGINT, exact integer arithmetic — the floor
+    division is the dyadic-exact (a - a%b)/b pattern).
+
+    Scale shape: one hash exchange (repartition by shard), then a
+    shard-local running-sum window — cumulative sums never cross
+    shards, so no global sort and no single-task scan; shard count is
+    sized to the cluster like any partition count.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql import Window
+
+    key = F.col(id_col).cast("string")
+    staged = (
+        df.withColumn("_h", _key_hash(key, seed))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn(
+            "n_tokens", F.size(tokens_col(F.col(text_col))).cast("long")
+        )
+    )
+    if shuffle:
+        staged = staged.repartition(n_shards, "shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = staged.withColumn(
+        "tok_start",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")),
+    )
+    start = F.col("tok_start")
+    b = F.lit(budget_tokens).cast("long")
+    return (
+        staged.withColumn("seq_id", ((start - start % b) / b).cast("long"))
+        .withColumn("tok_offset", start % b)
+        .drop("_h")
+    )
+
+
 def _distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:

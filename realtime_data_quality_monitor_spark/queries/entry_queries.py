@@ -3423,6 +3423,44 @@ SQL_E6 = """
 """
 
 
+def q_e7_pack_sequences_documents(spark, sf_dir):
+    """Sequence packing (operators/export.py::pack_sequences): lay the
+    corpus out in the deterministic-shuffle order and give every doc
+    its running token offset, training-sequence id, and in-sequence
+    offset under a fixed token budget. Pure keyed-md5 + integer algebra
+    (BIGINT cumulative sum, dyadic-exact floor division), so the whole
+    packing is cell-exact cross-engine."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = export.pack_sequences(
+        docs, seed="exp-pack", budget_tokens=512, n_shards=8, shuffle=False
+    )
+    return out.select(
+        "doc_id", "shard", "n_tokens", "tok_start", "seq_id", "tok_offset"
+    )
+
+
+SQL_E7 = """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|exp-pack|'),
+                  1, 8) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(hh % 8 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY hh % 8 ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+      FROM h)
+    SELECT doc_id, shard, n_tokens, tok_start,
+           CAST((tok_start - tok_start % 512) / 512 AS BIGINT) AS seq_id,
+           CAST(tok_start % 512 AS BIGINT) AS tok_offset
+    FROM s
+"""
+
+
 def q_s6_kmeans_embeddings(spark, sf_dir):
     """Deterministic quantized k-means (similarity.kmeans_fit): Lloyd's
     with k=4, 2 iterations, exact integer arithmetic end to end — so an
@@ -3567,8 +3605,10 @@ ENTRY_QUERIES = {
     # -- group 4: round-2 additions (slots 49-50 of the driver window) ----
     "q8_market_share": (q_q8_market_share, SQL_Q8),
     "q18_large_volume_customers": (q_q18_large_volume_customers, SQL_Q18),
-    # -- past the driver's 50-entry window (rotating coverage; all were
-    #    driver-green in round 1 and stay gated by scripts/check_entry.py)
+    # -- past the driver's 50-entry window (rotating coverage; gated by
+    #    scripts/check_entry.py; e7 is first in line for next rotation,
+    #    the rest were driver-green in round 1)
+    "e7_pack_sequences_documents": (q_e7_pack_sequences_documents, SQL_E7),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

@@ -196,3 +196,57 @@ def test_quality_weighted_sample_matches_python_hash(spark, docs):
     # score 0 never kept; score >= 100 always kept
     assert not any(i % 101 == 0 for i in kept)
     assert all(i in kept for i in range(N) if i % 101 == 100)
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    # variable token counts: doc i has (i % 7) + 1 tokens
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range((i % 7) + 1))) for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_pack(n_docs, budget, n_shards, seed):
+    """Pure-Python oracle for pack_sequences over text_docs."""
+    per = {}
+    for i in range(n_docs):
+        h = _py_hash(str(i), seed)
+        per.setdefault(h % n_shards, []).append((h, i))
+    out = {}
+    for shard, items in per.items():
+        start = 0
+        for h, i in sorted(items):
+            out[i] = (shard, (i % 7) + 1, start, start // budget, start % budget)
+            start += (i % 7) + 1
+    return out
+
+
+def test_pack_sequences_matches_python_oracle(spark, text_docs):
+    out = {
+        r["doc_id"]: (
+            r["shard"], r["n_tokens"], r["tok_start"], r["seq_id"], r["tok_offset"]
+        )
+        for r in export.pack_sequences(
+            text_docs, seed="pk", budget_tokens=16, n_shards=4
+        ).collect()
+    }
+    assert out == _py_pack(300, 16, 4, "pk")
+
+
+def test_pack_sequences_shuffle_invariant_and_deterministic(spark, text_docs):
+    a = export.pack_sequences(
+        text_docs, seed="pk", budget_tokens=16, n_shards=4, shuffle=True
+    )
+    b = export.pack_sequences(
+        text_docs.repartition(13), seed="pk", budget_tokens=16, n_shards=4,
+        shuffle=False,
+    )
+    key = lambda r: r["doc_id"]
+    cols = ["doc_id", "shard", "n_tokens", "tok_start", "seq_id", "tok_offset"]
+    assert sorted((a.select(cols)).collect(), key=key) == sorted(
+        (b.select(cols)).collect(), key=key
+    )
+
+
+def test_pack_sequences_rejects_bad_budget(spark, text_docs):
+    with pytest.raises(ValueError):
+        export.pack_sequences(text_docs, seed="pk", budget_tokens=0)
