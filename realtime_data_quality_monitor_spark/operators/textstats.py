@@ -38,6 +38,33 @@ def token_diversity(text: Column) -> Column:
     return F.when(n > 0, distinct_token_count(text) / n).otherwise(F.lit(0.0))
 
 
+# GPT-2-style pretokenizer, restricted to the Java/RE2-common regex
+# subset (NO lookaround — DuckDB's RE2 lacks it, see CLAUDE.md): ordered
+# alternation of contraction suffixes, space-prefixed letter runs, digit
+# runs, and punctuation runs. Whitespace that isn't the single leading
+# space of a token is not a token (counting semantics; byte-level BPE
+# would emit space tokens, which a count doesn't need). Both engines use
+# leftmost-first alternation, so the split is identical.
+BPE_ISH_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-boundary tokens under the BPE-ish pretokenizer regex —
+    the standard approximation of trained-tokenizer counts when the
+    merges table isn't available (pretokenizer pieces are an upper
+    bound on, and strongly correlated with, BPE token counts)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of lowercased text
     (engine-portable, unlike xxhash64)."""

@@ -2422,6 +2422,41 @@ SQL_T9 = """
 """
 
 
+def q_t11_bpe_tokens_documents(spark, sf_dir):
+    """BPE-ish token counting (textstats.bpe_ish_token_count): the GPT-2
+    pretokenizer regex restricted to the Java/RE2-common subset (ordered
+    alternation, \\p{L}/\\p{N} classes, no lookaround), next to the
+    whitespace count, plus fertility = bpe/ws — the trained-tokenizer
+    cost estimate a packing/budgeting stage consumes. Single scan,
+    row-local, whole-stage codegen; fertility is one IEEE division of
+    two exact ints, so cell-exact cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    ws = textstats.token_count(F.col("text")).cast("int")
+    bpe = textstats.bpe_ish_token_count(F.col("text")).cast("int")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws).alias("fertility"),
+    )
+
+
+SQL_T11 = """
+    WITH c AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+             AS INT) AS bpe_tokens
+      FROM documents)
+    SELECT doc_id, ws_tokens, bpe_tokens,
+           CASE WHEN ws_tokens > 0
+                THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens END AS fertility
+    FROM c
+"""
+
+
 def q_p9_props_json_stats(spark, sf_dir):
     """Semi-structured payload handling: extract the integer field from
     the props JSON column (the reference stores order payloads as JSONB,
@@ -3609,6 +3644,7 @@ ENTRY_QUERIES = {
     #    scripts/check_entry.py; e7 is first in line for next rotation,
     #    the rest were driver-green in round 1)
     "e7_pack_sequences_documents": (q_e7_pack_sequences_documents, SQL_E7),
+    "t11_bpe_tokens_documents": (q_t11_bpe_tokens_documents, SQL_T11),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

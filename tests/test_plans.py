@@ -202,3 +202,25 @@ def test_stage_timer_records_on_raise_and_empty_table_is_empty(spark):
     rows = t.table(spark).collect()
     assert [r.model_name for r in rows] == ["boom"]
     assert rows[0].latency_ms >= 0.0
+
+
+def test_e7_pack_sequences_single_exchange(spark):
+    """pack_sequences: one hash exchange by shard feeds the cumulative
+    window (subset-distribution rule) — no second shuffle, no global
+    sort anywhere in the plan."""
+    df = eq.q_e7_pack_sequences_documents(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert _n_shuffles(spark, df) == 1
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_t11_bpe_tokens_no_exchange(spark):
+    """BPE-ish token counting is row-local: single scan, zero shuffles,
+    and only the two referenced columns read from parquet."""
+    df = eq.q_t11_bpe_tokens_documents(spark, SF)
+    p = _plan(spark, df, "formatted")
+    assert _n_shuffles(spark, df) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"doc_id", "text"}

@@ -418,3 +418,63 @@ def test_staged_text_stats_tokenize_once(spark):
     ):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, plan
+
+
+def test_bpe_ish_tokens_fixed_cases(spark):
+    """BPE-ish pretokenizer (textstats.bpe_ish_tokens): Java-regex split
+    must equal the RE2 split DuckDB produces (leftmost-first ordered
+    alternation, \\p{L}/\\p{N} classes) — cases pinned from a DuckDB
+    regexp_extract_all run of the identical pattern."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    cases = [
+        ("don't stop me now", ["don", "'t", " stop", " me", " now"]),
+        ("abc123 x-y  z", ["abc", "123", " x", "-", "y", " z"]),
+        ("héllo wörld 42!", ["héllo", " wörld", " 42", "!"]),
+        ("", []),
+        ("   ", []),
+        ("it's 3.14, ok?", ["it", "'s", " 3", ".", "14", ",", " ok", "?"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    got = {
+        r["i"]: (r["toks"], r["cnt"])
+        for r in df.select(
+            "i",
+            textstats.bpe_ish_tokens(F.col("text")).alias("toks"),
+            textstats.bpe_ish_token_count(F.col("text")).alias("cnt"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == (want, len(want)), (i, got[i], want)
+
+
+def test_bpe_ish_matches_duckdb_on_corpus(spark):
+    """Cross-engine parity on real corpus text: per-doc BPE-ish counts
+    from Spark (Java regex) vs DuckDB (RE2) must be identical."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(sf)
+    got = {
+        r["doc_id"]: r["cnt"]
+        for r in docs.select(
+            "doc_id",
+            textstats.bpe_ish_token_count(F.col("text")).alias("cnt"),
+        ).collect()
+    }
+    pat = textstats.BPE_ISH_PATTERN
+    want = dict(
+        duckdb.sql(
+            "SELECT doc_id, len(regexp_extract_all(text, ?)) "
+            f"FROM read_parquet('{sf}')",
+            params=[pat],
+        ).fetchall()
+    )
+    assert got == want
