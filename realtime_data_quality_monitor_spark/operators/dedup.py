@@ -488,3 +488,77 @@ def connected_components_star(
             F.coalesce(F.col("cluster_rep"), F.col("node")).alias("cluster_rep"),
         )
     )
+
+
+def canonical_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep decision per near-dup cluster: instead of
+    first-wins, keep the HIGHEST-quality member of each cluster
+    (tie-break: lowest id). Documents outside any cluster keep
+    themselves. Returns the input plus ``cluster_rep`` (the cluster's
+    min-id label, own id when unclustered) and ``keep``.
+
+    Scale shape: no window over the corpus. The winner per cluster is
+    one hash aggregate over ONLY the clustered rows — an argmax via
+    ``min(struct(-quality, id))`` (min of negated quality = max quality,
+    then min id), so the full corpus is never shuffled by cluster; the
+    winners table (one row per cluster) then joins back, broadcast-able
+    at any realistic cluster count.
+    """
+    node = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster_rep").alias("_crep")
+    )
+    labeled = df.join(node, id_col, "left")
+    clustered = labeled.filter(F.col("_crep").isNotNull())
+    winners = clustered.groupBy("_crep").agg(
+        F.min(
+            F.struct(
+                (-F.col(quality_col)).alias("nq"),
+                F.col(id_col).cast("long").alias("wid"),
+            )
+        )["wid"].alias("_winner")
+    )
+    return (
+        labeled.join(winners, "_crep", "left")
+        .withColumn(
+            "keep",
+            F.col("_crep").isNull() | (F.col(id_col) == F.col("_winner")),
+        )
+        .withColumn(
+            "cluster_rep", F.coalesce(F.col("_crep"), F.col(id_col))
+        )
+        .drop("_crep", "_winner")
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop new-batch documents whose
+    fingerprint already exists in the corpus (left ANTI join), then
+    first-wins within the batch — the "dedupe today's crawl against the
+    lake" operation an append-only corpus runs every ingest.
+
+    Scale shape: the corpus side reduces to DISTINCT fingerprints
+    (map-side partial aggregation — only unique fingerprints shuffle),
+    then one shuffle anti-join keyed by fingerprint; the within-batch
+    window reuses the same fingerprint partitioning (subset-distribution
+    rule), so the batch is exchanged once. AQE turns the anti-join
+    broadcast when the corpus fingerprint set is small.
+    """
+    corpus_fp = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    staged = new_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    survivors = staged.join(corpus_fp, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return survivors.withColumn(
+        "is_duplicate", F.row_number().over(w) > 1
+    )

@@ -2573,6 +2573,102 @@ SQL_D8 = f"""
 """
 
 
+def q_d9_canonical_keep_documents(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.canonical_representatives):
+    per near-dup cluster keep the HIGHEST-quality member (id tie-break),
+    not the first-seen — the dedup policy that preserves the best copy.
+    No corpus-wide window: the per-cluster winner is one hash aggregate
+    over only the clustered rows (argmax via min(struct(-quality, id)))
+    joined back. Oracle: d8's recursive-CTE clusters + e6's quality
+    formula + QUALIFY-style winner window."""
+    docs = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.82, max_token_df_frac=0.25
+    )
+    clusters = dedup.connected_components(pairs, "id_a", "id_b")
+    out = dedup.canonical_representatives(docs, clusters, "quality")
+    return out.select(
+        "doc_id",
+        "cluster_rep",
+        F.col("quality").cast("int").alias("quality"),
+        "keep",
+    )
+
+
+SQL_D9 = f"""
+    WITH RECURSIVE
+    pairs AS ({SQL_D2}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+    cl AS (SELECT n AS doc_id, MIN(m) AS crep FROM reach GROUP BY n),
+    s AS (
+      SELECT doc_id, n_chars,
+        len(list_filter(string_split(text, ' '), x -> x != '')) AS ntok,
+        len(list_distinct(list_filter(string_split(text, ' '),
+            x -> x != ''))) AS ndis,
+        length(text) AS nlen
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+        (n_chars BETWEEN 100 AND 450)::INT * 40
+        + (CASE WHEN ntok > 0 THEN (ndis::DOUBLE / ntok) ELSE 0.0e0 END
+           >= 0.3e0)::INT * 30
+        + (CASE WHEN ntok > 0 THEN (nlen::DOUBLE / ntok) ELSE 0.0e0 END
+           BETWEEN 3.0e0 AND 9.0e0)::INT * 30 AS quality
+      FROM s),
+    lab AS (
+      SELECT q.doc_id, q.quality, cl.crep
+      FROM q LEFT JOIN cl USING (doc_id)),
+    win AS (
+      SELECT crep, doc_id AS winner FROM (
+        SELECT crep, doc_id,
+               row_number() OVER (PARTITION BY crep
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM lab WHERE crep IS NOT NULL)
+      WHERE rn = 1)
+    SELECT lab.doc_id, COALESCE(lab.crep, lab.doc_id) AS cluster_rep,
+           CAST(lab.quality AS INT) AS quality,
+           (lab.crep IS NULL OR lab.doc_id = win.winner) AS keep
+    FROM lab LEFT JOIN win ON lab.crep = win.crep
+"""
+
+
+def q_d10_incremental_dedup_documents(spark, sf_dir):
+    """Incremental exact dedup (dedup.dedup_against_corpus): drop batch
+    docs whose fingerprint already exists in the corpus (anti-join on
+    DISTINCT corpus fingerprints — only unique fingerprints shuffle),
+    then first-wins within the batch reusing the same fingerprint
+    partitioning. The every-ingest "dedupe today's crawl against the
+    lake" operation."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    out = dedup.dedup_against_corpus(batch, corpus)
+    return out.select("doc_id", "fingerprint", "is_duplicate")
+
+
+SQL_D10 = """
+    WITH corpus AS (
+      SELECT DISTINCT md5(lower(text)) AS fp
+      FROM documents WHERE doc_id % 5 < 3),
+    batch AS (
+      SELECT doc_id, md5(lower(text)) AS fingerprint
+      FROM documents WHERE doc_id % 5 >= 3),
+    surv AS (
+      SELECT b.doc_id, b.fingerprint FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.fp = b.fingerprint))
+    SELECT doc_id, fingerprint,
+           (row_number() OVER (PARTITION BY fingerprint
+                               ORDER BY doc_id) > 1) AS is_duplicate
+    FROM surv
+"""
+
+
 # ---------------------------------------------------------------------------
 # multi-table join queries (TPC-H Q3/Q5 shapes on the test tables)
 # ---------------------------------------------------------------------------
@@ -3645,6 +3741,11 @@ ENTRY_QUERIES = {
     #    the rest were driver-green in round 1)
     "e7_pack_sequences_documents": (q_e7_pack_sequences_documents, SQL_E7),
     "t11_bpe_tokens_documents": (q_t11_bpe_tokens_documents, SQL_T11),
+    "d9_canonical_keep_documents": (q_d9_canonical_keep_documents, SQL_D9),
+    "d10_incremental_dedup_documents": (
+        q_d10_incremental_dedup_documents,
+        SQL_D10,
+    ),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

@@ -281,3 +281,47 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     out = similarity.kmeans_fit(df, k=3, iters=2, scale=1000).collect()
     assert sum(r["n_vecs"] for r in out) == 5
     assert all(r["inertia_q"] >= 0 for r in out)
+
+
+def test_canonical_representatives_picks_best_quality(spark):
+    # clusters: {1,2,3} rep=1, {7,8} rep=7; 5 unclustered
+    rows = [(1, 10), (2, 90), (3, 90), (5, 55), (7, 40), (8, 30)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality"])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["node", "cluster_rep"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in dedup.canonical_representatives(
+            df, clusters, "quality"
+        ).collect()
+    }
+    # quality 90 tie between 2 and 3 -> lowest id (2) wins, NOT first-seen 1
+    assert out == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        5: (5, True),   # unclustered: own rep, kept
+        7: (7, True),   # 40 > 30
+        8: (7, False),
+    }
+
+
+def test_dedup_against_corpus_drops_known_and_flags_batch_dups(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA BETA"),   # exact dup of corpus (case-insensitive)
+            (11, "delta"),        # new
+            (12, "delta"),        # in-batch dup of 11
+            (13, "epsilon"),      # new
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in dedup.dedup_against_corpus(batch, corpus).collect()
+    }
+    assert out == {11: False, 12: True, 13: False}
