@@ -89,23 +89,41 @@ def mix_sources(
     seed: str,
 ) -> DataFrame:
     """Weighted mixture of corpora (source weighting a la training-data
-    recipes): for each ``(df, name, rate)`` keep rows whose keyed hash
-    falls below ``rate`` (0..1 inclusive sampling fraction), tag them
-    with the source name, and union.
+    recipes): for each ``(df, name, rate)`` emit each row ``rate`` times
+    in expectation, tag with the source name, and union.
+
+    ``rate <= 1`` downsamples (keep when the keyed hash falls below the
+    rate); ``rate > 1`` UPSAMPLES — the repeat-factor recipe
+    high-quality sources get in training mixes: ``floor(rate)`` full
+    copies plus one more when the keyed draw falls below the fractional
+    part. The output gains an ``epoch`` column (0-based copy index);
+    downstream ``deterministic_shuffle`` should key on (key, epoch) so
+    repeats scatter across the training stream instead of clumping.
 
     Sampling is per-source salted (name in the hash), so the same
-    document appearing in two sources is an independent draw in each.
-    No shuffle: the predicate is row-local and evaluated at scan time;
-    the union is a plan-level concat of scans.
+    document appearing in two sources is an independent draw in each,
+    and the fractional copy is a pure function of (key, seed, name) —
+    reproducible on any engine. No shuffle: per-row predicate + bounded
+    explode, evaluated at scan time; the union is a plan-level concat.
     """
     parts = []
     for df, name, rate in sources:
-        if not (0.0 <= rate <= 1.0):
-            raise ValueError(f"rate for source {name!r} must be in [0,1]")
-        thresh = int(round(rate * _HASH_MOD))
-        keep = (_key_hash(F.col(key_col).cast("string"), seed, name) % _HASH_MOD) < thresh
+        if rate < 0.0:
+            raise ValueError(f"rate for source {name!r} must be >= 0")
+        n_full = int(rate)
+        thresh = int(round((rate - n_full) * _HASH_MOD))
+        h = _key_hash(F.col(key_col).cast("string"), seed, name) % _HASH_MOD
+        n_copies = F.lit(n_full) + (h < thresh).cast("int")
         parts.append(
-            df.filter(keep).withColumn("source", F.lit(name))
+            df.withColumn("_nc", n_copies)
+            .filter(F.col("_nc") > 0)
+            # sequence(0, -1) would produce a DESCENDING array, never hit:
+            # the filter guarantees _nc - 1 >= 0
+            .withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+            )
+            .drop("_nc")
+            .withColumn("source", F.lit(name))
         )
     out = parts[0]
     for p in parts[1:]:

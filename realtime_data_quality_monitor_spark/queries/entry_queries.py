@@ -3592,6 +3592,54 @@ SQL_E7 = """
 """
 
 
+def q_e8_upsample_mix_documents(spark, sf_dir):
+    """Repeat-factor source mixing (export.mix_sources with rate > 1):
+    the high-quality slice gets 2.4 copies in expectation (2 full
+    epochs + a 0.4 fractional keyed draw), the rest is downsampled to
+    0.5 — the LLaMA-style training-mix recipe. Row-local predicate plus
+    a bounded explode, no shuffle; the epoch index is part of the
+    output so a downstream shuffle can scatter repeats."""
+    docs = _t(spark, sf_dir, "documents")
+    hi = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    lo = docs.filter(
+        ~F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    out = export.mix_sources(
+        [(hi, "hi_x2.4", 2.4), (lo, "lo_half", 0.5)],
+        key_col="doc_id",
+        seed="mix8",
+    )
+    return out.select(
+        F.col("source"), "doc_id", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+SQL_E8 = """
+    WITH g AS (SELECT i FROM generate_series(0, 3) t(i)),
+    hi AS (
+      SELECT doc_id,
+             2 + (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|mix8|hi_x2.4'), 1, 8) AS BIGINT)
+                  % 1000000 < 400000)::INT AS nc
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    lo AS (
+      SELECT doc_id,
+             0 + (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|mix8|lo_half'), 1, 8) AS BIGINT)
+                  % 1000000 < 500000)::INT AS nc
+      FROM documents
+      WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+    SELECT 'hi_x2.4' AS source, doc_id, CAST(g.i AS INT) AS epoch
+    FROM hi JOIN g ON g.i < hi.nc
+    UNION ALL
+    SELECT 'lo_half', doc_id, CAST(g.i AS INT)
+    FROM lo JOIN g ON g.i < lo.nc
+"""
+
+
 def q_s6_kmeans_embeddings(spark, sf_dir):
     """Deterministic quantized k-means (similarity.kmeans_fit): Lloyd's
     with k=4, 2 iterations, exact integer arithmetic end to end — so an
@@ -3746,6 +3794,7 @@ ENTRY_QUERIES = {
         q_d10_incremental_dedup_documents,
         SQL_D10,
     ),
+    "e8_upsample_mix_documents": (q_e8_upsample_mix_documents, SQL_E8),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

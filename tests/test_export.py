@@ -94,7 +94,23 @@ def test_mix_sources_rates_and_independence(spark, docs):
 
 def test_mix_sources_rejects_bad_rate(spark, docs):
     with pytest.raises(ValueError):
-        export.mix_sources([(docs, "x", 1.5)], "doc_id", "m1")
+        export.mix_sources([(docs, "x", -0.1)], "doc_id", "m1")
+
+
+def test_mix_sources_upsamples_with_fractional_epochs(spark, docs):
+    out = export.mix_sources([(docs, "u", 2.25)], "doc_id", "m2").cache()
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every doc gets >= 2 full copies with dense 0-based epochs; the
+    # third copy is exactly the keyed fractional draw
+    for d in range(N):
+        want = 2 + (1 if _py_hash(str(d), "m2", "u") % 1_000_000 < 250_000 else 0)
+        assert sorted(per_doc[d]) == list(range(want)), d
+    # expectation: ~2.25 copies per doc
+    assert abs(len(rows) / N - 2.25) < 0.1
+    out.unpersist()
 
 
 def test_split_fractions_disjoint_stable(spark, docs):
