@@ -189,6 +189,26 @@ def pack_sequences(
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
+    staged = _shard_token_layout(df, seed, n_shards, id_col, text_col, shuffle)
+    start = F.col("tok_start")
+    b = F.lit(budget_tokens).cast("long")
+    return staged.withColumn(
+        "seq_id", ((start - start % b) / b).cast("long")
+    ).withColumn("tok_offset", start % b)
+
+
+def _shard_token_layout(
+    df: DataFrame,
+    seed: str,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    shuffle: bool,
+) -> DataFrame:
+    """Shared layout stage for pack_sequences / take_token_budget:
+    deterministic-shuffle order within md5-assigned shards, plus the
+    per-shard running token offset (``shard``, ``n_tokens``,
+    ``tok_start``). One hash exchange, shard-local cumulative window."""
     from pyspark.sql import Window
 
     key = F.col(id_col).cast("string")
@@ -206,17 +226,45 @@ def pack_sequences(
         .orderBy(F.col("_h").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    staged = staged.withColumn(
+    return staged.withColumn(
         "tok_start",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")),
-    )
-    start = F.col("tok_start")
-    b = F.lit(budget_tokens).cast("long")
-    return (
-        staged.withColumn("seq_id", ((start - start % b) / b).cast("long"))
-        .withColumn("tok_offset", start % b)
-        .drop("_h")
-    )
+    ).drop("_h")
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    seed: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle: bool = True,
+) -> DataFrame:
+    """Deterministic token-budget cut: keep a pseudo-random subset of
+    the corpus totalling ~``budget_tokens`` tokens — how training mixes
+    are actually specified ("1B tokens of source A"), as opposed to row
+    rates. Documents are taken in the deterministic-shuffle order until
+    the budget is reached.
+
+    Scale shape: a single GLOBAL cumulative sum would serialize on one
+    task, so the budget is split evenly across shards
+    (``budget_tokens // n_shards`` each) and each shard cuts at its own
+    quota — deterministic, one hash exchange, shard-local windows, with
+    per-shard quota variance bounded by the uniform md5 assignment. A
+    document whose start falls inside the quota is kept whole (the cut
+    overshoots by at most one document per shard).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if budget_tokens < n_shards:
+        raise ValueError(
+            f"budget_tokens={budget_tokens} < n_shards={n_shards}: "
+            "per-shard quota would be zero — lower n_shards"
+        )
+    quota = budget_tokens // n_shards
+    staged = _shard_token_layout(df, seed, n_shards, id_col, text_col, shuffle)
+    return staged.filter(F.col("tok_start") < quota)
 
 
 def _distinct_shingles(

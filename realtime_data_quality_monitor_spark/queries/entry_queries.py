@@ -3592,6 +3592,39 @@ SQL_E7 = """
 """
 
 
+def q_e9_token_budget_documents(spark, sf_dir):
+    """Token-budget corpus cut (export.take_token_budget): keep a
+    pseudo-random ~4000-token subset by cutting each of 8 shards at its
+    500-token quota in deterministic-shuffle order — how training mixes
+    are specified ("N tokens of source A"). One exchange, shard-local
+    cumulative windows, never a global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = export.take_token_budget(
+        docs, budget_tokens=4000, seed="exp-pack", n_shards=8, shuffle=False
+    )
+    return out.select("doc_id", "shard", "n_tokens", "tok_start")
+
+
+SQL_E9 = """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|exp-pack|'),
+                  1, 8) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(hh % 8 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY hh % 8 ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+      FROM h)
+    SELECT doc_id, shard, n_tokens, tok_start
+    FROM s WHERE tok_start < 500
+"""
+
+
 def q_e8_upsample_mix_documents(spark, sf_dir):
     """Repeat-factor source mixing (export.mix_sources with rate > 1):
     the high-quality slice gets 2.4 copies in expectation (2 full
@@ -3795,6 +3828,7 @@ ENTRY_QUERIES = {
         SQL_D10,
     ),
     "e8_upsample_mix_documents": (q_e8_upsample_mix_documents, SQL_E8),
+    "e9_token_budget_documents": (q_e9_token_budget_documents, SQL_E9),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

@@ -266,3 +266,30 @@ def test_pack_sequences_shuffle_invariant_and_deterministic(spark, text_docs):
 def test_pack_sequences_rejects_bad_budget(spark, text_docs):
     with pytest.raises(ValueError):
         export.pack_sequences(text_docs, seed="pk", budget_tokens=0)
+
+
+def test_take_token_budget_cuts_each_shard_at_quota(spark, text_docs):
+    out = export.take_token_budget(
+        text_docs, budget_tokens=80, seed="pk", n_shards=4
+    ).cache()
+    rows = out.collect()
+    layout = _py_pack(300, 16, 4, "pk")  # (shard, n_tokens, tok_start, ...)
+    want = {i for i, v in layout.items() if v[2] < 80 // 4}
+    assert {r["doc_id"] for r in rows} == want
+    # every kept doc STARTS inside its shard quota; ends may overshoot
+    # by at most one doc
+    for r in rows:
+        assert r["tok_start"] < 20
+    # total is near the budget (quota overshoot bounded per shard)
+    total = sum(r["n_tokens"] for r in rows)
+    assert 80 <= total <= 80 + 4 * 7  # max doc is 7 tokens
+    out.unpersist()
+
+
+def test_take_token_budget_validates(spark, text_docs):
+    with pytest.raises(ValueError):
+        export.take_token_budget(text_docs, budget_tokens=0, seed="pk")
+    with pytest.raises(ValueError):
+        export.take_token_budget(
+            text_docs, budget_tokens=10, seed="pk", n_shards=64
+        )
