@@ -50,3 +50,45 @@ def profile(
             aggs.append(F.min(F.length(col)).cast("long").alias(f"{c}_min_len"))
             aggs.append(F.max(F.length(col)).cast("long").alias(f"{c}_max_len"))
     return df.agg(*aggs)
+
+
+def source_datasheet(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-source corpus datasheet: the one-page report a training-data
+    pipeline publishes per ingest — document and token counts, exact
+    duplicate counts (distinct md5 fingerprints), and average quality
+    when a score column is present. Aggregates are integer-exact
+    (BIGINT sums; the average is one final IEEE division of two exact
+    ints — the repo's cross-engine-exact pattern).
+
+    Scale shape: one hash aggregate keyed by source with map-side
+    partial combine; the exact distinct-fingerprint count is Spark's
+    two-phase count_distinct expand — still a single job, no window, no
+    collect. Source cardinality is small by construction (it's a
+    catalog dimension), so the final reduce is tiny.
+    """
+    from .textstats import fingerprint, token_count
+
+    staged = df.withColumn(
+        "_tok", token_count(F.col(text_col)).cast("long")
+    ).withColumn("_fp", fingerprint(F.col(text_col)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.countDistinct("_fp").alias("n_unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("_fp")).alias("n_dup_docs"),
+        F.min("_tok").alias("min_tokens"),
+        F.max("_tok").alias("max_tokens"),
+    ]
+    if quality_col is not None:
+        aggs.append(
+            (
+                F.sum(F.col(quality_col).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality")
+        )
+    return staged.groupBy(F.col(source_col).alias("source")).agg(*aggs)

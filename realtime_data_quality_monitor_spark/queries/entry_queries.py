@@ -3625,6 +3625,47 @@ SQL_E9 = """
 """
 
 
+def q_p13_source_datasheet_documents(spark, sf_dir):
+    """Per-source corpus datasheet (operators/profile.py::
+    source_datasheet): doc/token counts, exact duplicate counts via
+    distinct md5 fingerprints, token bounds, and average quality — one
+    hash aggregate keyed by source, map-side partial combine,
+    integer-exact with the single-final-division average pattern."""
+    from ..operators import profile as prof
+
+    docs = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
+    return prof.source_datasheet(docs, quality_col="quality")
+
+
+SQL_P13 = """
+    WITH s AS (
+      SELECT source, doc_id, n_chars, md5(lower(text)) AS fp,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS ntok,
+        len(list_distinct(list_filter(string_split(text, ' '),
+            x -> x != ''))) AS ndis,
+        length(text) AS nlen
+      FROM documents),
+    q AS (
+      SELECT source, fp, ntok,
+        CAST((n_chars BETWEEN 100 AND 450)::INT * 40
+        + (CASE WHEN ntok > 0 THEN (ndis::DOUBLE / ntok) ELSE 0.0e0 END
+           >= 0.3e0)::INT * 30
+        + (CASE WHEN ntok > 0 THEN (nlen::DOUBLE / ntok) ELSE 0.0e0 END
+           BETWEEN 3.0e0 AND 9.0e0)::INT * 30 AS BIGINT) AS quality
+      FROM s)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+           MIN(ntok) AS min_tokens,
+           MAX(ntok) AS max_tokens,
+           CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM q GROUP BY source
+"""
+
+
 def q_e8_upsample_mix_documents(spark, sf_dir):
     """Repeat-factor source mixing (export.mix_sources with rate > 1):
     the high-quality slice gets 2.4 copies in expectation (2 full
@@ -3829,6 +3870,10 @@ ENTRY_QUERIES = {
     ),
     "e8_upsample_mix_documents": (q_e8_upsample_mix_documents, SQL_E8),
     "e9_token_budget_documents": (q_e9_token_budget_documents, SQL_E9),
+    "p13_source_datasheet_documents": (
+        q_p13_source_datasheet_documents,
+        SQL_P13,
+    ),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

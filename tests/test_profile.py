@@ -1,0 +1,45 @@
+"""operators/profile.py: one-pass table profile and the per-source
+corpus datasheet."""
+
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import profile
+
+
+def test_profile_single_row_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", 2.0), (2, None, None), (2, "xyz", 5.5)],
+        ["k", "s", "v"],
+    )
+    [row] = profile.profile(df).collect()
+    assert row["n_rows"] == 3
+    assert row["k_nulls"] == 0 and row["k_distinct"] == 2
+    assert row["s_nulls"] == 1 and row["s_min_len"] == 2 and row["s_max_len"] == 3
+    assert row["v_min"] == 2.0 and row["v_max"] == 5.5
+
+
+def test_source_datasheet_counts_and_dups(spark):
+    rows = [
+        ("a", 0, "x y z", 10),
+        ("a", 1, "X Y Z", 30),      # case-insensitive dup of doc 0
+        ("a", 2, "unique words", 20),
+        ("b", 3, "one two three four", 100),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text", "quality"])
+    out = {
+        r["source"]: r.asDict()
+        for r in profile.source_datasheet(df, quality_col="quality").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_unique_docs"], a["n_dup_docs"]) == (3, 2, 1)
+    assert a["total_tokens"] == 8 and a["min_tokens"] == 2 and a["max_tokens"] == 3
+    assert a["avg_quality"] == 20.0
+    assert (b["n_docs"], b["n_dup_docs"], b["total_tokens"]) == (1, 0, 4)
+    assert b["avg_quality"] == 100.0
+
+
+def test_source_datasheet_without_quality(spark):
+    df = spark.createDataFrame([("a", "w1 w2")], ["source", "text"])
+    [row] = profile.source_datasheet(df).collect()
+    assert "avg_quality" not in row.asDict()
+    assert row["n_docs"] == 1 and row["total_tokens"] == 2
