@@ -224,3 +224,29 @@ def test_t11_bpe_tokens_no_exchange(spark):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",")
     ) == {"doc_id", "text"}
+
+
+def test_d10_anti_join_reuses_fingerprint_partitioning(spark):
+    """Incremental dedup: the within-batch first-wins window must reuse
+    the anti-join's fingerprint partitioning — exchanges stay at most
+    one per side (batch + corpus distinct), none added by the window."""
+    df = eq.q_d10_incremental_dedup_documents(spark, SF)
+    assert _n_shuffles(spark, df) <= 2
+    p = _plan(spark, df, "simple")
+    assert "SortMergeJoin LeftAnti" in p or "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_e9_token_budget_single_exchange(spark):
+    df = eq.q_e9_token_budget_documents(spark, SF)
+    assert _n_shuffles(spark, df) == 1
+    assert "Exchange rangepartitioning" not in _plan(spark, df, "simple")
+
+
+def test_p13_datasheet_is_one_aggregate_with_partials(spark):
+    """Datasheet = one hash-aggregate job: partial_count on the map
+    side, no window, no range exchange."""
+    df = eq.q_p13_source_datasheet_documents(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert "partial_count" in p
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p
