@@ -514,11 +514,15 @@ def canonical_representatives(
     )
     labeled = df.join(node, id_col, "left")
     clustered = labeled.filter(F.col("_crep").isNotNull())
+    # id stays its own type inside the struct (a cast to long would
+    # null out string ids and corrupt the argmax); struct ordering
+    # compares field-by-field, so (-quality, id) min = max quality
+    # then min id for numeric AND string id columns alike
     winners = clustered.groupBy("_crep").agg(
         F.min(
             F.struct(
                 (-F.col(quality_col)).alias("nq"),
-                F.col(id_col).cast("long").alias("wid"),
+                F.col(id_col).alias("wid"),
             )
         )["wid"].alias("_winner")
     )

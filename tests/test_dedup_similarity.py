@@ -325,3 +325,19 @@ def test_dedup_against_corpus_drops_known_and_flags_batch_dups(spark):
         for r in dedup.dedup_against_corpus(batch, corpus).collect()
     }
     assert out == {11: False, 12: True, 13: False}
+
+
+def test_canonical_representatives_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 90), ("c", 90)], ["doc_id", "quality"]
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], ["node", "cluster_rep"]
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.canonical_representatives(
+            df, clusters, "quality"
+        ).collect()
+    }
+    assert out == {"a": False, "b": True, "c": False}
