@@ -516,12 +516,15 @@ def canonical_representatives(
     clustered = labeled.filter(F.col("_crep").isNotNull())
     # id stays its own type inside the struct (a cast to long would
     # null out string ids and corrupt the argmax); struct ordering
-    # compares field-by-field, so (-quality, id) min = max quality
-    # then min id for numeric AND string id columns alike
+    # compares field-by-field, so (isnull, -quality, id) min = non-null
+    # quality first (NULLS LAST — struct min would otherwise rank a
+    # NULL field SMALLEST and let a null-quality member win), then max
+    # quality, then min id — for numeric AND string id columns alike
     winners = clustered.groupBy("_crep").agg(
         F.min(
             F.struct(
-                (-F.col(quality_col)).alias("nq"),
+                F.col(quality_col).isNull().cast("int").alias("qnull"),
+                (-F.coalesce(F.col(quality_col), F.lit(0))).alias("nq"),
                 F.col(id_col).alias("wid"),
             )
         )["wid"].alias("_winner")

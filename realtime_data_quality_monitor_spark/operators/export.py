@@ -112,19 +112,34 @@ def mix_sources(
             raise ValueError(f"rate for source {name!r} must be >= 0")
         n_full = int(rate)
         thresh = int(round((rate - n_full) * _HASH_MOD))
-        h = _key_hash(F.col(key_col).cast("string"), seed, name) % _HASH_MOD
-        n_copies = F.lit(n_full) + (h < thresh).cast("int")
-        parts.append(
-            df.withColumn("_nc", n_copies)
-            .filter(F.col("_nc") > 0)
-            # sequence(0, -1) would produce a DESCENDING array, never hit:
-            # the filter guarantees _nc - 1 >= 0
-            .withColumn(
-                "epoch", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        if n_full == 0:
+            # pure downsample: row-local predicate pushed to the scan —
+            # no Generate node, no per-row array (the pre-upsampling
+            # plan shape, preserved for the common rate <= 1 case)
+            keep = (
+                (_key_hash(F.col(key_col).cast("string"), seed, name)
+                 % _HASH_MOD) < thresh
+                if thresh > 0
+                else F.lit(False)
             )
-            .drop("_nc")
-            .withColumn("source", F.lit(name))
-        )
+            part = df.filter(keep).withColumn("epoch", F.lit(0))
+        elif thresh == 0:
+            # whole-number rate: constant copy count, no hash at all
+            part = df.withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_full - 1)))
+            )
+        else:
+            h = (
+                _key_hash(F.col(key_col).cast("string"), seed, name)
+                % _HASH_MOD
+            )
+            # n_copies >= n_full >= 1, so sequence(0, n_copies-1) is
+            # never descending
+            n_copies = F.lit(n_full) + (h < thresh).cast("int")
+            part = df.withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), n_copies - F.lit(1)))
+            )
+        parts.append(part.withColumn("source", F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

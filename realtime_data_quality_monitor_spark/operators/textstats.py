@@ -44,12 +44,15 @@ def token_diversity(text: Column) -> Column:
 # runs, and punctuation runs. Whitespace that isn't the single leading
 # space of a token is not a token (counting semantics; byte-level BPE
 # would emit space tokens, which a count doesn't need). Both engines use
-# leftmost-first alternation, so the split is identical.
+# leftmost-first alternation, so the split is identical. The whitespace
+# class is spelled out instead of \s because Java's \s includes \x0B
+# (vertical tab) and RE2's does not — a bare \s here would diverge
+# cell-wise on any document containing \x0B.
 BPE_ISH_PATTERN = (
     "'(?:s|t|re|ve|m|ll|d)"
     "| ?\\p{L}+"
     "| ?\\p{N}+"
-    "| ?[^\\s\\p{L}\\p{N}]+"
+    "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 )
 
 

@@ -2447,7 +2447,7 @@ SQL_T11 = """
         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
              AS INT) AS ws_tokens,
         CAST(len(regexp_extract_all(text,
-          '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+          '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+'))
              AS INT) AS bpe_tokens
       FROM documents)
     SELECT doc_id, ws_tokens, bpe_tokens,

@@ -341,3 +341,22 @@ def test_canonical_representatives_string_ids(spark):
         ).collect()
     }
     assert out == {"a": False, "b": True, "c": False}
+
+
+def test_canonical_representatives_null_quality_loses(spark):
+    # NULL quality must sort LAST (never win the argmax); all-NULL
+    # clusters fall back to min id
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 90), (7, None), (8, None)],
+        "doc_id long, quality int",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["node", "cluster_rep"]
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.canonical_representatives(
+            df, clusters, "quality"
+        ).collect()
+    }
+    assert out == {1: False, 2: False, 3: True, 7: True, 8: False}

@@ -250,3 +250,18 @@ def test_p13_datasheet_is_one_aggregate_with_partials(spark):
     assert "partial_count" in p
     assert "Window" not in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_mix_sources_downsample_has_no_generate(spark):
+    """rate <= 1 mixing must stay a scan-pushed row-local predicate —
+    no Generate (explode) node, no per-row array; integer rates must
+    not compute the md5 hash at all."""
+    from realtime_data_quality_monitor_spark.operators import export
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    down = export.mix_sources([(docs, "d", 0.5)], "doc_id", "s")
+    p = _plan(spark, down, "simple")
+    assert "Generate" not in p and "md5" in p
+    whole = export.mix_sources([(docs, "w", 2.0)], "doc_id", "s")
+    p2 = _plan(spark, whole, "simple")
+    assert "Generate" in p2 and "md5" not in p2

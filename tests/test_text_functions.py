@@ -436,6 +436,11 @@ def test_bpe_ish_tokens_fixed_cases(spark):
         ("", []),
         ("   ", []),
         ("it's 3.14, ok?", ["it", "'s", " 3", ".", "14", ",", " ok", "?"]),
+        # \x0B: Java \s includes it, RE2's does not — the pattern spells
+        # the whitespace class out so both engines skip it identically
+        ("a\x0bb", ["a", "b"]),
+        ("x \x0b y", ["x", " y"]),
+        ("tab\ttab", ["tab", "tab"]),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
