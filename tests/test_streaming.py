@@ -308,3 +308,37 @@ def test_restarted_stream_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_all
     assert got.select("conv_id", "turn_idx").distinct().count() == n_all
+
+
+def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
+    """The Gopher corpus filter is stateless row-local algebra, so it
+    runs unchanged on a streaming DataFrame — per-doc keep/drop and
+    drop_reason must be IDENTICAL to the batch codepath."""
+    from realtime_data_quality_monitor_spark.operators.quality_filters import (
+        gopher_keep_flag,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    cols = ["doc_id", "n_words", "keep", "drop_reason"]
+    batch = {
+        r["doc_id"]: (r["n_words"], r["keep"], r["drop_reason"])
+        for r in gopher_keep_flag(spark.read.parquet(src))
+        .select(cols)
+        .collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path / "gopher_out")
+    q = sp.run_stream_to_parquet(
+        gopher_keep_flag(stream), out, str(tmp_path / "ckpt_gopher")
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["doc_id"]: (r["n_words"], r["keep"], r["drop_reason"])
+        for r in spark.read.parquet(out).select(cols).collect()
+    }
+    assert streamed == batch
+    assert len(batch) == docs.count()
