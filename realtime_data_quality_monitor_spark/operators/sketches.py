@@ -1,0 +1,256 @@
+"""Mergeable one-pass sketches: HyperLogLog distinct-count registers,
+count-min frequency tables, Bloom membership filters.
+
+Why sketches at 100 TB: exact distinct counts and exact global
+frequencies shuffle on the VALUE — cardinality-sized state. A sketch
+replaces that with a FIXED key space (2^p registers, depth x width
+counters, n_bits/32 bit-words): the groupBy is map-side-combinable into
+a bounded frame, and two sketches MERGE by max / sum / bit_or — so a
+per-partition, per-day, or per-run sketch folds into the corpus sketch
+without reprocessing history (the incremental-dedup story of
+``dedup.dedup_against_corpus``, restated for counters).
+
+Determinism contract (the repo's t6/e1 pattern): every hash is keyed
+md5 via ``export._key_hash``-style algebra, so sketch CONTENTS are
+cell-exact reproducible in DuckDB and the driver gates the sketch
+tables themselves. Float ESTIMATES derived from the registers
+(``hll_estimate``) involve ln/pow whose last-ulp behaviour is libm-
+specific, so they are pytest-gated for accuracy instead of
+hash-compared.
+
+Columns kept narrow on purpose: every builder selects only the key (and
+optional weight) column, so the parquet scan prunes to one or two
+columns (ReadSchema check in tests/test_plans.py style).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- engine-portable keyed hash pieces (mirrors export._key_hash) ----------
+
+
+def _md5_hex(key: Column, seed: str, salt: str = "") -> Column:
+    """Hex md5 of 'key|seed|salt' — the repo-standard keyed hash input."""
+    return F.md5(F.concat_ws("|", key.cast("string"), F.lit(seed), F.lit(salt)))
+
+
+def _hex_to_long(hex_col: Column) -> Column:
+    """Unsigned BIGINT from <=15 hex chars (DuckDB: CAST('0x'||h AS BIGINT))."""
+    return F.conv(hex_col, 16, 10).cast("bigint")
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_RANK_BITS = 52  # 13 hex chars; max rank = 53 (all-zero suffix)
+
+
+def hll_register_rank(key: Column, seed: str, p: int = 12) -> tuple[Column, Column]:
+    """(register, rank) for one key under a 2^p-register HLL.
+
+    register = first 32 hash bits mod 2^p; rank = 1 + number of leading
+    zero bits in the NEXT 52 hash bits (53 when all zero). The rank is
+    computed by string algebra on the hex — count leading '0' chars
+    (4 bits each) plus the leading zeros inside the first non-zero
+    nibble — so both engines agree exactly, with no float log2 at the
+    nibble boundaries.
+    """
+    h = _md5_hex(key, seed)
+    register = (_hex_to_long(F.substring(h, 1, 8)) % (1 << p)).cast("int")
+    rank_hex = F.substring(h, 9, 13)
+    lz_nibbles = F.length(F.regexp_extract(rank_hex, r"^(0*)", 1))
+    first_digit = rank_hex.substr(lz_nibbles + 1, F.lit(1))
+    nibble_lz = (
+        F.when(first_digit == "1", 3)
+        .when(first_digit.isin("2", "3"), 2)
+        .when(first_digit.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)  # digits 8..f, and '' when the whole suffix is zero
+    )
+    rank = (lz_nibbles * 4 + nibble_lz + 1).cast("int")
+    return register, rank
+
+
+def hll_sketch(df: DataFrame, key_col: str, seed: str, p: int = 12) -> DataFrame:
+    """One-pass HLL register frame: (register INT, max_rank INT).
+
+    One map-side-combinable groupBy over <=2^p groups — the shuffle
+    moves at most 2^p rows per partition regardless of input size.
+    Registers never touched by any key are absent (they read as rank 0
+    at estimate time), so the frame is also sparse-friendly at small n.
+    """
+    register, rank = hll_register_rank(F.col(key_col), seed, p)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union-of-streams = register-wise MAX — the HLL merge law."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+    """Distinct-count estimate from a register frame.
+
+    Collects <=2^p aggregate-grain rows (never raw data). Standard HLL:
+    raw = alpha_m * m^2 / sum(2^-M_j) with absent registers counting
+    2^0; small-range correction switches to linear counting
+    m * ln(m / V) when raw <= 2.5m and empty registers remain.
+    """
+    m = 1 << p
+    rows = sketch.collect()
+    used = len(rows)
+    inv_sum = (m - used) + sum(2.0 ** -r["max_rank"] for r in rows)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / inv_sum
+    zeros = m - used
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def _cms_bucket(key: Column, seed: str, row: int, width: int) -> Column:
+    return (_hex_to_long(F.substring(_md5_hex(key, seed, str(row)), 1, 8)) % width).cast(
+        "int"
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    seed: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min table: (row INT, bucket INT, cnt BIGINT).
+
+    Each input row increments one counter per hash row; the build is a
+    single groupBy over <= depth*width groups (map-side combine), so
+    the shuffle is sketch-sized, not data-sized. Merge = same-cell SUM
+    (``cms_merge``). Point lookups are biased UP only: cnt >= true
+    count always (collisions add, never subtract).
+    """
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    buckets = F.array(*[_cms_bucket(key, seed, d, width) for d in range(depth)])
+    return (
+        df.where(key.isNotNull())
+        .select(F.posexplode(buckets).alias("hash_row", "bucket"), w.alias("w"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Stream concatenation = cell-wise SUM — the CMS merge law."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("hash_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    seed: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Estimated count per probe key: est_cnt = MIN over hash rows.
+
+    keys x depth probe rows broadcast-join the sketch on (row, bucket);
+    an absent cell is a zero counter. Output: keys' columns + est_cnt.
+    """
+    key = F.col(key_col)
+    buckets = F.array(*[_cms_bucket(key, seed, d, width) for d in range(depth)])
+    probes = keys.select("*", F.posexplode(buckets).alias("hash_row", "bucket"))
+    joined = probes.join(F.broadcast(sketch), ["hash_row", "bucket"], "left")
+    return (
+        joined.withColumn("_c", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+        .groupBy(*keys.columns)
+        .agg(F.min("_c").alias("est_cnt"))
+    )
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32  # bits per packed word: safe signed arithmetic everywhere
+
+
+def _bloom_pos(key: Column, seed: str, probe: int, n_bits: int) -> Column:
+    return _hex_to_long(F.substring(_md5_hex(key, seed, f"b{probe}"), 1, 8)) % n_bits
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, seed: str, n_bits: int = 1 << 18, k: int = 4
+) -> DataFrame:
+    """Packed Bloom filter: (word INT, bits BIGINT) with 32 bits/word.
+
+    k keyed-md5 probes per key set k bits; words fold with BIT_OR (one
+    bounded groupBy — n_bits/32 groups max). The frame broadcasts to
+    probe a 100 TB stream row-locally: n_bits = 2^30 is a 4 MB deck for
+    ~10^8 keys at ~2% fpr with k=4. Merge two filters (same seed/
+    geometry) by unioning frames and BIT_OR-ing per word.
+    """
+    key = F.col(key_col)
+    positions = F.array(*[_bloom_pos(key, seed, j, n_bits) for j in range(k)])
+    return (
+        df.where(key.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr(f"CAST(pos DIV {_BLOOM_WORD_BITS} AS INT)").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    seed: str,
+    n_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test: keys' columns + member INT (1 = maybe-present).
+
+    No false negatives by construction; false-positive rate is set by
+    (n_bits, k, #inserted). Each probe left-joins the broadcast word
+    frame; a missing word is an all-zero word. member = AND over the k
+    probe bits, computed as MIN of per-probe 0/1 ints.
+    """
+    key = F.col(key_col)
+    positions = F.array(*[_bloom_pos(key, seed, j, n_bits) for j in range(k)])
+    exploded = keys.select("*", F.explode(positions).alias("pos")).select(
+        "*",
+        F.expr(f"CAST(pos DIV {_BLOOM_WORD_BITS} AS INT)").alias("word"),
+        F.expr(f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)").alias("bitpos"),
+    )
+    joined = exploded.join(F.broadcast(bloom), ["word"], "left")
+    hit = F.expr(
+        "CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bitpos) & 1 AS INT)"
+    )
+    return (
+        joined.withColumn("_hit", hit)
+        .groupBy(*keys.columns)
+        .agg(F.min("_hit").alias("member"))
+    )

@@ -39,6 +39,7 @@ from ..operators import (
     multimodal,
     quality_filters,
     similarity,
+    sketches,
     skew,
     temporal,
     textstats,
@@ -3785,6 +3786,142 @@ SQL_S6 = _sql_s6()
 
 
 # ---------------------------------------------------------------------------
+# sk* — mergeable sketches (operators/sketches.py): HLL distinct-count
+# registers, count-min frequencies, Bloom membership. All keyed-md5
+# integer algebra, so the SKETCH CONTENTS are cell-exact cross-engine;
+# the float HLL estimate is pytest-gated instead (libm ln/pow ulps).
+# ---------------------------------------------------------------------------
+
+
+def q_sk1_hll_registers_events(spark, sf_dir):
+    """HyperLogLog register frame over event_id (sketches.hll_sketch,
+    p=12): one map-side-combinable groupBy into <=4096 registers — the
+    fixed-size distinct-count state that merges by MAX across
+    partitions/days/runs. The gated output is the register table itself
+    (register, max_rank), deterministic keyed-md5 integers; the derived
+    cardinality estimate is accuracy-tested in tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_sketch(ev, "event_id", seed="hll-ev", p=12)
+
+
+SQL_SK1 = """
+    WITH h AS (
+      SELECT md5(CAST(event_id AS VARCHAR) || '|hll-ev|') AS hx
+      FROM events WHERE event_id IS NOT NULL),
+    b AS (
+      SELECT CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 4096 AS INT)
+               AS register,
+             substr(hx, 9, 13) AS rb
+      FROM h),
+    r AS (
+      SELECT register,
+             length(regexp_extract(rb, '^(0*)', 1)) AS lz,
+             substr(rb, length(regexp_extract(rb, '^(0*)', 1)) + 1, 1) AS fd
+      FROM b)
+    SELECT register,
+           CAST(MAX(lz * 4
+                    + CASE WHEN fd = '1' THEN 3
+                           WHEN fd IN ('2', '3') THEN 2
+                           WHEN fd IN ('4', '5', '6', '7') THEN 1
+                           ELSE 0 END
+                    + 1) AS INT) AS max_rank
+    FROM r GROUP BY 1
+"""
+
+
+def q_sk2_cms_topk_documents(spark, sf_dir):
+    """Count-min point estimates for the exact top-20 tokens
+    (sketches.cms_sketch + cms_lookup, depth=4 width=2048): the sketch
+    build is one groupBy over <=8192 cells (sketch-sized shuffle, not
+    vocabulary-sized), lookups broadcast the sketch. est_cnt >=
+    exact_cnt always (counters only collide upward) — the oracle
+    recomputes both sides exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(textstats.tokens_col(F.col("text"))).alias("token"))
+    cms = sketches.cms_sketch(tok, "token", seed="cms-tok", depth=4, width=2048)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(20)
+    return sketches.cms_lookup(cms, top, "token", seed="cms-tok", depth=4, width=2048)
+
+
+SQL_SK2 = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents),
+    cells AS (
+      SELECT CAST(d.i AS INT) AS hash_row,
+             CAST(CAST('0x' || substr(md5(token || '|cms-tok|'
+                    || CAST(d.i AS VARCHAR)), 1, 8) AS BIGINT) % 2048 AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok, (SELECT unnest(range(4)) AS i) d
+      GROUP BY 1, 2),
+    top AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY 1
+      ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+    probes AS (
+      SELECT token, exact_cnt, CAST(d.i AS INT) AS hash_row,
+             CAST(CAST('0x' || substr(md5(token || '|cms-tok|'
+                    || CAST(d.i AS VARCHAR)), 1, 8) AS BIGINT) % 2048 AS INT)
+               AS bucket
+      FROM top, (SELECT unnest(range(4)) AS i) d)
+    SELECT p.token, p.exact_cnt,
+           CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probes p LEFT JOIN cells c USING (hash_row, bucket)
+    GROUP BY 1, 2
+"""
+
+
+def q_sk3_bloom_membership_documents(spark, sf_dir):
+    """Bloom membership probe (sketches.bloom_build + bloom_contains,
+    n_bits=1024 k=3, sized small so false positives actually occur at
+    test scale): insert doc_ids of sources src0..src9, probe every doc.
+    member=1 for every inserted key (no false negatives, pinned by the
+    oracle recomputing the packed words bit-exactly); member=1 with
+    actual=0 rows are the filter's false positives."""
+    docs = _t(spark, sf_dir, "documents")
+    inserted = [f"src{i}" for i in range(10)]
+    ins = docs.where(F.col("source").isin(*inserted))
+    bl = sketches.bloom_build(ins, "doc_id", seed="blm", n_bits=1024, k=3)
+    probe = docs.select(
+        "doc_id", F.col("source").isin(*inserted).cast("int").alias("actual")
+    )
+    out = sketches.bloom_contains(bl, probe, "doc_id", seed="blm", n_bits=1024, k=3)
+    return out.select("doc_id", "actual", "member")
+
+
+SQL_SK3 = """
+    WITH ins AS (
+      SELECT doc_id FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4',
+                       'src5','src6','src7','src8','src9')),
+    setbits AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|blm|b'
+               || CAST(j.i AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS pos
+      FROM ins, (SELECT unnest(range(3)) AS i) j),
+    words AS (
+      SELECT CAST(pos // 32 AS INT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM setbits GROUP BY 1),
+    probes AS (
+      SELECT doc_id,
+             (source IN ('src0','src1','src2','src3','src4',
+                         'src5','src6','src7','src8','src9'))::INT AS actual,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|blm|b'
+               || CAST(j.i AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS pos
+      FROM documents, (SELECT unnest(range(3)) AS i) j)
+    SELECT p.doc_id, p.actual,
+           CAST(MIN(((coalesce(w.bits, 0) >> CAST(p.pos % 32 AS INT)) & 1)::INT)
+                AS INT) AS member
+    FROM probes p
+    LEFT JOIN words w ON w.word = CAST(p.pos // 32 AS INT)
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -3874,6 +4011,9 @@ ENTRY_QUERIES = {
         q_p13_source_datasheet_documents,
         SQL_P13,
     ),
+    "sk1_hll_registers_events": (q_sk1_hll_registers_events, SQL_SK1),
+    "sk2_cms_topk_documents": (q_sk2_cms_topk_documents, SQL_SK2),
+    "sk3_bloom_membership_documents": (q_sk3_bloom_membership_documents, SQL_SK3),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

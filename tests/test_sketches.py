@@ -1,0 +1,185 @@
+"""Sketch operators (operators/sketches.py): merge laws, accuracy
+bounds, and the no-false-negative / overestimate-only guarantees that
+make HLL / count-min / Bloom safe to use at corpus scale."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import sketches
+
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # zipf-ish repeated keys: key k appears roughly N/(k+1)-ish times
+    return spark.range(N).select(
+        (F.col("id") % 700).cast("string").alias("k"),
+        (F.col("id") % 2).alias("half"),
+    )
+
+
+def _reg_dict(sketch_df):
+    return {r["register"]: r["max_rank"] for r in sketch_df.collect()}
+
+
+# --- HLL --------------------------------------------------------------------
+
+
+def test_hll_rank_matches_python_reference(spark):
+    """The hex-string rank algebra equals 'leading zeros of the 52-bit
+    suffix + 1' computed bit-wise in Python."""
+    df = spark.range(300).select(F.col("id").cast("string").alias("k"))
+    reg, rank = sketches.hll_register_rank(F.col("k"), "s", p=12)
+    got = {
+        r["k"]: (r["reg"], r["rank"])
+        for r in df.select("k", reg.alias("reg"), rank.alias("rank")).collect()
+    }
+    for i in range(300):
+        h = hashlib.md5(f"{i}|s|".encode()).hexdigest()
+        want_reg = int(h[:8], 16) % 4096
+        suffix = int(h[8:21], 16)  # 13 hex chars = 52 bits
+        want_rank = 53 if suffix == 0 else 52 - suffix.bit_length() + 1
+        assert got[str(i)] == (want_reg, want_rank), i
+
+
+def test_hll_merge_law(spark, keys):
+    """sketch(A union B) == registerwise-max merge of the halves."""
+    a = sketches.hll_sketch(keys.where("half = 0"), "k", "m", p=10)
+    b = sketches.hll_sketch(keys.where("half = 1"), "k", "m", p=10)
+    whole = sketches.hll_sketch(keys, "k", "m", p=10)
+    assert _reg_dict(sketches.hll_merge(a, b)) == _reg_dict(whole)
+
+
+def test_hll_estimate_accuracy(spark):
+    """p=12 standard error is 1.04/64 ~ 1.6%; allow 6% at n=20000."""
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    est = sketches.hll_estimate(sketches.hll_sketch(df, "k", "acc", p=12), p=12)
+    assert abs(est - 20000) / 20000 < 0.06
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Small cardinalities take the linear-counting branch and stay
+    within a few percent (150 distinct vs 4096 registers)."""
+    df = spark.range(5000).select((F.col("id") % 150).cast("string").alias("k"))
+    est = sketches.hll_estimate(sketches.hll_sketch(df, "k", "lc", p=12), p=12)
+    assert abs(est - 150) / 150 < 0.05
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """Register frame depends only on the distinct key set."""
+    once = spark.range(400).select(F.col("id").cast("string").alias("k"))
+    thrice = once.unionAll(once).unionAll(once)
+    assert _reg_dict(sketches.hll_sketch(thrice, "k", "d", p=11)) == _reg_dict(
+        sketches.hll_sketch(once, "k", "d", p=11)
+    )
+
+
+# --- count-min ----------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark, keys):
+    """est >= exact for EVERY key — collisions only add."""
+    cms = sketches.cms_sketch(keys, "k", "c", depth=4, width=256)
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    looked = sketches.cms_lookup(cms, exact, "k", "c", depth=4, width=256)
+    assert looked.where(F.col("est_cnt") < F.col("exact")).count() == 0
+    # width=256 for 700 keys forces real collisions; the MIN over 4 rows
+    # must still be close for most keys
+    close = looked.where(F.col("est_cnt") <= F.col("exact") + 60).count()
+    assert close == 700
+
+
+def test_cms_merge_law(spark, keys):
+    whole = sketches.cms_sketch(keys, "k", "c", depth=3, width=128)
+    a = sketches.cms_sketch(keys.where("half = 0"), "k", "c", depth=3, width=128)
+    b = sketches.cms_sketch(keys.where("half = 1"), "k", "c", depth=3, width=128)
+    merged = sketches.cms_merge(a, b)
+
+    def cells(df):
+        return {(r["hash_row"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    assert cells(merged) == cells(whole)
+
+
+def test_cms_weighted(spark):
+    """weight_col accumulates weights instead of row counts."""
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("k"), F.lit(5).alias("w")
+    )
+    cms = sketches.cms_sketch(df, "k", "w", depth=2, width=64, weight_col="w")
+    probe = df.select("k").distinct()
+    looked = sketches.cms_lookup(cms, probe, "k", "w", depth=2, width=64)
+    for r in looked.collect():
+        assert r["est_cnt"] >= 50  # 10 rows x weight 5 per key
+
+
+def test_cms_absent_key_reads_zero_or_collision(spark, keys):
+    cms = sketches.cms_sketch(keys, "k", "c", depth=4, width=4096)
+    ghost = spark.createDataFrame([("never-seen-xyz",)], ["k"])
+    est = sketches.cms_lookup(cms, ghost, "k", "c", depth=4, width=4096).collect()
+    assert est[0]["est_cnt"] <= 60  # wide sketch: at most light collisions
+
+
+# --- Bloom --------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    bl = sketches.bloom_build(df, "k", "b", n_bits=1 << 13, k=4)
+    probed = sketches.bloom_contains(bl, df, "k", "b", n_bits=1 << 13, k=4)
+    assert probed.where("member = 0").count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """fpr ~ (1 - e^(-kn/m))^k; assert under 3x the analytic bound."""
+    n, m, k = 500, 1 << 13, 4
+    ins = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    out = spark.range(10000, 14000).select(F.col("id").cast("string").alias("k"))
+    bl = sketches.bloom_build(ins, "k", "b", n_bits=m, k=k)
+    fp = (
+        sketches.bloom_contains(bl, out, "k", "b", n_bits=m, k=k)
+        .where("member = 1")
+        .count()
+    )
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 4000 < 3 * bound + 0.005
+
+
+def test_bloom_manual_merge_equals_full_build(spark):
+    """Two same-geometry filters union + BIT_OR into the whole-set
+    filter (the documented merge recipe)."""
+    whole = spark.range(600).select(F.col("id").cast("string").alias("k"))
+    a = sketches.bloom_build(whole.where("id < 300"), "k", "b", n_bits=2048, k=3)
+    b = sketches.bloom_build(whole.where("id >= 300"), "k", "b", n_bits=2048, k=3)
+    merged = (
+        a.unionByName(b).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    full = sketches.bloom_build(whole, "k", "b", n_bits=2048, k=3)
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == {
+        (r["word"], r["bits"]) for r in full.collect()
+    }
+
+
+# --- plan shape ---------------------------------------------------------------
+
+
+def test_sketch_builds_are_one_partial_agg_shuffle(spark, keys):
+    """Each builder is a single hash-aggregate pipeline: exactly one
+    exchange, with a partial_ aggregate before it (map-side combine), so
+    shuffled bytes are sketch-sized regardless of input size."""
+    for df in (
+        sketches.hll_sketch(keys, "k", "pl", p=12),
+        sketches.cms_sketch(keys, "k", "pl", depth=4, width=2048),
+        sketches.bloom_build(keys, "k", "pl", n_bits=4096, k=3),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE toString appends the pre-adaptive "== Initial Plan ==" —
+        # count exchanges in the executed (final) section only
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 1, plan
+        assert "partial_" in final, plan
