@@ -23,7 +23,7 @@ Catalyst pushes into the scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens_col
@@ -400,3 +400,32 @@ def quality_weighted_sample(
     h = _key_hash(F.col(key_col).cast("string"), seed, "qsample")
     score = F.col(score_col).cast("long")
     return df.filter((h % F.lit(max_score)) < score)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: str,
+) -> DataFrame:
+    """Exactly-n-per-stratum sample (vs quality_weighted_sample's
+    probabilistic keep): rank each stratum's rows by the keyed md5 of
+    the key (a uniform pseudo-random order, ties broken by the key) and
+    keep rank <= n. Deterministic given (key, seed); a grown corpus
+    keeps a stable PREFIX property per stratum — rows already sampled
+    stay sampled unless displaced by a new lower-hash row.
+
+    Output adds sample_rank (1..n within the stratum). Scale shape: one
+    shuffle keyed by the stratum; each stratum ranks independently.
+    A pathologically hot stratum serializes its own sort — for small
+    fixed n at extreme skew, pre-filter with a two-pass hash-threshold
+    (hash_sample at ~2x the target rate, then rank the survivors) to
+    bound the per-task sort input.
+    """
+    h = _key_hash(F.col(key_col).cast("string"), seed, "strat")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -2670,6 +2670,26 @@ SQL_D10 = """
 """
 
 
+def q_d11_bloom_prefilter_dedup_documents(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (dedup.dedup_against_corpus_
+    bloom): same corpus/batch split and BYTE-IDENTICAL output as d10,
+    but the corpus is consulted as a broadcast Bloom word frame first —
+    batch rows whose probe bits miss provably aren't in the corpus and
+    skip the exact anti-join; only maybe-members (true dups + Bloom
+    false positives, which the exact join then removes) probe the
+    fingerprint set. n_bits=2048/k=3 is sized so BOTH branches carry
+    rows at test scale. The oracle is the exact-semantics anti-join —
+    passing it proves the prefilter changes the plan, not the answer."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    out = dedup.dedup_against_corpus_bloom(batch, corpus, n_bits=2048, k=3)
+    return out.select("doc_id", "fingerprint", "is_duplicate")
+
+
+SQL_D11 = SQL_D10  # identical output by construction — see q_d11 docstring
+
+
 # ---------------------------------------------------------------------------
 # multi-table join queries (TPC-H Q3/Q5 shapes on the test tables)
 # ---------------------------------------------------------------------------
@@ -3555,6 +3575,30 @@ SQL_E6 = """
 """
 
 
+def q_e10_stratified_sample_documents(spark, sf_dir):
+    """Exactly-5-per-source sample (export.stratified_take): rank each
+    stratum by the keyed md5 of doc_id (uniform pseudo-random order,
+    tie-broken by doc_id) and keep rank <= 5 — the balanced-eval-set /
+    per-source-inspection draw with a hard per-stratum count, vs e6's
+    probabilistic keep. One shuffle keyed by source; strata rank
+    independently."""
+    docs = _t(spark, sf_dir, "documents")
+    out = export.stratified_take(docs, "source", "doc_id", 5, seed="strat-e10")
+    return out.select("doc_id", "source", "sample_rank")
+
+
+SQL_E10 = """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || '|strat-e10|strat'), 1, 8) AS BIGINT) ASC,
+                      doc_id ASC) AS INT) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= 5
+"""
+
+
 def q_e7_pack_sequences_documents(spark, sf_dir):
     """Sequence packing (operators/export.py::pack_sequences): lay the
     corpus out in the deterministic-shuffle order and give every doc
@@ -4014,6 +4058,11 @@ ENTRY_QUERIES = {
     "sk1_hll_registers_events": (q_sk1_hll_registers_events, SQL_SK1),
     "sk2_cms_topk_documents": (q_sk2_cms_topk_documents, SQL_SK2),
     "sk3_bloom_membership_documents": (q_sk3_bloom_membership_documents, SQL_SK3),
+    "d11_bloom_prefilter_dedup_documents": (
+        q_d11_bloom_prefilter_dedup_documents,
+        SQL_D11,
+    ),
+    "e10_stratified_sample_documents": (q_e10_stratified_sample_documents, SQL_E10),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

@@ -327,6 +327,51 @@ def test_dedup_against_corpus_drops_known_and_flags_batch_dups(spark):
     assert out == {11: False, 12: True, 13: False}
 
 
+def test_bloom_prefilter_dedup_equals_exact(spark):
+    """The Bloom-prefiltered variant is output-identical to the exact
+    anti-join even when the filter is tiny (64 bits for 200 corpus
+    fingerprints -> nearly every batch row is a Bloom 'maybe', so the
+    false-positive cleanup join really runs)."""
+    corpus = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('corpus text ', id) AS text"
+    )
+    batch = spark.range(150, 400).selectExpr(
+        "id AS doc_id",
+        # 150..199 duplicate corpus texts; 250/251 share one new text
+        "CASE WHEN id < 200 THEN concat('corpus text ', id) "
+        "     WHEN id IN (250, 251) THEN 'shared new text' "
+        "     ELSE concat('new text ', id) END AS text",
+    )
+    exact = {
+        (r["doc_id"], r["is_duplicate"])
+        for r in dedup.dedup_against_corpus(batch, corpus).collect()
+    }
+    for n_bits in (64, 4096):
+        bloomed = {
+            (r["doc_id"], r["is_duplicate"])
+            for r in dedup.dedup_against_corpus_bloom(
+                batch, corpus, n_bits=n_bits, k=3
+            ).collect()
+        }
+        assert bloomed == exact, n_bits
+
+
+def test_bloom_prefilter_probes_are_broadcast_joins(spark):
+    """The prefilter must not exchange the batch side: its k word
+    lookups are broadcast hash joins in the executed plan."""
+    corpus = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('c', id) AS text"
+    )
+    batch = spark.range(100, 300).selectExpr(
+        "id AS doc_id", "concat('b', id) AS text"
+    )
+    out = dedup.dedup_against_corpus_bloom(batch, corpus, n_bits=2048, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 3, final
+
+
 def test_canonical_representatives_string_ids(spark):
     df = spark.createDataFrame(
         [("a", 10), ("b", 90), ("c", 90)], ["doc_id", "quality"]

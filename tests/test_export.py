@@ -293,3 +293,40 @@ def test_take_token_budget_validates(spark, text_docs):
         export.take_token_budget(
             text_docs, budget_tokens=10, seed="pk", n_shards=64
         )
+
+
+def test_stratified_take_exact_n_per_stratum(spark, docs):
+    """Every stratum yields exactly n rows, ranked by the keyed hash —
+    reproducible against a pure-Python ranking of the same md5."""
+    out = export.stratified_take(docs, "grp", "doc_id", 7, seed="st").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["sample_rank"], r["doc_id"]))
+    assert set(by_grp) == {"0", "1", "2"}
+    for g, rows in by_grp.items():
+        assert sorted(r[0] for r in rows) == list(range(1, 8))
+        members = [i for i in range(N) if str(i % 3) == g]
+        want = sorted(members, key=lambda i: (_py_hash(str(i), "st", "strat"), i))[:7]
+        assert [d for _, d in sorted(rows)] == want
+
+
+def test_stratified_take_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], ["s", "doc_id"]
+    )
+    out = export.stratified_take(df, "s", "doc_id", 10, seed="st").collect()
+    assert len(out) == 4  # strata smaller than n survive whole
+
+
+def test_stratified_take_prefix_stability(spark, docs):
+    """Growing the corpus only displaces sampled rows via lower-hash
+    newcomers: the n=5 sample is a subset of the n=9 sample."""
+    small = {
+        (r["grp"], r["doc_id"])
+        for r in export.stratified_take(docs, "grp", "doc_id", 5, seed="st").collect()
+    }
+    big = {
+        (r["grp"], r["doc_id"])
+        for r in export.stratified_take(docs, "grp", "doc_id", 9, seed="st").collect()
+    }
+    assert small < big
