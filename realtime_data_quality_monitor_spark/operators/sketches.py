@@ -98,6 +98,47 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
 
 
+def hll_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
+    """Fold a batch's register frame into the persisted register table
+    at ``state_path`` — the incremental "distinct keys ever seen"
+    state, bounded at 2^p rows FOREVER regardless of stream volume.
+
+    Crash safety (the plans/upsert.py rewrite-then-swap invariant,
+    scaled down to a single tiny table): the merged frame is written to
+    ``<state>__staging`` first, a commit marker is added, and only then
+    is the old state replaced. On entry a leftover staging dir is
+    either finished (marker present: the previous run crashed between
+    delete and move — complete the move) or discarded (no marker: the
+    staging write itself died). Because register merge is MAX, replayed
+    micro-batches are absorbed idempotently — a restarted stream can
+    re-deliver a batch without overcounting.
+    """
+    import os
+    import shutil
+
+    staging = state_path.rstrip("/") + "__staging"
+    marker = os.path.join(staging, "_STATE_COMMIT")
+    if os.path.isdir(staging):
+        has_data = any(f.endswith(".parquet") for f in os.listdir(staging))
+        if os.path.exists(marker) and has_data:
+            if os.path.isdir(state_path):
+                shutil.rmtree(state_path)
+            shutil.move(staging, state_path)
+        else:
+            shutil.rmtree(staging)
+    if os.path.isdir(state_path):
+        merged = hll_merge(spark.read.parquet(state_path), batch_sketch)
+    else:
+        merged = batch_sketch
+    # <=2^p rows: one file keeps the state a single-read broadcastable blob
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    with open(marker, "w") as f:
+        f.write("committed")
+    if os.path.isdir(state_path):
+        shutil.rmtree(state_path)
+    shutil.move(staging, state_path)
+
+
 def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     """Distinct-count estimate from a register frame.
 

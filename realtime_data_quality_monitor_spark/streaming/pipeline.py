@@ -236,6 +236,48 @@ def run_stream_upsert(
     return writer.start()
 
 
+def run_stream_hll(
+    sdf: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    seed: str,
+    p: int = 12,
+    available_now: bool = True,
+):
+    """Streaming distinct-count state: every micro-batch folds its HLL
+    register frame into the persisted register table at ``state_path``
+    (operators/sketches.py::hll_update_state). The state is <= 2^p rows
+    no matter how much stream passes through — the 10^12-turn "how many
+    distinct conversations have we ever seen" counter without storing a
+    single key. Register merge is MAX, so checkpoint-replayed batches
+    are absorbed idempotently: a restarted query cannot overcount.
+    Read the running estimate any time with
+    ``hll_estimate(spark.read.parquet(state_path), p)``.
+
+    SINGLE-WRITER contract as in run_stream_upsert: the state table has
+    exactly one writing query; micro-batches are serialized by
+    foreachBatch.
+    """
+    from ..operators.sketches import hll_sketch, hll_update_state
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        hll_update_state(
+            batch_df.sparkSession,
+            state_path,
+            hll_sketch(batch_df, key_col, seed, p),
+        )
+
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "read_transcript_stream",
     "streaming_quality",
@@ -243,6 +285,7 @@ __all__ = [
     "run_stream_to_parquet",
     "run_stream_with_alerts",
     "run_stream_upsert",
+    "run_stream_hll",
     "with_static_enrichment",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",

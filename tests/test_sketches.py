@@ -183,3 +183,75 @@ def test_sketch_builds_are_one_partial_agg_shuffle(spark, keys):
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange") == 1, plan
         assert "partial_" in final, plan
+
+
+# --- persisted / streaming state ----------------------------------------------
+
+
+def test_hll_update_state_incremental_equals_whole(spark, tmp_path):
+    """Folding three batches into the state table equals sketching the
+    whole stream at once, and replaying a batch changes nothing."""
+    state = str(tmp_path / "hll_state")
+    whole = spark.range(3000).select(F.col("id").cast("string").alias("k"))
+    for lo in (0, 1000, 2000):
+        batch = whole.where(f"id >= {lo} AND id < {lo + 1000}")
+        sketches.hll_update_state(
+            spark, state, sketches.hll_sketch(batch, "k", "st", p=11)
+        )
+    # replay the middle batch (restart re-delivery): max-merge absorbs it
+    replay = whole.where("id >= 1000 AND id < 2000")
+    sketches.hll_update_state(
+        spark, state, sketches.hll_sketch(replay, "k", "st", p=11)
+    )
+    got = _reg_dict(spark.read.parquet(state))
+    want = _reg_dict(sketches.hll_sketch(whole, "k", "st", p=11))
+    assert got == want
+
+
+def test_hll_update_state_heals_crashed_swap(spark, tmp_path):
+    """A committed staging dir left by a crash between delete and move
+    is finished on the next update instead of being lost."""
+    import os
+    import shutil
+
+    state = str(tmp_path / "st")
+    a = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    sketches.hll_update_state(spark, state, sketches.hll_sketch(a, "k", "h", p=10))
+    # simulate the crash window: state deleted, staging (with marker) intact
+    staging = state + "__staging"
+    shutil.copytree(state, staging)
+    open(os.path.join(staging, "_STATE_COMMIT"), "w").write("committed")
+    shutil.rmtree(state)
+    b = spark.range(500, 900).select(F.col("id").cast("string").alias("k"))
+    sketches.hll_update_state(spark, state, sketches.hll_sketch(b, "k", "h", p=10))
+    whole = spark.range(900).select(F.col("id").cast("string").alias("k"))
+    assert _reg_dict(spark.read.parquet(state)) == _reg_dict(
+        sketches.hll_sketch(whole, "k", "h", p=10)
+    )
+
+
+def test_run_stream_hll_matches_batch(spark, tmp_path):
+    """The streaming fold over micro-batches lands on exactly the batch
+    sketch of the same rows."""
+    from realtime_data_quality_monitor_spark.streaming.pipeline import (
+        run_stream_hll,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(2500).select(F.col("id").cast("string").alias("k"))
+    df.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = run_stream_hll(
+        stream, "k", state, str(tmp_path / "ckpt"), seed="strm", p=11
+    )
+    q.awaitTermination(120)
+    assert _reg_dict(spark.read.parquet(state)) == _reg_dict(
+        sketches.hll_sketch(df, "k", "strm", p=11)
+    )
+    est = sketches.hll_estimate(spark.read.parquet(state), p=11)
+    assert abs(est - 2500) / 2500 < 0.08
