@@ -90,6 +90,28 @@ def hll_sketch(df: DataFrame, key_col: str, seed: str, p: int = 12) -> DataFrame
     )
 
 
+def hll_sketch_grouped(
+    df: DataFrame,
+    group_cols: list,
+    key_col: str,
+    seed: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register frames in ONE pass: (group_cols...,
+    register, max_rank) — the "distinct users per day/source" shape.
+    One map-side-combinable groupBy over |groups| x 2^p keys; merging
+    two frames is the same register-wise MAX within each group. Per-
+    group estimates: filter a group's rows and feed ``hll_estimate``.
+    """
+    register, rank = hll_register_rank(F.col(key_col), seed, p)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, register.alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union-of-streams = register-wise MAX — the HLL merge law."""
     out = sketches[0]

@@ -3965,6 +3965,46 @@ SQL_SK3 = """
 """
 
 
+def q_sk4_hll_grouped_events(spark, sf_dir):
+    """Per-event_type distinct-user registers (sketches.hll_sketch_
+    grouped, p=8): one pass builds every group's HLL frame at once —
+    the "distinct users per day/source" fan-out where a per-group
+    COUNT(DISTINCT) would shuffle every (group, user) pair. State is
+    |groups| x 256 rows max; per-group estimates come from filtering a
+    group's registers into hll_estimate."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_sketch_grouped(
+        ev, ["event_type"], "user_id", seed="hll-u", p=8
+    )
+
+
+SQL_SK4 = """
+    WITH h AS (
+      SELECT event_type,
+             md5(CAST(user_id AS VARCHAR) || '|hll-u|') AS hx
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 256 AS INT)
+               AS register,
+             substr(hx, 9, 13) AS rb
+      FROM h),
+    r AS (
+      SELECT event_type, register,
+             length(regexp_extract(rb, '^(0*)', 1)) AS lz,
+             substr(rb, length(regexp_extract(rb, '^(0*)', 1)) + 1, 1) AS fd
+      FROM b)
+    SELECT event_type, register,
+           CAST(MAX(lz * 4
+                    + CASE WHEN fd = '1' THEN 3
+                           WHEN fd IN ('2', '3') THEN 2
+                           WHEN fd IN ('4', '5', '6', '7') THEN 1
+                           ELSE 0 END
+                    + 1) AS INT) AS max_rank
+    FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4063,6 +4103,7 @@ ENTRY_QUERIES = {
         SQL_D11,
     ),
     "e10_stratified_sample_documents": (q_e10_stratified_sample_documents, SQL_E10),
+    "sk4_hll_grouped_events": (q_sk4_hll_grouped_events, SQL_SK4),
     "p8_severity_histogram_events": (q_p8_severity_histogram_events, SQL_P8),
     "a3_recent_dimension_summary": (q_a3_recent_dimension_summary, SQL_A3),
     "j1_segment_order_stats": (q_j1_segment_order_stats, SQL_J1),

@@ -255,3 +255,16 @@ def test_run_stream_hll_matches_batch(spark, tmp_path):
     )
     est = sketches.hll_estimate(spark.read.parquet(state), p=11)
     assert abs(est - 2500) / 2500 < 0.08
+
+
+def test_hll_grouped_equals_per_group_sketches(spark, keys):
+    """One grouped pass == independent per-group sketches."""
+    grouped = sketches.hll_sketch_grouped(keys, ["half"], "k", "g", p=9)
+    got = {
+        (r["half"], r["register"]): r["max_rank"] for r in grouped.collect()
+    }
+    want = {}
+    for h in (0, 1):
+        one = sketches.hll_sketch(keys.where(f"half = {h}"), "k", "g", p=9)
+        want.update({(h, r["register"]): r["max_rank"] for r in one.collect()})
+    assert got == want
