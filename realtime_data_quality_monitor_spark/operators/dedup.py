@@ -579,60 +579,42 @@ def dedup_against_corpus_bloom(
     n_bits: int = 1 << 20,
     k: int = 4,
     seed: str = "corpus-bloom",
+    bloom_df: DataFrame | None = None,
 ) -> DataFrame:
     """``dedup_against_corpus`` with a Bloom prefilter — identical
     OUTPUT (the exact join removes Bloom false positives), different
-    100 TB shape: the corpus folds ONCE into an n_bits Bloom word frame
-    (n_bits/8 bytes, broadcastable; 2^30 bits = 128 MB covers ~10^8
-    fingerprints at ~2% fpr with k=4) instead of shuffling its distinct
-    fingerprints into every ingest's anti-join. Batch rows whose k
-    probe bits miss are PROVABLY absent from the corpus (Bloom has no
-    false negatives) and bypass the join entirely; only the
-    maybe-present remainder — |true dups| + fpr * |clean batch| — probes
-    the exact fingerprint set. The prefilter itself is k broadcast hash
+    100 TB shape: batch rows whose k probe bits miss are PROVABLY
+    absent from the corpus (Bloom has no false negatives) and bypass
+    the anti-join entirely; only the maybe-present remainder —
+    |true dups| + fpr * |clean batch| — probes the exact fingerprint
+    set. The prefilter (sketches.bloom_contains) is k broadcast hash
     joins on the word index: the batch side is never exchanged before
     the final within-batch window.
+
+    Amortization contract: pass ``bloom_df`` — the PERSISTED filter a
+    corpus maintains incrementally (bloom_build once, then BIT_OR-merge
+    each ingest's new fingerprints) — so the corpus is not re-folded
+    per call. Without it the filter is rebuilt here, which scans the
+    corpus once more than plain dedup_against_corpus and only makes
+    sense as a demonstration or when the corpus frame is cached.
     """
-    from .sketches import _bloom_pos, bloom_build
+    from .sketches import bloom_build, bloom_contains
 
     staged = new_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
     corpus_fp = corpus_df.select(
         fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
-    bloom = bloom_build(corpus_fp, "fingerprint", seed, n_bits=n_bits, k=k)
-
-    # probe positions first as named columns so expr() can reference them
-    probed = staged.withColumns(
-        {
-            f"_pos{j}": _bloom_pos(F.col("fingerprint"), seed, j, n_bits)
-            for j in range(k)
-        }
+    bloom = (
+        bloom_df
+        if bloom_df is not None
+        else bloom_build(corpus_fp, "fingerprint", seed, n_bits=n_bits, k=k)
     )
-    hits = []
-    for j in range(k):
-        words_j = bloom.select(
-            F.col("word").alias(f"_word{j}"), F.col("bits").alias(f"_bits{j}")
-        )
-        probed = probed.withColumn(
-            f"_word{j}", F.expr(f"CAST(_pos{j} DIV 32 AS INT)")
-        ).join(F.broadcast(words_j), [f"_word{j}"], "left")
-        hits.append(
-            F.expr(
-                f"CAST(shiftright(coalesce(_bits{j}, CAST(0 AS BIGINT)), "
-                f"CAST(_pos{j} % 32 AS INT)) & 1 AS INT)"
-            )
-        )
-    member = hits[0] == 1
-    for h in hits[1:]:
-        member = member & (h == 1)
-    probed = probed.withColumn("_member", member.cast("int")).drop(
-        *[c for j in range(k) for c in (f"_pos{j}", f"_word{j}", f"_bits{j}")]
-    )
+    probed = bloom_contains(bloom, staged, "fingerprint", seed, n_bits=n_bits, k=k)
 
-    definitely_new = probed.where(F.col("_member") == 0)
-    maybe = probed.where(F.col("_member") == 1).join(
+    definitely_new = probed.where(F.col("member") == 0)
+    maybe = probed.where(F.col("member") == 1).join(
         corpus_fp, "fingerprint", "left_anti"
     )
-    survivors = definitely_new.unionByName(maybe).drop("_member")
+    survivors = definitely_new.unionByName(maybe).drop("member")
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return survivors.withColumn("is_duplicate", F.row_number().over(w) > 1)

@@ -34,11 +34,19 @@ _PREFIX_LEN = 8
 _HASH_MOD = 1_000_000  # split/sample granularity: 1e-6
 
 
+def keyed_md5_hex(key: Column, seed: str, salt: str = "") -> Column:
+    """Hex md5 of 'key|seed|salt' — THE repo-standard keyed-hash input
+    (single definition; operators/sketches.py derives its register/
+    bucket/bit integers from this same column so cross-engine parity
+    has one source of truth)."""
+    return F.md5(F.concat_ws("|", key.cast("string"), F.lit(seed), F.lit(salt)))
+
+
 def _key_hash(key: Column, seed: str, salt: str = "") -> Column:
     """Uniform BIGINT in [0, 2^32) from md5(key|seed|salt) — the
     engine-portable keyed hash (DuckDB: CAST('0x'||substr(md5(..),1,8)
     AS BIGINT), see SQL_T6)."""
-    h = F.md5(F.concat_ws("|", key, F.lit(seed), F.lit(salt)))
+    h = keyed_md5_hex(key, seed, salt)
     return F.conv(F.substring(h, 1, _PREFIX_LEN), 16, 10).cast("bigint")
 
 

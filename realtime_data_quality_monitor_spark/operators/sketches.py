@@ -30,12 +30,9 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# --- engine-portable keyed hash pieces (mirrors export._key_hash) ----------
+# --- engine-portable keyed hash pieces --------------------------------------
 
-
-def _md5_hex(key: Column, seed: str, salt: str = "") -> Column:
-    """Hex md5 of 'key|seed|salt' — the repo-standard keyed hash input."""
-    return F.md5(F.concat_ws("|", key.cast("string"), F.lit(seed), F.lit(salt)))
+from .export import keyed_md5_hex as _md5_hex  # single hash definition
 
 
 def _hex_to_long(hex_col: Column) -> Column:
@@ -172,6 +169,11 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     m = 1 << p
     rows = sketch.collect()
     used = len(rows)
+    if used > m:
+        raise ValueError(
+            f"register frame has {used} rows > 2^p={m}: wrong p, or a "
+            "GROUPED frame (hll_sketch_grouped) — filter to one group first"
+        )
     inv_sum = (m - used) + sum(2.0 ** -r["max_rank"] for r in rows)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     raw = alpha * m * m / inv_sum
@@ -235,17 +237,26 @@ def cms_lookup(
 ) -> DataFrame:
     """Estimated count per probe key: est_cnt = MIN over hash rows.
 
-    keys x depth probe rows broadcast-join the sketch on (row, bucket);
-    an absent cell is a zero counter. Output: keys' columns + est_cnt.
+    One broadcast hash join per hash row (depth joins, each against the
+    <= depth*width-cell sketch), then a row-local LEAST — the probe
+    side is never exchanged or grouped, so duplicate probe rows pass
+    through 1:1 and row count is preserved. An absent cell is a zero
+    counter. Output: keys' columns + est_cnt.
     """
     key = F.col(key_col)
-    buckets = F.array(*[_cms_bucket(key, seed, d, width) for d in range(depth)])
-    probes = keys.select("*", F.posexplode(buckets).alias("hash_row", "bucket"))
-    joined = probes.join(F.broadcast(sketch), ["hash_row", "bucket"], "left")
-    return (
-        joined.withColumn("_c", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
-        .groupBy(*keys.columns)
-        .agg(F.min("_c").alias("est_cnt"))
+    out = keys
+    ests = []
+    for d in range(depth):
+        row_cells = sketch.where(F.col("hash_row") == d).select(
+            F.col("bucket").alias(f"_b{d}"), F.col("cnt").alias(f"_c{d}")
+        )
+        out = out.withColumn(f"_b{d}", _cms_bucket(key, seed, d, width)).join(
+            F.broadcast(row_cells), [f"_b{d}"], "left"
+        )
+        ests.append(F.coalesce(F.col(f"_c{d}"), F.lit(0).cast("bigint")))
+    est = ests[0] if depth == 1 else F.least(*ests)
+    return out.withColumn("est_cnt", est).drop(
+        *[c for d in range(depth) for c in (f"_b{d}", f"_c{d}")]
     )
 
 
@@ -265,9 +276,11 @@ def bloom_build(
 
     k keyed-md5 probes per key set k bits; words fold with BIT_OR (one
     bounded groupBy — n_bits/32 groups max). The frame broadcasts to
-    probe a 100 TB stream row-locally: n_bits = 2^30 is a 4 MB deck for
-    ~10^8 keys at ~2% fpr with k=4. Merge two filters (same seed/
-    geometry) by unioning frames and BIT_OR-ing per word.
+    probe a stream row-locally: n_bits = 2^30 is 128 MB of bit payload
+    (~2^25 frame rows at 32 bits/word — near the practical broadcast
+    ceiling; it covers ~10^8 keys at ~2% fpr with k=4, and a sharded
+    filter family is the path beyond that). Merge two filters (same
+    seed/geometry) by unioning frames and BIT_OR-ing per word.
     """
     key = F.col(key_col)
     positions = F.array(*[_bloom_pos(key, seed, j, n_bits) for j in range(k)])
@@ -297,23 +310,32 @@ def bloom_contains(
     """Membership test: keys' columns + member INT (1 = maybe-present).
 
     No false negatives by construction; false-positive rate is set by
-    (n_bits, k, #inserted). Each probe left-joins the broadcast word
-    frame; a missing word is an all-zero word. member = AND over the k
-    probe bits, computed as MIN of per-probe 0/1 ints.
+    (n_bits, k, #inserted). One broadcast hash join per probe against
+    the word frame (a missing word is an all-zero word), then a
+    row-local AND of the k bit tests — the probe side is never
+    exchanged or grouped, so duplicate probe rows pass through 1:1.
     """
     key = F.col(key_col)
-    positions = F.array(*[_bloom_pos(key, seed, j, n_bits) for j in range(k)])
-    exploded = keys.select("*", F.explode(positions).alias("pos")).select(
-        "*",
-        F.expr(f"CAST(pos DIV {_BLOOM_WORD_BITS} AS INT)").alias("word"),
-        F.expr(f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)").alias("bitpos"),
-    )
-    joined = exploded.join(F.broadcast(bloom), ["word"], "left")
-    hit = F.expr(
-        "CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bitpos) & 1 AS INT)"
-    )
-    return (
-        joined.withColumn("_hit", hit)
-        .groupBy(*keys.columns)
-        .agg(F.min("_hit").alias("member"))
+    out = keys
+    hits = []
+    for j in range(k):
+        words_j = bloom.select(
+            F.col("word").alias(f"_word{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        out = out.withColumn(f"_pos{j}", _bloom_pos(key, seed, j, n_bits))
+        out = out.withColumn(
+            f"_word{j}", F.expr(f"CAST(_pos{j} DIV {_BLOOM_WORD_BITS} AS INT)")
+        ).join(F.broadcast(words_j), [f"_word{j}"], "left")
+        hits.append(
+            F.expr(
+                f"CAST(shiftright(coalesce(_bits{j}, CAST(0 AS BIGINT)), "
+                f"CAST(_pos{j} % {_BLOOM_WORD_BITS} AS INT)) & 1 AS INT)"
+            )
+            == 1
+        )
+    member = hits[0]
+    for h in hits[1:]:
+        member = member & h
+    return out.withColumn("member", member.cast("int")).drop(
+        *[c for j in range(k) for c in (f"_pos{j}", f"_word{j}", f"_bits{j}")]
     )

@@ -319,14 +319,27 @@ def test_stratified_take_small_stratum_keeps_all(spark):
 
 
 def test_stratified_take_prefix_stability(spark, docs):
-    """Growing the corpus only displaces sampled rows via lower-hash
-    newcomers: the n=5 sample is a subset of the n=9 sample."""
-    small = {
+    """Growing the corpus only DISPLACES sampled rows (a lower-hash
+    newcomer pushes the highest-hash incumbent out) — it never pulls a
+    previously-unsampled old row in."""
+    from pyspark.sql import functions as F
+
+    old = {
         (r["grp"], r["doc_id"])
         for r in export.stratified_take(docs, "grp", "doc_id", 5, seed="st").collect()
     }
-    big = {
+    grown = docs.unionByName(
+        spark.range(N, N + 500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+        )
+    )
+    new = {
         (r["grp"], r["doc_id"])
-        for r in export.stratified_take(docs, "grp", "doc_id", 9, seed="st").collect()
+        for r in export.stratified_take(grown, "grp", "doc_id", 5, seed="st").collect()
     }
-    assert small < big
+    old_rows_still_sampled = {(g, d) for g, d in new if d < N}
+    assert old_rows_still_sampled <= old
+    # and the growth actually displaced someone (otherwise the assert
+    # above is vacuous at this seed)
+    assert old_rows_still_sampled != old

@@ -268,3 +268,17 @@ def test_hll_grouped_equals_per_group_sketches(spark, keys):
         one = sketches.hll_sketch(keys.where(f"half = {h}"), "k", "g", p=9)
         want.update({(h, r["register"]): r["max_rank"] for r in one.collect()})
     assert got == want
+
+
+def test_probe_duplicates_pass_through(spark):
+    """cms_lookup and bloom_contains preserve probe-side row count —
+    duplicate probe rows (common in dedup batches) are not collapsed."""
+    base = spark.range(200).select(F.col("id").cast("string").alias("k"))
+    dup_probes = base.unionAll(base.where("id < 50"))  # 250 rows, 50 dup
+    cms = sketches.cms_sketch(base, "k", "pp", depth=3, width=512)
+    assert sketches.cms_lookup(cms, dup_probes, "k", "pp", 3, 512).count() == 250
+    bl = sketches.bloom_build(base, "k", "pp", n_bits=4096, k=3)
+    assert (
+        sketches.bloom_contains(bl, dup_probes, "k", "pp", n_bits=4096, k=3).count()
+        == 250
+    )
