@@ -2833,6 +2833,354 @@ SQL_Q14 = """
 """
 
 
+def q_q4_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the trimmed schema: the late-ship
+    EXISTS uses l_shipdate > o_orderdate since commit/receipt dates are
+    absent): order counts per priority over a quarter, gated by a
+    correlated EXISTS — a LeftSemi join whose probe side is the
+    filtered orders scan, never the 4x-bigger lineitem."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4 = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: nation-pair trade volume — the fact join is
+    lineitem-orders; supplier/customer/nation dims broadcast; the
+    either-direction nation-pair predicate is a residual on the joined
+    row. Grouped by (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_q12_priority_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode absent -> grouped by l_linestatus):
+    join + conditional aggregation — high/low priority order counts per
+    line status for a ship year. One shuffle join, one tiny agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_Q12 = """
+    SELECT l_linestatus,
+           CAST(SUM((o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM((o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::INT)
+                AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer x orders LEFT join (so zero-order
+    customers count), per-customer order counts, then the distribution
+    of those counts — two aggregations, the second over <=|distinct
+    counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_Q13 = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY 1)
+    GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q15_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
+    max — the scalar-subquery-on-aggregate pattern. The max is compared
+    on the EXACT decimal sum (not the double projection), so ties and
+    boundaries are engine-independent; the one-row max broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev._rev == mx._mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average-quantity threshold (correlated
+    scalar subquery decorrelated into an agg + join). The threshold is
+    0.2 * (sum/count) where the sum is over integral-valued doubles —
+    exactly representable, so both engines compute the identical
+    boundary. Output is the weekly-revenue projection sum/52."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("_thr")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(52.0)
+            ).alias("weekly_revenue"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+SQL_Q17 = """
+    WITH thr AS (
+      SELECT l_partkey, 0.2e0 * (SUM(l_quantity) / COUNT(*)) AS t
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 52.0e0 AS weekly_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN thr USING (l_partkey)
+    WHERE p_brand = 'Brand#1' AND l_quantity < t
+"""
+
+
+def q_q19_disjunct_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-band join predicate (brand x
+    size-range x quantity-window OR-chain) — the residual applies after
+    a single broadcast join on partkey; Catalyst pushes the brand/size
+    disjunction to the part scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bands = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 15))
+        | ((b == "Brand#2") & sz.between(11, 20) & q.between(10, 25))
+        | ((b == "Brand#3") & sz.between(21, 30) & q.between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bands)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+           AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_q22_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape (phone prefix absent -> grouped by nationkey):
+    above-average-balance customers with no RECENT orders (since
+    1999; at this data shape almost every customer has SOME order, so
+    the literal no-orders set is empty) — scalar avg subquery +
+    anti-join. Balances are compared QUANTIZED to cents (floor(x*100),
+    the repo's engine-portable float contract) and the average is one
+    division of exact integers, so the membership boundary is identical
+    cross-engine."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "_cents", F.floor(F.col("c_acctbal") * 100).cast("long")
+    )
+    pos = c.filter(F.col("_cents") > 0)
+    avg_row = pos.agg(
+        (F.sum("_cents").cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("_cents").cast("double") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+SQL_Q22 = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer),
+    a AS (
+      SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents
+      FROM c WHERE cents > 0)
+    SELECT c_nationkey AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c, a
+    WHERE CAST(cents AS DOUBLE) > avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-table join (broadcast customer dim into the
     orders-lineitem shuffle join), date-range filters pushed to both fact
@@ -4142,4 +4490,12 @@ ENTRY_QUERIES = {
     "q5_local_supplier_volume": (q_q5_local_supplier_volume, SQL_Q5),
     "q6_revenue_forecast": (q_q6_revenue_forecast, SQL_Q6),
     "q10_returned_item_customers": (q_q10_returned_item_customers, SQL_Q10),
+    "q4_priority_semijoin": (q_q4_priority_semijoin, SQL_Q4),
+    "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7),
+    "q12_priority_linestatus": (q_q12_priority_linestatus, SQL_Q12),
+    "q13_order_count_distribution": (q_q13_order_count_distribution, SQL_Q13),
+    "q15_top_supplier_revenue": (q_q15_top_supplier_revenue, SQL_Q15),
+    "q17_small_qty_revenue": (q_q17_small_qty_revenue, SQL_Q17),
+    "q19_disjunct_revenue": (q_q19_disjunct_revenue, SQL_Q19),
+    "q22_idle_customer_balance": (q_q22_idle_customer_balance, SQL_Q22),
 }

@@ -265,3 +265,40 @@ def test_mix_sources_downsample_has_no_generate(spark):
     whole = export.mix_sources([(docs, "w", 2.0)], "doc_id", "s")
     p2 = _plan(spark, whole, "simple")
     assert "Generate" in p2 and "md5" not in p2
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    df = eq.q_q4_priority_semijoin(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert "LeftSemi" in p
+    pushed = [
+        ln
+        for ln in _plan(spark, df, "formatted").splitlines()
+        if "PushedFilters" in ln
+    ]
+    assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_q15_max_subquery_broadcasts_one_row(spark):
+    df = eq.q_q15_top_supplier_revenue(spark, SF)
+    p = _plan(spark, df, "simple")
+    # the max-revenue row and the supplier dim both broadcast; the only
+    # hash exchange feeds the per-supplier aggregate
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q19_disjunction_reaches_part_scan(spark):
+    df = eq.q_q19_disjunct_revenue(spark, SF)
+    p = _plan(spark, df, "formatted")
+    # brand IN (...) is the factored-out part of the OR chain — it must
+    # be pushed to the part scan, not evaluated post-join
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed)
+
+
+def test_q22_anti_join_after_broadcast_threshold(spark):
+    df = eq.q_q22_idle_customer_balance(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
