@@ -4369,6 +4369,10 @@ SQL_SK4 = """
 # Entries past #50 were all driver-green in round 1 and stay cell-exact
 # in scripts/check_entry.py (the local replica covers the full catalog);
 # coverage rotates across rounds — see README.md.
+# ROUND-3 ROTATION QUEUE (never driver-verified, front-load next round):
+#   e7, t11, d9, d10, e8, e9, p13 (session 4);
+#   sk1-sk4, d11, e10 (session 5 sketches/dedup/sampling);
+#   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
