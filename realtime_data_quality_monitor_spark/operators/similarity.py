@@ -431,3 +431,137 @@ def kmeans_fit(
     return stats.join(F.broadcast(cdf), "centroid_id").select(
         "centroid_id", "n_vecs", "inertia_q", "centroid_sum_q", "centroid_q"
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def pq_codebook(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-subspace PQ codebook from the k smallest-id vectors (the
+    deterministic seed rule ivf_topk/kmeans_fit use — swap in
+    kmeans_fit-refined subvector centroids for production recall).
+    Returns (subspace INT, code INT, centroid array<bigint>): m*k rows,
+    aggregate-grain, built from a k-row collect and re-broadcast as a
+    literal frame (the MLlib pattern; nothing corpus-sized moves).
+    """
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
+    )
+    seed_rows = vecs.orderBy("id").limit(k).collect()
+    dsub = len(seed_rows[0]["xq"]) // m
+    rows = [
+        (s, c, list(r["xq"])[s * dsub : (s + 1) * dsub])
+        for c, r in enumerate(seed_rows)
+        for s in range(m)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<bigint>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the id of the nearest
+    codebook centroid (exact integer squared distance, ties to the
+    smaller code). Output is the row form (vec_id, subspace, code) —
+    d floats compress to m small ints; downstream ADC joins never touch
+    the original embedding again.
+
+    Scale shape: one broadcast join against the m*k codebook and one
+    per-(vector, subspace) argmin via min(struct(dist, code)) — no
+    corpus shuffle at all; the argmin is a map-side-combinable agg
+    keyed by the vector id that arrives pre-partitioned from the scan.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), scale).alias("xq")
+    )
+    dsub_col = (F.size("xq") / m).cast("int")
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "sub"),
+    )
+    joined = subs.join(F.broadcast(codebook), "subspace")
+    d = joined.withColumn("dist", _sq_dist(F.col("sub"), F.col("centroid")))
+    return (
+        d.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "subspace", F.col("best.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, precompute
+    the m*k table of exact integer distances from the query's subvector
+    to every codebook centroid, broadcast it, and score each encoded
+    vector as the SUM of its m looked-up cells — the IVF-PQ scan shape:
+    the corpus side touches only (vec_id, subspace, code) ints, never
+    raw vectors. Output: (query_id, vec_id, adc_dist_q, rank <= top_k),
+    ties broken on vec_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col), scale).alias("xq"),
+    )
+    m = codebook.agg(F.max("subspace")).collect()[0][0] + 1
+    dsub_col = (F.size("xq") / m).cast("int")
+    qsubs = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "qsub"),
+    )
+    qdist = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _sq_dist(F.col("qsub"), F.col("centroid")).alias("dq"),
+    )
+    scored = (
+        codes.join(F.broadcast(qdist), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").cast("long").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_q").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= top_k
+    )

@@ -4177,6 +4177,105 @@ def _sql_s6(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
 SQL_S6 = _sql_s6()
 
 
+def q_s7_pq_codes_embeddings(spark, sf_dir):
+    """Product-quantization encoding (similarity.pq_codebook +
+    pq_encode, m=4 subspaces x k=8 codes over 64 dims): every 64-float
+    vector compresses to 4 small ints via per-subspace integer-exact
+    argmin against the seed codebook — zero corpus shuffles (one
+    broadcast join + a pre-partitioned argmin agg). Row form
+    (vec_id, subspace, code) keeps the oracle scalar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    return similarity.pq_encode(emb, cb, m=4)
+
+
+SQL_S7 = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000.0) AS BIGINT)) AS xq
+      FROM embeddings),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, xq
+      FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT 8)),
+    cb AS (
+      SELECT CAST(s.i AS INT) AS subspace, CAST(code AS INT) AS code,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS cent
+      FROM seed, (SELECT unnest(range(4)) AS i) s),
+    subs AS (
+      SELECT vec_id, CAST(s.i AS INT) AS subspace,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS sub
+      FROM v, (SELECT unnest(range(4)) AS i) s),
+    d AS (
+      SELECT vec_id, subspace, code,
+             CAST(list_sum(list_transform(range(1, 17),
+               j -> (sub[j] - cent[j]) * (sub[j] - cent[j]))) AS BIGINT)
+               AS dist
+      FROM subs JOIN cb USING (subspace))
+    SELECT vec_id, subspace, CAST(code AS INT) AS code
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                               ORDER BY dist ASC, code ASC) = 1
+"""
+
+
+def q_s8_pq_adc_topk_embeddings(spark, sf_dir):
+    """PQ asymmetric-distance top-10 (similarity.pq_adc_topk) for the
+    three smallest-id query vectors: the corpus side of the scan
+    touches ONLY the (vec_id, subspace, code) ints from s7 — raw
+    vectors appear solely in the broadcast m*k-per-query distance
+    table. The IVF-PQ memory story: 64 floats -> 4 codes per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    queries = emb.orderBy("vec_id").limit(3)
+    return similarity.pq_adc_topk(codes, cb, queries, top_k=10)
+
+
+SQL_S8 = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000.0) AS BIGINT)) AS xq
+      FROM embeddings),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, xq
+      FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT 8)),
+    cb AS (
+      SELECT CAST(s.i AS INT) AS subspace, CAST(code AS INT) AS code,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS cent
+      FROM seed, (SELECT unnest(range(4)) AS i) s),
+    subs AS (
+      SELECT vec_id, CAST(s.i AS INT) AS subspace,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS sub
+      FROM v, (SELECT unnest(range(4)) AS i) s),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               CAST(list_sum(list_transform(range(1, 17),
+                 j -> (sub[j] - cent[j]) * (sub[j] - cent[j]))) AS BIGINT)
+                 AS dist
+        FROM subs JOIN cb USING (subspace))
+      QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY dist ASC, code ASC) = 1),
+    qdist AS (
+      SELECT q.vec_id AS query_id, q.subspace, c.code,
+             CAST(list_sum(list_transform(range(1, 17),
+               j -> (q.sub[j] - c.cent[j]) * (q.sub[j] - c.cent[j])))
+               AS BIGINT) AS dq
+      FROM (SELECT * FROM subs WHERE vec_id IN
+              (SELECT vec_id FROM v ORDER BY vec_id LIMIT 3)) q
+      JOIN cb c USING (subspace)),
+    scored AS (
+      SELECT query_id, codes.vec_id, CAST(SUM(dq) AS BIGINT) AS adc_dist_q
+      FROM codes JOIN qdist USING (subspace, code)
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_dist_q,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist_q ASC, vec_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # sk* — mergeable sketches (operators/sketches.py): HLL distinct-count
 # registers, count-min frequencies, Bloom membership. All keyed-md5
@@ -4502,4 +4601,6 @@ ENTRY_QUERIES = {
     "q17_small_qty_revenue": (q_q17_small_qty_revenue, SQL_Q17),
     "q19_disjunct_revenue": (q_q19_disjunct_revenue, SQL_Q19),
     "q22_idle_customer_balance": (q_q22_idle_customer_balance, SQL_Q22),
+    "s7_pq_codes_embeddings": (q_s7_pq_codes_embeddings, SQL_S7),
+    "s8_pq_adc_topk_embeddings": (q_s8_pq_adc_topk_embeddings, SQL_S8),
 }

@@ -405,3 +405,80 @@ def test_canonical_representatives_null_quality_loses(spark):
         ).collect()
     }
     assert out == {1: False, 2: False, 3: True, 7: True, 8: False}
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    rows = codes.collect()
+    n_vecs = emb.count()
+    assert len(rows) == n_vecs * 4
+    assert all(0 <= r["code"] < 8 and 0 <= r["subspace"] < 4 for r in rows)
+    again = {(r["vec_id"], r["subspace"]): r["code"] for r in
+             similarity.pq_encode(emb, cb, m=4).collect()}
+    assert {(r["vec_id"], r["subspace"]): r["code"] for r in rows} == again
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """Each codebook seed vector's nearest centroid in every subspace is
+    its own code — distance zero beats every other centroid (ties go to
+    the smaller code, and seed subvectors can tie only by being equal)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in codes.where(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    for c, vid in enumerate(seed_ids):
+        for s in range(4):
+            assert got[(vid, s)] <= c  # own code, or an identical earlier one
+
+
+def test_pq_adc_beats_random_on_quantized_truth(spark):
+    """ADC top-10 must overlap the EXACT quantized-distance top-10 far
+    above chance (PQ is lossy; exact match is not required)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import similarity
+    from realtime_data_quality_monitor_spark.operators.similarity import (
+        _quantize, _sq_dist,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    queries = emb.orderBy("vec_id").limit(3)
+    adc = similarity.pq_adc_topk(codes, cb, queries, top_k=10)
+    got = {
+        q: {r["vec_id"] for r in adc.where(F.col("query_id") == q).collect()}
+        for q in [r["vec_id"] for r in queries.collect()]
+    }
+    v = emb.select("vec_id", _quantize(F.col("embedding"), 1000).alias("xq"))
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), _quantize(F.col("embedding"), 1000).alias("qq")
+    )
+    exact = v.crossJoin(F.broadcast(qv)).select(
+        "qid", "vec_id", _sq_dist(F.col("xq"), F.col("qq")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    truth = exact.withColumn("rn", F.row_number().over(w)).where("rn <= 10")
+    # 500 random isotropic vectors + an 8-code seed codebook is PQ's
+    # recall floor: assert aggregate overlap far above the chance level
+    # of 3 * 10*10/500 = 0.6, and self-retrieval for every query
+    total_overlap = 0
+    for q, mem in got.items():
+        t = {r["vec_id"] for r in truth.where(F.col("qid") == q).collect()}
+        total_overlap += len(mem & t)
+        assert q in mem  # a query's own code minimizes every subspace cell
+    assert total_overlap >= 6, total_overlap  # measured 8 on this fixture
