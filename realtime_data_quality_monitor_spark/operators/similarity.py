@@ -565,3 +565,45 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= top_k
     )
+
+
+def pq_codebook_kmeans(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd-refined PQ codebook: run the deterministic integer k-means
+    (kmeans_fit) independently on each subspace's quantized subvectors
+    (scale=1 there — they are already integers), so codes land on real
+    per-subspace cluster centers instead of the first-k seed rows.
+    Same schema as pq_codebook: (subspace, code, centroid). m small
+    trainings over the same scan; each is the kmeans_fit shape (k x dsub
+    driver-side centroid literals, one (centroid, dim)-keyed shuffle per
+    iteration) — recall rises materially over the seed codebook (see
+    tests/test_dedup_similarity.py and BASELINE.md).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
+    )
+    dsub = len(vecs.select("xq").first()["xq"]) // m
+    parts = []
+    for s in range(m):
+        sub = vecs.select(
+            "id", F.slice(F.col("xq"), s * dsub + 1, dsub).alias("sub")
+        )
+        fit = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="sub", scale=1)
+        parts.append(
+            fit.select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("centroid_id").cast("int").alias("code"),
+                F.col("centroid_q").alias("centroid"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4471,7 +4471,8 @@ SQL_SK4 = """
 # ROUND-3 ROTATION QUEUE (never driver-verified, front-load next round):
 #   e7, t11, d9, d10, e8, e9, p13 (session 4);
 #   sk1-sk4, d11, e10 (session 5 sketches/dedup/sampling);
-#   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H).
+#   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
+#   s7, s8 (session 5 product quantization).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),

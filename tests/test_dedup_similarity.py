@@ -482,3 +482,51 @@ def test_pq_adc_beats_random_on_quantized_truth(spark):
         total_overlap += len(mem & t)
         assert q in mem  # a query's own code minimizes every subspace cell
     assert total_overlap >= 6, total_overlap  # measured 8 on this fixture
+
+
+def test_pq_kmeans_codebook_improves_adc_overlap(spark):
+    """The Lloyd-refined codebook must beat (or at worst match) the
+    seed codebook's agreement with exact quantized top-10 — and must be
+    deterministic across builds."""
+    from pyspark.sql import functions as F, Window
+
+    from realtime_data_quality_monitor_spark.operators import similarity
+    from realtime_data_quality_monitor_spark.operators.similarity import (
+        _quantize, _sq_dist,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    v = emb.select("vec_id", _quantize(F.col("embedding"), 1000).alias("xq"))
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), _quantize(F.col("embedding"), 1000).alias("qq")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    truth = (
+        v.crossJoin(F.broadcast(qv))
+        .select("qid", "vec_id", _sq_dist(F.col("xq"), F.col("qq")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 10")
+    )
+    td = {}
+    for r in truth.collect():
+        td.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def total_overlap(cb):
+        codes = similarity.pq_encode(emb, cb, m=4)
+        adc = similarity.pq_adc_topk(codes, cb, queries, top_k=10)
+        got = {}
+        for r in adc.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got[q] & td[q]) for q in td)
+
+    seed_cb = similarity.pq_codebook(emb, m=4, k=8)
+    km_cb = similarity.pq_codebook_kmeans(emb, m=4, k=8, iters=2)
+    km_again = {
+        (r["subspace"], r["code"]): list(r["centroid"])
+        for r in similarity.pq_codebook_kmeans(emb, m=4, k=8, iters=2).collect()
+    }
+    assert {
+        (r["subspace"], r["code"]): list(r["centroid"]) for r in km_cb.collect()
+    } == km_again
+    assert total_overlap(km_cb) >= total_overlap(seed_cb)
