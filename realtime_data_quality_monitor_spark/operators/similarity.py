@@ -512,6 +512,43 @@ def pq_encode(
     )
 
 
+def _pq_query_dists(
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, subspace, code, dq) —
+    m*k exact integer cells per query, built from a broadcast join of
+    the query subvectors against the codebook."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col), scale).alias("xq"),
+    )
+    dsub_col = (F.size("xq") / m).cast("int")
+    qsubs = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "qsub"),
+    )
+    return qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _sq_dist(F.col("qsub"), F.col("centroid")).alias("dq"),
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook: DataFrame,
@@ -529,31 +566,8 @@ def pq_adc_topk(
     raw vectors. Output: (query_id, vec_id, adc_dist_q, rank <= top_k),
     ties broken on vec_id.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _quantize(F.col(vec_col), scale).alias("xq"),
-    )
     m = codebook.agg(F.max("subspace")).collect()[0][0] + 1
-    dsub_col = (F.size("xq") / m).cast("int")
-    qsubs = q.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("subspace", "qsub"),
-    )
-    qdist = qsubs.join(F.broadcast(codebook), "subspace").select(
-        "query_id",
-        "subspace",
-        "code",
-        _sq_dist(F.col("qsub"), F.col("centroid")).alias("dq"),
-    )
+    qdist = _pq_query_dists(queries, codebook, m, id_col, vec_col, scale)
     scored = (
         codes.join(F.broadcast(qdist), ["subspace", "code"])
         .groupBy("query_id", "vec_id")
@@ -607,3 +621,76 @@ def pq_codebook_kmeans(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    cos_fn=None,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists + PQ codes — the billion-scale ANN
+    layout. Build touches the corpus twice (coarse assignment + PQ
+    encoding, each one broadcast join); at query time raw vectors never
+    move: a query scans only its n_probe lists and every candidate
+    costs m integer lookups into the broadcast per-query distance
+    table, so the scanned payload is (vec_id, centroid_id, m codes)
+    ints — 64 floats compressed to ~8 bytes per corpus vector. Probing
+    ranks centroids by (quantized) cosine exactly like ivf_topk;
+    candidate scoring is asymmetric integer L2, so the whole pipeline
+    stays cell-exact reproducible (entry s9).
+    """
+    cos_fn = cos_fn or cosine
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, cos_fn=cos_fn).select(
+        F.col("id").alias("vec_id"), "centroid_id"
+    )
+    codes = pq_encode(corpus, codebook, m, id_col, vec_col, scale)
+    lists = codes.join(assigned, "vec_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cvec")
+    )
+    qprobe = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", cos_fn(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", F.col("cid").alias("centroid_id"))
+    )
+    qdist = _pq_query_dists(queries, codebook, m, id_col, vec_col, scale)
+
+    cand = lists.join(F.broadcast(qprobe), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = (
+        cand.join(F.broadcast(qdist), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vec_id", "centroid_id")
+        .agg(F.sum("dq").cast("long").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "centroid_id",
+            "adc_dist_q",
+            "rank",
+        )
+    )

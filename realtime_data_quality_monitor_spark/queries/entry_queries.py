@@ -4218,6 +4218,99 @@ SQL_S7 = """
 """
 
 
+def q_s9_ivfpq_topk_embeddings(spark, sf_dir):
+    """IVF-PQ composition (similarity.ivfpq_topk): s4's coarse inverted
+    lists (8 seed centroids, quantized-cosine probe of the 2 nearest)
+    feeding s7/s8's asymmetric integer-L2 scoring — the billion-scale
+    ANN layout where the query-time scan touches only (vec_id,
+    centroid_id, m codes) ints. Queries vec_id 100..104, top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    cb = similarity.pq_codebook(emb, m=4, k=8)
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.ivfpq_topk(
+        emb, q, cents, cb, k=5, n_probe=2, m=4, cos_fn=_qcos
+    )
+
+
+SQL_S9 = """
+    WITH qv0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000000.0e0) AS BIGINT)) AS ql
+      FROM embeddings),
+    selfd AS (
+      SELECT vec_id, CAST(SUM(ql[g.i] * ql[g.i]) AS DOUBLE) AS selfdot
+      FROM qv0 JOIN generate_series(1, 10000) g(i) ON g.i <= len(ql)
+      GROUP BY vec_id),
+    cv AS (SELECT qv0.vec_id, ql, selfdot FROM qv0 JOIN selfd USING (vec_id)),
+    cents AS (SELECT vec_id AS cid, ql AS cl, selfdot AS cself
+              FROM cv WHERE vec_id < 8),
+    asgn AS (
+      SELECT a.vec_id AS id, c.cid,
+             CAST(SUM(a.ql[g.i] * c.cl[g.i]) AS DOUBLE)
+               / (sqrt(a.selfdot) * sqrt(c.cself)) AS sim
+      FROM cv a, cents c, generate_series(1, 10000) g(i)
+      WHERE g.i <= len(a.ql)
+      GROUP BY a.vec_id, c.cid, a.selfdot, c.cself),
+    best AS (
+      SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid ASC) AS r
+      FROM asgn),
+    bucket AS (SELECT id, cid FROM best WHERE r = 1),
+    probes AS (
+      SELECT id AS query_id, cid FROM best
+      WHERE r <= 2 AND id >= 100 AND id < 105),
+    v AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000.0) AS BIGINT)) AS xq
+      FROM embeddings),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, xq
+      FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT 8)),
+    cb AS (
+      SELECT CAST(s.i AS INT) AS subspace, CAST(code AS INT) AS code,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS cent
+      FROM seed, (SELECT unnest(range(4)) AS i) s),
+    subs AS (
+      SELECT vec_id, CAST(s.i AS INT) AS subspace,
+             list_slice(xq, s.i * 16 + 1, s.i * 16 + 16) AS sub
+      FROM v, (SELECT unnest(range(4)) AS i) s),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               CAST(list_sum(list_transform(range(1, 17),
+                 j -> (sub[j] - cent[j]) * (sub[j] - cent[j]))) AS BIGINT)
+                 AS dist
+        FROM subs JOIN cb USING (subspace))
+      QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY dist ASC, code ASC) = 1),
+    qdist AS (
+      SELECT q.vec_id AS query_id, q.subspace, c.code,
+             CAST(list_sum(list_transform(range(1, 17),
+               j -> (q.sub[j] - c.cent[j]) * (q.sub[j] - c.cent[j])))
+               AS BIGINT) AS dq
+      FROM (SELECT * FROM subs WHERE vec_id >= 100 AND vec_id < 105) q
+      JOIN cb c USING (subspace)),
+    scored AS (
+      SELECT p.query_id, codes.vec_id AS neighbor_id, b.cid AS centroid_id,
+             CAST(SUM(qd.dq) AS BIGINT) AS adc_dist_q
+      FROM probes p
+      JOIN bucket b ON b.cid = p.cid AND b.id != p.query_id
+      JOIN codes ON codes.vec_id = b.id
+      JOIN qdist qd ON qd.query_id = p.query_id
+        AND qd.subspace = codes.subspace AND qd.code = codes.code
+      GROUP BY 1, 2, 3)
+    SELECT query_id, neighbor_id, centroid_id, adc_dist_q,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist_q ASC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
 def q_s8_pq_adc_topk_embeddings(spark, sf_dir):
     """PQ asymmetric-distance top-10 (similarity.pq_adc_topk) for the
     three smallest-id query vectors: the corpus side of the scan
@@ -4472,7 +4565,7 @@ SQL_SK4 = """
 #   e7, t11, d9, d10, e8, e9, p13 (session 4);
 #   sk1-sk4, d11, e10 (session 5 sketches/dedup/sampling);
 #   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
-#   s7, s8 (session 5 product quantization).
+#   s7, s8, s9 (session 5 product quantization + IVF-PQ).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -4604,4 +4697,5 @@ ENTRY_QUERIES = {
     "q22_idle_customer_balance": (q_q22_idle_customer_balance, SQL_Q22),
     "s7_pq_codes_embeddings": (q_s7_pq_codes_embeddings, SQL_S7),
     "s8_pq_adc_topk_embeddings": (q_s8_pq_adc_topk_embeddings, SQL_S8),
+    "s9_ivfpq_topk_embeddings": (q_s9_ivfpq_topk_embeddings, SQL_S9),
 }
