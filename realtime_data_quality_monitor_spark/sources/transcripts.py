@@ -246,22 +246,84 @@ def generate_transcripts(
     return result
 
 
-def write_transcripts(df: DataFrame, path: str, buckets: int | None = None) -> None:
-    """Persist the table parquet-partitioned the way the real Iceberg table
+# single source of truth for the transcript table shape
+# (BASELINE.json input_hint); streaming/pipeline.py imports this
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+# Spark's default text-format timestampFormat keeps only milliseconds;
+# transcripts carry microsecond event times, so both text formats pin an
+# explicit microsecond pattern (parquet is binary and unaffected).
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+# CSV needs explicit markers to round-trip the text column: transcripts
+# contain embedded newlines, quotes, and a real NULL-vs-empty-string
+# distinction (the completeness rules treat them differently).
+_CSV_OPTS = {
+    "header": "true",
+    "escape": '"',  # RFC-4180 quote doubling, not backslash escapes
+    "nullValue": "\\N",  # keep NULL distinct from ""
+    "timestampFormat": _TS_FMT,
+    # the writer TRIMS by default — fatal for whitespace-only text and
+    # trailing-space roles (the blank-text rules key on exactly these)
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+_JSON_OPTS = {"timestampFormat": _TS_FMT}
+
+
+def write_transcripts(
+    df: DataFrame, path: str, buckets: int | None = None, fmt: str = "parquet"
+) -> None:
+    """Persist the table partitioned the way the real Iceberg table
     would be laid out (bucket(conv_id)); Iceberg jars are absent in this
-    container, so the layout is emulated with a derived bucket column."""
+    container, so the layout is emulated with a derived bucket column.
+
+    ``fmt``: parquet (default) | jsonl | csv — the landing formats an
+    ingest actually sees. CSV writes RFC-4180 quoting with an explicit
+    NULL marker so text newlines/quotes and NULL-vs-"" survive the
+    round trip (pinned in tests/test_source_formats.py).
+    """
+    out = df
     if buckets:
-        (
-            df.withColumn(
-                "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int")
-            )
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path)
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int")
         )
+    writer = out.write.mode("overwrite")
+    if buckets:
+        writer = writer.partitionBy("bucket")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "jsonl":
+        for k, v in _JSON_OPTS.items():
+            writer = writer.option(k, v)
+        writer.json(path)
+    elif fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            writer = writer.option(k, v)
+        writer.csv(path)
     else:
-        df.write.mode("overwrite").parquet(path)
+        raise ValueError(f"unknown transcript format: {fmt!r}")
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a transcript table written by write_transcripts. Parquet is
+    self-describing; jsonl/csv read SCHEMA-ON-READ against
+    TRANSCRIPT_SCHEMA (no inference pass over 100 TB, no drifting
+    types); a bucket partition column, when present in the directory
+    layout, is discovered and appended by Spark."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        reader = spark.read.schema(TRANSCRIPT_SCHEMA)
+        for k, v in _JSON_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.json(path)
+    if fmt == "csv":
+        reader = spark.read.schema(TRANSCRIPT_SCHEMA).option("multiLine", "true")
+        for k, v in _CSV_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.csv(path)
+    raise ValueError(f"unknown transcript format: {fmt!r}")

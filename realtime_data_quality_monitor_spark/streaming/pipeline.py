@@ -39,11 +39,9 @@ from pyspark.sql import functions as F
 from ..operators.rules import with_quality
 
 # the input_hint contract (config.TRANSCRIPT_COLUMNS) as a DDL schema —
-# file-source streams must declare their schema up front
-TRANSCRIPT_SCHEMA = (
-    "conv_id string, turn_idx int, role string, "
-    "text string, tool string, ts timestamp"
-)
+# file-source streams must declare their schema up front; the single
+# definition lives with the batch source
+from ..sources.transcripts import TRANSCRIPT_SCHEMA  # noqa: E402
 
 DEFAULT_WINDOW = "60 seconds"  # flink/config.py:16 WINDOW_SIZE_SECONDS
 DEFAULT_WATERMARK = "10 minutes"

@@ -1,0 +1,75 @@
+"""Landing-format round trips (sources/transcripts.py): the same
+transcript table written as parquet / jsonl / csv must read back
+row-identical — including the hard cases: embedded newlines and quotes
+in text, NULL-vs-empty-string (the completeness rules distinguish
+them), and timestamps."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.sources.transcripts import (
+    generate_transcripts,
+    read_transcripts,
+    write_transcripts,
+)
+
+
+def _rows(df):
+    return {
+        tuple(r[c] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    # generator output includes defect rows: nulls, blanks, dup turns
+    df = generate_transcripts(spark, n_convs=120, dup_rate=0.05).drop("_defect")
+    # force the CSV-hostile cases explicitly
+    hard = spark.createDataFrame(
+        [
+            ("CONV-HARD", 0, "user", 'line one\nline "two", with comma', "t", None),
+            ("CONV-HARD", 1, "user", "", None, None),  # empty text, null tool
+            ("CONV-HARD", 2, None, None, "\\N-lookalike", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string,"
+        " ts timestamp",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-02 03:04:05")))
+    return df.unionByName(hard).cache()
+
+
+def test_jsonl_round_trip(spark, table, tmp_path):
+    p = str(tmp_path / "t_jsonl")
+    write_transcripts(table, p, fmt="jsonl")
+    assert _rows(read_transcripts(spark, p, fmt="jsonl")) == _rows(table)
+
+
+def test_csv_round_trip(spark, table, tmp_path):
+    p = str(tmp_path / "t_csv")
+    write_transcripts(table, p, fmt="csv")
+    assert _rows(read_transcripts(spark, p, fmt="csv")) == _rows(table)
+
+
+def test_csv_preserves_null_vs_empty(spark, table, tmp_path):
+    p = str(tmp_path / "t_csv2")
+    write_transcripts(table, p, fmt="csv")
+    back = read_transcripts(spark, p, fmt="csv")
+    hard = {r["turn_idx"]: r for r in back.where("conv_id = 'CONV-HARD'").collect()}
+    assert hard[0]["text"] == 'line one\nline "two", with comma'
+    assert hard[1]["text"] == "" and hard[1]["tool"] is None
+    assert hard[2]["text"] is None and hard[2]["role"] is None
+
+
+def test_bucketed_csv_keeps_partition_column(spark, table, tmp_path):
+    p = str(tmp_path / "t_csv_b")
+    write_transcripts(table, p, buckets=4, fmt="csv")
+    back = read_transcripts(spark, p, fmt="csv")
+    assert "bucket" in back.columns  # discovered from the dir layout
+    assert _rows(back) == _rows(table)
+
+
+def test_unknown_format_raises(spark, table, tmp_path):
+    with pytest.raises(ValueError):
+        write_transcripts(table, str(tmp_path / "x"), fmt="orc2")
+    with pytest.raises(ValueError):
+        read_transcripts(spark, str(tmp_path / "x"), fmt="orc2")
