@@ -597,18 +597,32 @@ def dedup_against_corpus_bloom(
     per call. Without it the filter is rebuilt here, which scans the
     corpus once more than plain dedup_against_corpus and only makes
     sense as a demonstration or when the corpus frame is cached.
+
+    GEOMETRY IS PART OF THE FILTER'S IDENTITY: a ``bloom_df`` is only
+    valid with the exact (n_bits, k, seed) it was built with — a
+    mismatch silently voids the no-false-negative guarantee and lets
+    true duplicates through. The word-range check below catches a
+    too-small declared n_bits; the seed/k cannot be recovered from the
+    frame, so persist them next to the filter.
     """
-    from .sketches import bloom_build, bloom_contains
+    from .sketches import _BLOOM_WORD_BITS, bloom_build, bloom_contains
 
     staged = new_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
     corpus_fp = corpus_df.select(
         fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
-    bloom = (
-        bloom_df
-        if bloom_df is not None
-        else bloom_build(corpus_fp, "fingerprint", seed, n_bits=n_bits, k=k)
-    )
+    if bloom_df is not None:
+        max_word = bloom_df.agg(F.max("word")).first()[0]
+        n_words = (n_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS
+        if max_word is not None and max_word >= n_words:
+            raise ValueError(
+                f"bloom_df has word index {max_word} >= {n_words} "
+                f"(n_bits={n_bits}) — the filter was built with a "
+                "different geometry"
+            )
+        bloom = bloom_df
+    else:
+        bloom = bloom_build(corpus_fp, "fingerprint", seed, n_bits=n_bits, k=k)
     probed = bloom_contains(bloom, staged, "fingerprint", seed, n_bits=n_bits, k=k)
 
     definitely_new = probed.where(F.col("member") == 0)

@@ -199,6 +199,38 @@ def ivf_assign(
     )
 
 
+def _ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    cos_fn,
+    keep_qvec: bool,
+) -> DataFrame:
+    """(query_id, [qvec,] centroid_id): each query's n_probe nearest
+    centroids by cosine, ties to the smaller centroid id — the ONE
+    probe definition ivf_topk and ivfpq_topk share (s4 and s9 must
+    agree on probe semantics)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cvec")
+    )
+    probed = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", cos_fn(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+    )
+    cols = ["query_id"] + (["qvec"] if keep_qvec else [])
+    return probed.select(*cols, F.col("cid").alias("centroid_id"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,21 +252,8 @@ def ivf_topk(
     oracle cell-exactly."""
     cos_fn = cos_fn or cosine
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, cos_fn=cos_fn)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = centroids.select(
-        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cvec")
-    )
-    qprobe = (
-        q.join(F.broadcast(c))
-        .withColumn("sim", cos_fn(F.col("qvec"), F.col("cvec")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", "qvec", F.col("cid").alias("centroid_id"))
+    qprobe = _ivf_probe(
+        queries, centroids, n_probe, id_col, vec_col, cos_fn, keep_qvec=True
     )
     cand = assigned.join(qprobe, "centroid_id").filter(
         F.col("id") != F.col("query_id")
@@ -436,6 +455,59 @@ def kmeans_fit(
 # --- product quantization ----------------------------------------------------
 
 
+def _pq_check_dim(dim: int, m: int) -> None:
+    """PQ subspaces must tile the vector exactly — floor division would
+    silently drop the trailing dims from every distance."""
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+
+
+def _pq_check_geometry(df: DataFrame, codebook: DataFrame, m: int, vec_col: str):
+    """Fail loudly when (vectors, codebook, m) disagree: a mismatched
+    codebook would zip_with NULL-padded arrays into silently-wrong
+    distances. Two first() probes on aggregate-grain frames."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return  # empty input: nothing to encode, nothing to corrupt
+    _pq_check_dim(row["d"], m)
+    cb = codebook.select(F.size("centroid").alias("d")).first()
+    if cb is not None and cb["d"] != row["d"] // m:
+        raise ValueError(
+            f"codebook subvector dim {cb['d']} != embedding dim {row['d']} / m={m}"
+        )
+
+
+def _pq_subvectors(
+    df: DataFrame,
+    m: int,
+    id_col: str,
+    id_alias: str,
+    vec_col: str,
+    scale: int,
+    sub_alias: str = "sub",
+) -> DataFrame:
+    """(id_alias, subspace, sub): every vector quantized and split into
+    its m contiguous subvectors — the one definition both the encoder
+    and the query-distance table slice with (they must agree exactly)."""
+    vecs = df.select(
+        F.col(id_col).alias(id_alias), _quantize(F.col(vec_col), scale).alias("xq")
+    )
+    dsub_col = (F.size("xq") / m).cast("int")
+    return vecs.select(
+        id_alias,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", sub_alias),
+    )
+
+
 def pq_codebook(
     df: DataFrame,
     m: int = 4,
@@ -456,6 +528,7 @@ def pq_codebook(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
     )
     seed_rows = vecs.orderBy("id").limit(k).collect()
+    _pq_check_dim(len(seed_rows[0]["xq"]), m)
     dsub = len(seed_rows[0]["xq"]) // m
     rows = [
         (s, c, list(r["xq"])[s * dsub : (s + 1) * dsub])
@@ -486,23 +559,8 @@ def pq_encode(
     corpus shuffle at all; the argmin is a map-side-combinable agg
     keyed by the vector id that arrives pre-partitioned from the scan.
     """
-    vecs = df.select(
-        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), scale).alias("xq")
-    )
-    dsub_col = (F.size("xq") / m).cast("int")
-    subs = vecs.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("subspace", "sub"),
-    )
+    _pq_check_geometry(df, codebook, m, vec_col)
+    subs = _pq_subvectors(df, m, id_col, "vec_id", vec_col, scale)
     joined = subs.join(F.broadcast(codebook), "subspace")
     d = joined.withColumn("dist", _sq_dist(F.col("sub"), F.col("centroid")))
     return (
@@ -523,24 +581,8 @@ def _pq_query_dists(
     """Per-query ADC lookup table: (query_id, subspace, code, dq) —
     m*k exact integer cells per query, built from a broadcast join of
     the query subvectors against the codebook."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _quantize(F.col(vec_col), scale).alias("xq"),
-    )
-    dsub_col = (F.size("xq") / m).cast("int")
-    qsubs = q.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        F.col("xq"), (F.lit(s) * dsub_col + 1).cast("int"), dsub_col
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("subspace", "qsub"),
-    )
+    _pq_check_geometry(queries, codebook, m, vec_col)
+    qsubs = _pq_subvectors(queries, m, id_col, "query_id", vec_col, scale, "qsub")
     return qsubs.join(F.broadcast(codebook), "subspace").select(
         "query_id",
         "subspace",
@@ -557,6 +599,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    m: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, precompute
     the m*k table of exact integer distances from the query's subvector
@@ -566,7 +609,8 @@ def pq_adc_topk(
     raw vectors. Output: (query_id, vec_id, adc_dist_q, rank <= top_k),
     ties broken on vec_id.
     """
-    m = codebook.agg(F.max("subspace")).collect()[0][0] + 1
+    if m is None:  # derive from the (tiny) codebook when not supplied
+        m = codebook.agg(F.max("subspace")).collect()[0][0] + 1
     qdist = _pq_query_dists(queries, codebook, m, id_col, vec_col, scale)
     scored = (
         codes.join(F.broadcast(qdist), ["subspace", "code"])
@@ -654,21 +698,8 @@ def ivfpq_topk(
     codes = pq_encode(corpus, codebook, m, id_col, vec_col, scale)
     lists = codes.join(assigned, "vec_id")
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = centroids.select(
-        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cvec")
-    )
-    qprobe = (
-        q.join(F.broadcast(c))
-        .withColumn("sim", cos_fn(F.col("qvec"), F.col("cvec")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", F.col("cid").alias("centroid_id"))
+    qprobe = _ivf_probe(
+        queries, centroids, n_probe, id_col, vec_col, cos_fn, keep_qvec=False
     )
     qdist = _pq_query_dists(queries, codebook, m, id_col, vec_col, scale)
 

@@ -166,14 +166,17 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     2^0; small-range correction switches to linear counting
     m * ln(m / V) when raw <= 2.5m and empty registers remain.
     """
+    if set(sketch.columns) != {"register", "max_rank"}:
+        raise ValueError(
+            f"not a plain register frame (columns {sketch.columns}): "
+            "hll_sketch_grouped output must be filtered to ONE group and "
+            "projected to (register, max_rank) before estimating"
+        )
     m = 1 << p
     rows = sketch.collect()
     used = len(rows)
     if used > m:
-        raise ValueError(
-            f"register frame has {used} rows > 2^p={m}: wrong p, or a "
-            "GROUPED frame (hll_sketch_grouped) — filter to one group first"
-        )
+        raise ValueError(f"register frame has {used} rows > 2^p={m}: wrong p")
     inv_sum = (m - used) + sum(2.0 ** -r["max_rank"] for r in rows)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     raw = alpha * m * m / inv_sum
@@ -237,18 +240,25 @@ def cms_lookup(
 ) -> DataFrame:
     """Estimated count per probe key: est_cnt = MIN over hash rows.
 
-    One broadcast hash join per hash row (depth joins, each against the
-    <= depth*width-cell sketch), then a row-local LEAST — the probe
-    side is never exchanged or grouped, so duplicate probe rows pass
-    through 1:1 and row count is preserved. An absent cell is a zero
+    One broadcast hash join per hash row, then a row-local LEAST — the
+    probe side is never exchanged or grouped, so duplicate probe rows
+    pass through 1:1 and row count is preserved. The sketch (bounded at
+    depth*width cells BY CONSTRUCTION) is collected once and
+    re-broadcast as literal frames, so its build lineage runs exactly
+    once instead of once per hash row. An absent cell is a zero
     counter. Output: keys' columns + est_cnt.
     """
+    spark = sketch.sparkSession
+    cells = sketch.collect()  # <= depth*width rows, aggregate-grain
+    by_row: dict[int, list] = {}
+    for r in cells:
+        by_row.setdefault(r["hash_row"], []).append((r["bucket"], r["cnt"]))
     key = F.col(key_col)
     out = keys
     ests = []
     for d in range(depth):
-        row_cells = sketch.where(F.col("hash_row") == d).select(
-            F.col("bucket").alias(f"_b{d}"), F.col("cnt").alias(f"_c{d}")
+        row_cells = spark.createDataFrame(
+            by_row.get(d, []), f"_b{d} int, _c{d} bigint"
         )
         out = out.withColumn(f"_b{d}", _cms_bucket(key, seed, d, width)).join(
             F.broadcast(row_cells), [f"_b{d}"], "left"
@@ -314,14 +324,30 @@ def bloom_contains(
     the word frame (a missing word is an all-zero word), then a
     row-local AND of the k bit tests — the probe side is never
     exchanged or grouped, so duplicate probe rows pass through 1:1.
+
+    Filters up to 2^24 bits are collected once and re-broadcast as a
+    literal frame, so the build lineage runs once instead of once per
+    probe; larger filters keep DataFrame joins — MATERIALIZE those
+    first (persist, or read the persisted filter from disk) or the
+    k joins each re-run the build.
     """
+    spark = bloom.sparkSession
+    if n_bits <= (1 << 24):
+        word_rows = [(r["word"], r["bits"]) for r in bloom.collect()]
+    else:
+        word_rows = None
     key = F.col(key_col)
     out = keys
     hits = []
     for j in range(k):
-        words_j = bloom.select(
-            F.col("word").alias(f"_word{j}"), F.col("bits").alias(f"_bits{j}")
-        )
+        if word_rows is not None:
+            words_j = spark.createDataFrame(
+                word_rows, f"_word{j} int, _bits{j} bigint"
+            )
+        else:
+            words_j = bloom.select(
+                F.col("word").alias(f"_word{j}"), F.col("bits").alias(f"_bits{j}")
+            )
         out = out.withColumn(f"_pos{j}", _bloom_pos(key, seed, j, n_bits))
         out = out.withColumn(
             f"_word{j}", F.expr(f"CAST(_pos{j} DIV {_BLOOM_WORD_BITS} AS INT)")

@@ -285,6 +285,13 @@ def write_transcripts(
     ingest actually sees. CSV writes RFC-4180 quoting with an explicit
     NULL marker so text newlines/quotes and NULL-vs-"" survive the
     round trip (pinned in tests/test_source_formats.py).
+
+    KNOWN CSV LIMIT: a string value that is EXACTLY the in-band NULL
+    marker (the two characters backslash-N) reads back as NULL — the
+    reader compares the marker after unquoting, so no quoting scheme
+    can distinguish them (empirically verified incl. quoteAll). Pinned
+    in tests; use jsonl/parquet when text may legitimately contain the
+    marker.
     """
     out = df
     if buckets:

@@ -530,3 +530,34 @@ def test_pq_kmeans_codebook_improves_adc_overlap(spark):
         (r["subspace"], r["code"]): list(r["centroid"]) for r in km_cb.collect()
     } == km_again
     assert total_overlap(km_cb) >= total_overlap(seed_cb)
+
+
+def test_bloom_prefilter_rejects_mismatched_geometry(spark):
+    from realtime_data_quality_monitor_spark.operators import dedup
+    from realtime_data_quality_monitor_spark.operators.sketches import bloom_build
+    from realtime_data_quality_monitor_spark.operators.textstats import fingerprint
+
+    corpus = spark.range(50).selectExpr("id AS doc_id", "concat('c', id) AS text")
+    batch = spark.range(50, 80).selectExpr("id AS doc_id", "concat('b', id) AS text")
+    big = bloom_build(
+        corpus.select(fingerprint(F.col("text")).alias("fingerprint")),
+        "fingerprint",
+        "corpus-bloom",
+        n_bits=1 << 16,
+        k=3,
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.dedup_against_corpus_bloom(
+            batch, corpus, n_bits=1024, k=3, bloom_df=big
+        ).collect()
+
+
+def test_pq_rejects_indivisible_dim_and_wrong_codebook(spark):
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_codebook(emb, m=5, k=4)
+    cb_m8 = similarity.pq_codebook(emb, m=8, k=4)  # 8-dim subvectors
+    with pytest.raises(ValueError, match="subvector dim"):
+        similarity.pq_encode(emb, cb_m8, m=4)  # 16-dim slices vs 8-dim book

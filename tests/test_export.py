@@ -343,3 +343,18 @@ def test_stratified_take_prefix_stability(spark, docs):
     # and the growth actually displaced someone (otherwise the assert
     # above is vacuous at this seed)
     assert old_rows_still_sampled != old
+
+
+def test_stratified_take_n_monotone(spark, docs):
+    """Raising n only EXTENDS each stratum's hash-rank prefix: the n=5
+    sample is a strict subset of the n=9 sample (the rank order must
+    not depend on n)."""
+    small = {
+        (r["grp"], r["doc_id"])
+        for r in export.stratified_take(docs, "grp", "doc_id", 5, seed="st").collect()
+    }
+    big = {
+        (r["grp"], r["doc_id"])
+        for r in export.stratified_take(docs, "grp", "doc_id", 9, seed="st").collect()
+    }
+    assert small < big

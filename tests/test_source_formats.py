@@ -73,3 +73,23 @@ def test_unknown_format_raises(spark, table, tmp_path):
         write_transcripts(table, str(tmp_path / "x"), fmt="orc2")
     with pytest.raises(ValueError):
         read_transcripts(spark, str(tmp_path / "x"), fmt="orc2")
+
+
+def test_csv_null_marker_collision_is_the_documented_limit(spark, tmp_path):
+    """A text value that IS the in-band NULL marker ('\\N', two chars)
+    cannot round-trip through CSV — the reader maps it to NULL after
+    unquoting, regardless of quoting (verified incl. quoteAll). This
+    pins the documented limitation; jsonl is exact for such data."""
+    df = spark.createDataFrame(
+        [("CONV-M", 0, "user", "\\N", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    p_csv = str(tmp_path / "m_csv")
+    write_transcripts(df, p_csv, fmt="csv")
+    got = read_transcripts(spark, p_csv, fmt="csv").collect()[0]
+    assert got["text"] is None  # the known, documented collision
+    p_jsonl = str(tmp_path / "m_jsonl")
+    write_transcripts(df, p_jsonl, fmt="jsonl")
+    got = read_transcripts(spark, p_jsonl, fmt="jsonl").collect()[0]
+    assert got["text"] == "\\N"  # jsonl round-trips it exactly
