@@ -117,10 +117,10 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
 
 
-def hll_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
-    """Fold a batch's register frame into the persisted register table
-    at ``state_path`` — the incremental "distinct keys ever seen"
-    state, bounded at 2^p rows FOREVER regardless of stream volume.
+def _sketch_update_state(spark, state_path: str, batch_sketch, merge_fn) -> None:
+    """Fold a batch sketch into the persisted sketch table at
+    ``state_path`` with the family's merge law — the shared incremental
+    state machinery for HLL (max), CMS (sum), and Bloom (bit_or).
 
     Crash safety (the plans/upsert.py rewrite-then-swap invariant,
     scaled down to a single tiny table): the merged frame is written to
@@ -128,9 +128,7 @@ def hll_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
     is the old state replaced. On entry a leftover staging dir is
     either finished (marker present: the previous run crashed between
     delete and move — complete the move) or discarded (no marker: the
-    staging write itself died). Because register merge is MAX, replayed
-    micro-batches are absorbed idempotently — a restarted stream can
-    re-deliver a batch without overcounting.
+    staging write itself died).
     """
     import os
     import shutil
@@ -146,16 +144,50 @@ def hll_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
         else:
             shutil.rmtree(staging)
     if os.path.isdir(state_path):
-        merged = hll_merge(spark.read.parquet(state_path), batch_sketch)
+        merged = merge_fn(spark.read.parquet(state_path), batch_sketch)
     else:
         merged = batch_sketch
-    # <=2^p rows: one file keeps the state a single-read broadcastable blob
+    # bounded rows: one file keeps the state a single-read broadcastable blob
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
     with open(marker, "w") as f:
         f.write("committed")
     if os.path.isdir(state_path):
         shutil.rmtree(state_path)
     shutil.move(staging, state_path)
+
+
+def hll_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
+    """Fold a batch's register frame into the persisted register table —
+    the incremental "distinct keys ever seen" state, bounded at 2^p
+    rows FOREVER. Register merge is MAX, so replayed micro-batches are
+    absorbed idempotently: a restarted stream cannot overcount."""
+    _sketch_update_state(spark, state_path, batch_sketch, hll_merge)
+
+
+def cms_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
+    """Fold a batch's count-min table into the persisted one (cell-wise
+    SUM) — running corpus frequencies in <= depth*width rows. NOTE: sum
+    is NOT idempotent; feed each batch exactly once (foreachBatch
+    serializes micro-batches, but a replay after a crash INSIDE the
+    swap window is absorbed — the staging heal either finishes or
+    discards a half-applied update, never applies it twice)."""
+    _sketch_update_state(spark, state_path, batch_sketch, cms_merge)
+
+
+def bloom_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
+    """Fold a batch's Bloom word frame into the persisted filter
+    (word-wise BIT_OR, idempotent) — THE maintained corpus-membership
+    filter ``dedup_against_corpus_bloom(bloom_df=...)`` consumes: build
+    once, fold each ingest's new fingerprints, read back broadcast-
+    ready. Same (n_bits, k, seed) must be used for every fold and probe
+    (geometry is the filter's identity)."""
+
+    def merge(a, b):
+        return (
+            a.unionByName(b).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+
+    _sketch_update_state(spark, state_path, batch_sketch, merge)
 
 
 def hll_estimate(sketch: DataFrame, p: int = 12) -> float:

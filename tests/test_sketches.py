@@ -282,3 +282,60 @@ def test_probe_duplicates_pass_through(spark):
         sketches.bloom_contains(bl, dup_probes, "k", "pp", n_bits=4096, k=3).count()
         == 250
     )
+
+
+def test_cms_update_state_incremental_equals_whole(spark, tmp_path):
+    state = str(tmp_path / "cms_state")
+    a = spark.range(0, 1000).select((F.col("id") % 300).cast("string").alias("k"))
+    b = spark.range(1000, 2000).select((F.col("id") % 300).cast("string").alias("k"))
+    for part in (a, b):
+        sketches.cms_update_state(
+            spark, state, sketches.cms_sketch(part, "k", "cs", depth=3, width=128)
+        )
+    got = {
+        (r["hash_row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    whole_df = a.unionAll(b)
+    want = {
+        (r["hash_row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_sketch(whole_df, "k", "cs", depth=3, width=128).collect()
+    }
+    assert got == want
+
+
+def test_bloom_update_state_feeds_prefilter_dedup(spark, tmp_path):
+    """The maintained filter closes the d11 loop: fold two ingests into
+    the persisted state, then dedup a third batch against the corpus
+    with bloom_df = the state — identical output to the exact path."""
+    from realtime_data_quality_monitor_spark.operators import dedup
+    from realtime_data_quality_monitor_spark.operators.textstats import fingerprint
+
+    state = str(tmp_path / "bloom_state")
+    corpus = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 5 = 0 THEN 'common text' ELSE concat('c', id) END AS text",
+    )
+    n_bits, k, seed = 4096, 3, "corpus-bloom"
+    for lo, hi in ((0, 150), (150, 300)):
+        ingest = corpus.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        fp = ingest.select(fingerprint(F.col("text")).alias("fingerprint")).distinct()
+        sketches.bloom_update_state(
+            spark, state, sketches.bloom_build(fp, "fingerprint", seed, n_bits, k)
+        )
+    batch = spark.range(300, 450).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN 'common text' ELSE concat('b', id) END AS text",
+    )
+    maintained = spark.read.parquet(state)
+    got = {
+        (r["doc_id"], r["is_duplicate"])
+        for r in dedup.dedup_against_corpus_bloom(
+            batch, corpus, n_bits=n_bits, k=k, seed=seed, bloom_df=maintained
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["is_duplicate"])
+        for r in dedup.dedup_against_corpus(batch, corpus).collect()
+    }
+    assert got == want
