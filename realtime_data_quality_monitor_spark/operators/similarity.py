@@ -554,10 +554,12 @@ def pq_encode(
     d floats compress to m small ints; downstream ADC joins never touch
     the original embedding again.
 
-    Scale shape: one broadcast join against the m*k codebook and one
-    per-(vector, subspace) argmin via min(struct(dist, code)) — no
-    corpus shuffle at all; the argmin is a map-side-combinable agg
-    keyed by the vector id that arrives pre-partitioned from the scan.
+    Scale shape: one broadcast join against the m*k codebook, then the
+    per-(vector, subspace) argmin via min(struct(dist, code)). The
+    argmin's map-side partial agg completes every group locally (the
+    explode keeps a vector's m rows in one partition), so the single
+    hash exchange moves only the ALREADY-COMPRESSED (vec_id, subspace,
+    code) rows — ~m small ints per vector, never raw vectors.
     """
     _pq_check_geometry(df, codebook, m, vec_col)
     subs = _pq_subvectors(df, m, id_col, "vec_id", vec_col, scale)
