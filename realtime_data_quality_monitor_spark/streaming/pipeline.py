@@ -276,6 +276,46 @@ def run_stream_hll(
     return writer.start()
 
 
+def run_stream_bloom(
+    sdf: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    seed: str,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    available_now: bool = True,
+):
+    """Maintain the corpus membership Bloom filter FROM THE STREAM:
+    every micro-batch's keys fold into the persisted word frame
+    (operators/sketches.py::bloom_update_state, word-wise BIT_OR —
+    idempotent, so checkpoint replays are harmless). The state is what
+    ``dedup.dedup_against_corpus_bloom(bloom_df=...)`` consumes: the
+    next ingest reads a broadcast-ready filter instead of re-folding
+    the whole corpus. Geometry (n_bits, k, seed) is the filter's
+    identity — every fold and probe must use the same values.
+
+    SINGLE-WRITER contract as in run_stream_upsert.
+    """
+    from ..operators.sketches import bloom_build, bloom_update_state
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_update_state(
+            batch_df.sparkSession,
+            state_path,
+            bloom_build(batch_df, key_col, seed, n_bits=n_bits, k=k),
+        )
+
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "read_transcript_stream",
     "streaming_quality",
@@ -284,6 +324,7 @@ __all__ = [
     "run_stream_with_alerts",
     "run_stream_upsert",
     "run_stream_hll",
+    "run_stream_bloom",
     "with_static_enrichment",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",

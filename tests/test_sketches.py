@@ -339,3 +339,36 @@ def test_bloom_update_state_feeds_prefilter_dedup(spark, tmp_path):
         for r in dedup.dedup_against_corpus(batch, corpus).collect()
     }
     assert got == want
+
+
+def test_run_stream_bloom_matches_batch_filter(spark, tmp_path):
+    """Streaming the keys in micro-batches lands on exactly the filter
+    a single batch build produces (bit_or merge), and the state probes
+    with no false negatives."""
+    from realtime_data_quality_monitor_spark.streaming.pipeline import (
+        run_stream_bloom,
+    )
+
+    src = str(tmp_path / "bsrc")
+    df = spark.range(800).select(F.col("id").cast("string").alias("k"))
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "bstate")
+    q = run_stream_bloom(
+        stream, "k", state, str(tmp_path / "bckpt"), seed="sb", n_bits=8192, k=3
+    )
+    q.awaitTermination(120)
+    got = {(r["word"], r["bits"]) for r in spark.read.parquet(state).collect()}
+    want = {
+        (r["word"], r["bits"])
+        for r in sketches.bloom_build(df, "k", "sb", n_bits=8192, k=3).collect()
+    }
+    assert got == want
+    probed = sketches.bloom_contains(
+        spark.read.parquet(state), df, "k", "sb", n_bits=8192, k=3
+    )
+    assert probed.where("member = 0").count() == 0
