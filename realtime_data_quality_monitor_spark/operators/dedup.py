@@ -632,3 +632,66 @@ def dedup_against_corpus_bloom(
     survivors = definitely_new.unionByName(maybe).drop("member")
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return survivors.withColumn("is_duplicate", F.row_number().over(w) > 1)
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the CCNet / "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2021)
+    boilerplate pass): a line whose text occurs >= ``min_count`` times
+    ACROSS THE WHOLE CORPUS is removed from every document that
+    contains it (all copies drop — repeated nav bars / footers carry no
+    signal), and each document's surviving lines are re-joined in their
+    original order.
+
+    Returns one row per input document: (id_col, n_lines, n_dropped,
+    clean_text). Documents whose every line was duplicated survive with
+    clean_text = ''.
+
+    Scale shape — exactly two exchanges, no corpus-wide sort:
+      1. lines are posexploded and counted with a window keyed on the
+         md5 line fingerprint (one shuffle; counting by the 128-bit
+         fingerprint instead of raw line text keys the exchange on a
+         fixed-width column — equal to counting by line text modulo
+         md5 collisions, which the cell-exact oracle would expose);
+      2. one hash aggregate keyed by document id rebuilds clean_text
+         by sorting each doc's OWN kept (pos, line) structs —
+         per-group k log k, never a global sort.
+    The line window is the skew surface: a pathological corpus where
+    one line is most of the input concentrates its count partition —
+    at that point swap the window for a groupBy-count + broadcast join
+    of the (tiny) high-count fingerprint set, which this operator's
+    min_count semantics make equivalent.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias(
+            "__pos", "__line"
+        ),
+    )
+    cnt_w = Window.partitionBy(F.md5(F.col("__line")))
+    flagged = lines.withColumn(
+        "__keep", F.count(F.lit(1)).over(cnt_w) < min_count
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~F.col("__keep")).cast("long")).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line", "__keep"))
+                    ),
+                    lambda s: s["__keep"],
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return rebuilt

@@ -252,6 +252,92 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _attach_repetition_stats(staged, F.col(_TOKS)).drop(_TOKS)
 
 
+# ---------------------------------------------------------------------------
+# C4-style line/page filters (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning with a Unified Text-to-Text Transformer", §2.2).
+# The paper's cleaning pass over Common Crawl pages, re-expressed as
+# row-local array algebra over a page-text column whose lines are
+# '\n'-separated:
+#   * keep only lines ending in a terminal punctuation mark;
+#   * keep only lines with >= 3 words;
+#   * drop lines containing the word "javascript" (case-insensitive);
+#   * drop whole pages containing "lorem ipsum", a curly brace, or any
+#     word from a policy lexicon (the paper uses the LDNOOBW bad-words
+#     list; the lexicon here is a parameter — this repo ships no
+#     profanity list);
+#   * drop pages left with fewer than `min_kept_lines` kept lines (the
+#     paper's 5-sentence floor, counted over kept lines).
+# Scale shape: identical to the Gopher family above — every signal is
+# within-row, no explode, no shuffle; the corpus scan stays
+# embarrassingly parallel and inside one WholeStageCodegen span.
+
+C4_TERMINAL_CHARS = [".", "!", "?", '"']
+
+
+def _c4_line_ok(line: Column, min_line_words: int) -> Column:
+    term = F.array(*[F.lit(c) for c in C4_TERMINAL_CHARS])
+    n_words = F.size(F.filter(F.split(line, " "), lambda t: t != ""))
+    return (
+        F.array_contains(term, F.substring(line, -1, 1))
+        & (n_words >= min_line_words)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,  # paper: 3
+    min_kept_lines: int = 3,  # paper: 5 sentences
+    badwords: tuple[str, ...] = (),  # paper: the LDNOOBW lexicon
+) -> DataFrame:
+    """Attach the C4 cleaning columns: ``n_lines`` / ``n_kept_lines``
+    (BIGINT), ``clean_text`` (kept lines re-joined with '\\n'),
+    ``drop_reason`` (first failed page rule, paper order) and ``keep``.
+
+    Word membership for the lexicon test strips the terminal/marker
+    characters first (``translate`` — a documented simplification of
+    the paper's tokenizer) so "dup." still matches "dup".
+    """
+    lines = F.col("__c4_lines")
+    kept = F.col("__c4_kept")
+    lower = F.col("__c4_lower")
+    staged = (
+        df.withColumn("__c4_lines", F.split(F.col(text_col), "\n"))
+        .withColumn(
+            "__c4_kept",
+            F.filter(lines, lambda l: _c4_line_ok(l, min_line_words)),
+        )
+        .withColumn("__c4_lower", F.lower(F.col(text_col)))
+    )
+    # marker chars AND the line separator map to spaces (deleting them
+    # would glue words across line boundaries: "dup.\nthe" -> "dupthe")
+    _strip = "".join(C4_TERMINAL_CHARS) + "{}\n"
+    bad_toks = F.split(F.translate(lower, _strip, " " * len(_strip)), " ")
+    has_bad = F.lit(False)
+    for w in badwords:
+        has_bad = has_bad | F.array_contains(bad_toks, w.lower())
+    reason = (
+        F.when(F.contains(lower, F.lit("lorem ipsum")), F.lit("lorem_ipsum"))
+        .when(F.contains(F.col(text_col), F.lit("{")), F.lit("curly_brace"))
+        .when(has_bad, F.lit("bad_word"))
+        .when(F.size(kept) < min_kept_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        staged.withColumns(
+            {
+                "n_lines": F.size(lines).cast("long"),
+                "n_kept_lines": F.size(kept).cast("long"),
+                "clean_text": F.array_join(kept, "\n"),
+                "drop_reason": reason,
+            }
+        )
+        .withColumn("keep", (F.col("drop_reason") == "kept").cast("int"))
+        .drop("__c4_lines", "__c4_kept", "__c4_lower")
+    )
+
+
 # Thresholds: paper values in comments; defaults adapted to the short
 # word-soup fixture (docs are 8-110 tokens from a ~40-word vocabulary,
 # so the paper's 50-word floor and 0.2 repetition caps would be

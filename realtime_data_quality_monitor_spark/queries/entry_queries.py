@@ -3868,6 +3868,246 @@ SQL_G3 = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-line page fixtures for the C4 / duplicate-line entries. The
+# documents table is single-line word soup, so pages are DERIVED from it
+# deterministically (the m1-m3 closed-form-asset pattern): lines are
+# token slices of the doc's own text, decorated per line by a keyed md5
+# draw — both engines compute the identical derivation, so every
+# downstream comparison stays cell-exact. The c4 bands exercise every
+# rule path: terminal '.'/'?' (kept candidates), no terminal (line
+# drop), a "javascript" marker (line drop), a curly brace and a
+# "lorem ipsum" marker (page drops).
+# ---------------------------------------------------------------------------
+
+
+def _page_draw(i, seed: str) -> F.Column:
+    """Raw 32-bit keyed draw for line ``i`` of the current doc —
+    md5('doc_id|i|seed') first 8 hex chars as BIGINT (the repo-standard
+    engine-portable keyed hash)."""
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), i.cast("string"), F.lit(seed)
+        )
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def _paged(df: DataFrame, line_fn) -> DataFrame:
+    """Shared page assembly: one line per full 6-token chunk, built by
+    ``line_fn(toks, n, i)``, joined with newlines; docs under 6 tokens
+    get an empty page (still one output row)."""
+    staged = df.withColumn(
+        "__pg_toks", textstats.tokens_col(F.col("text"))
+    ).withColumn("__pg_n", F.size("__pg_toks").cast("long"))
+    toks, n = F.col("__pg_toks"), F.col("__pg_n")
+    nlines = ((n - n % 6) / 6).cast("int")
+    page = F.when(
+        nlines >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nlines), lambda i: line_fn(toks, n, i)
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    return staged.select("doc_id", "lang", "source", page.alias("text"))
+
+
+def _c4_pages(df: DataFrame) -> DataFrame:
+    """Pages whose line i is the i-th consecutive 6-token chunk plus a
+    draw-banded decoration (bands documented in the section comment)."""
+
+    def line(toks, n, i):
+        core = F.concat_ws(" ", F.slice(toks, (i - 1) * 6 + 1, 6))
+        d = _page_draw(i, "c4") % 100
+        return (
+            F.when(d < 65, F.concat(core, F.lit(".")))
+            .when(d < 75, core)
+            .when(d < 85, F.concat(core, F.lit("?")))
+            .when(d < 93, F.concat(F.lit("javascript "), core, F.lit(".")))
+            .when(d < 97, F.concat(core, F.lit(" {")))
+            .otherwise(F.concat(core, F.lit(". lorem ipsum.")))
+        )
+
+    return _paged(df, line)
+
+
+def _d12_pages(df: DataFrame) -> DataFrame:
+    """Pages whose lines are 4-token slices at md5-drawn offsets of the
+    doc's own token array — cross-doc duplicate lines arise wherever two
+    docs share a 4-gram (measured ~17% duplicated line rows at sf0.01),
+    which is what the corpus duplicate-line pass needs to exercise."""
+
+    def line(toks, n, i):
+        off = _page_draw(i, "d12") % (n - 3) + 1
+        return F.concat_ws(" ", F.slice(toks, off, 4))
+
+    return _paged(df, line)
+
+
+_C4_DRAW = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "CAST(i AS VARCHAR) || '|c4'), 1, 8) AS BIGINT) % 100"
+)
+_C4_CORE = "array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')"
+_D12_DRAW = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "CAST(i AS VARCHAR) || '|d12'), 1, 8) AS BIGINT)"
+)
+
+_SQL_PG_BASE = """
+    ptoks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    pbase AS (
+      SELECT doc_id, lang, source, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM ptoks)
+"""
+
+_SQL_C4_PAGES = f"""
+    {_SQL_PG_BASE},
+    pages AS (
+      SELECT doc_id, lang, source,
+        CASE WHEN n >= 6 THEN
+          array_to_string(list_transform(range(1, (n - n % 6) // 6 + 1),
+            i -> CASE
+              WHEN {_C4_DRAW} < 65 THEN {_C4_CORE} || '.'
+              WHEN {_C4_DRAW} < 75 THEN {_C4_CORE}
+              WHEN {_C4_DRAW} < 85 THEN {_C4_CORE} || '?'
+              WHEN {_C4_DRAW} < 93 THEN 'javascript ' || {_C4_CORE} || '.'
+              WHEN {_C4_DRAW} < 97 THEN {_C4_CORE} || ' {{'
+              ELSE {_C4_CORE} || '. lorem ipsum.'
+            END), chr(10))
+        ELSE '' END AS page
+      FROM pbase)
+"""
+
+_SQL_D12_PAGES = f"""
+    {_SQL_PG_BASE},
+    pages AS (
+      SELECT doc_id, lang, source,
+        CASE WHEN n >= 6 THEN
+          array_to_string(list_transform(range(1, (n - n % 6) // 6 + 1),
+            i -> array_to_string(
+              toks[1 + {_D12_DRAW} % (n-3) : 4 + {_D12_DRAW} % (n-3)], ' ')),
+            chr(10))
+        ELSE '' END AS page
+      FROM pbase)
+"""
+
+# the C4 kept-line predicate, shared by the g4/g5 oracles
+_SQL_C4_KEPT = """
+    ls AS (SELECT doc_id, page, string_split(page, chr(10)) AS arr
+           FROM pages),
+    k AS (
+      SELECT doc_id, page, CAST(len(arr) AS BIGINT) AS n_lines,
+        list_filter(arr, l ->
+          list_contains(['.', '!', '?', '"'], right(l, 1))
+          AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kl
+      FROM ls),
+    decided_c4 AS (
+      SELECT doc_id, n_lines,
+        CAST(len(kl) AS BIGINT) AS n_kept_lines,
+        CASE
+          WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
+          WHEN contains(page, '{') THEN 'curly_brace'
+          WHEN list_contains(string_split(
+                 translate(lower(page), '.!?"{}' || chr(10), '       '),
+                 ' '), 'dup') THEN 'bad_word'
+          WHEN len(kl) < 3 THEN 'too_few_lines'
+          ELSE 'kept'
+        END AS drop_reason,
+        coalesce(array_to_string(kl, chr(10)), '') AS clean_text
+      FROM k)
+"""
+
+
+def q_g4_c4_line_filter_documents(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020 §2.2, operators/
+    quality_filters.py::c4_line_filter) over the synthesized pages:
+    line-level terminal-punctuation / >=3-word / javascript filters and
+    the page-level lorem-ipsum / curly-brace / lexicon / min-kept-lines
+    decision, with the cleaned text reassembled. Row-local array
+    algebra — no explode, no shuffle; the oracle re-derives the pages
+    and filters them with DuckDB list functions."""
+    d = _c4_pages(_t(spark, sf_dir, "documents"))
+    out = quality_filters.c4_line_filter(d, badwords=("dup",))
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "keep", "drop_reason",
+        "clean_text",
+    )
+
+
+SQL_G4 = f"""
+    WITH {_SQL_C4_PAGES},
+    {_SQL_C4_KEPT}
+    SELECT doc_id, n_lines, n_kept_lines,
+           (drop_reason = 'kept')::INT AS keep, drop_reason, clean_text
+    FROM decided_c4
+"""
+
+
+def q_g5_c4_filter_summary(spark, sf_dir):
+    """The C4 decision rolled up per drop reason: page count, kept-page
+    count, surviving-line mass, exact average line count — the
+    corpus-report shape every cleaning run publishes (g3's Gopher
+    analog)."""
+    d = quality_filters.c4_line_filter(
+        _c4_pages(_t(spark, sf_dir, "documents")), badwords=("dup",)
+    )
+    return d.groupBy("drop_reason").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        _sum_int("keep").alias("n_kept"),
+        _sum_int("n_kept_lines").alias("kept_lines"),
+        _avg_int("n_lines").alias("avg_lines"),
+    )
+
+
+SQL_G5 = f"""
+    WITH {_SQL_C4_PAGES},
+    {_SQL_C4_KEPT}
+    SELECT drop_reason, COUNT(*) AS n_pages,
+           CAST(SUM((drop_reason = 'kept')::INT) AS BIGINT) AS n_kept,
+           CAST(SUM(n_kept_lines) AS BIGINT) AS kept_lines,
+           CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
+    FROM decided_c4 GROUP BY drop_reason
+"""
+
+
+def q_d12_dup_line_removal_documents(spark, sf_dir):
+    """Corpus-level duplicate-line removal (operators/dedup.py::
+    drop_duplicate_lines — the CCNet / Lee et al. 2021 boilerplate
+    pass): lines occurring >= 2 times across the whole corpus drop from
+    every document, surviving lines re-join in original order. Two
+    exchanges (fingerprint-keyed count window, doc-keyed rebuild); the
+    oracle explodes with a constant generate_series join and counts by
+    raw line text — an independent algorithm for the same definition."""
+    pages = _d12_pages(_t(spark, sf_dir, "documents"))
+    out = dedup.drop_duplicate_lines(pages, "doc_id", "text")
+    return out.select("doc_id", "n_lines", "n_dropped", "clean_text")
+
+
+SQL_D12 = f"""
+    WITH {_SQL_D12_PAGES},
+    ls AS (SELECT doc_id, string_split(page, chr(10)) AS arr FROM pages),
+    lines AS (
+      SELECT doc_id, gs.i AS pos, arr[gs.i] AS line
+      FROM ls JOIN generate_series(1, 128) gs(i) ON gs.i <= len(arr)),
+    counted AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) AS cnt
+      FROM lines)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM((cnt >= 2)::INT) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN cnt < 2 THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM counted GROUP BY doc_id
+"""
+
+
 def q_e5_vocab_topk_documents(spark, sf_dir):
     """Tokenizer-vocabulary build (operators/export.py::build_vocab):
     global token counts -> top-50 by (count DESC, token ASC) -> dense
@@ -4698,4 +4938,10 @@ ENTRY_QUERIES = {
     "s7_pq_codes_embeddings": (q_s7_pq_codes_embeddings, SQL_S7),
     "s8_pq_adc_topk_embeddings": (q_s8_pq_adc_topk_embeddings, SQL_S8),
     "s9_ivfpq_topk_embeddings": (q_s9_ivfpq_topk_embeddings, SQL_S9),
+    "g4_c4_line_filter_documents": (q_g4_c4_line_filter_documents, SQL_G4),
+    "g5_c4_filter_summary": (q_g5_c4_filter_summary, SQL_G5),
+    "d12_dup_line_removal_documents": (
+        q_d12_dup_line_removal_documents,
+        SQL_D12,
+    ),
 }

@@ -561,3 +561,57 @@ def test_pq_rejects_indivisible_dim_and_wrong_codebook(spark):
     cb_m8 = similarity.pq_codebook(emb, m=8, k=4)  # 8-dim subvectors
     with pytest.raises(ValueError, match="subvector dim"):
         similarity.pq_encode(emb, cb_m8, m=4)  # 16-dim slices vs 8-dim book
+
+
+def test_drop_duplicate_lines_corpus_semantics(spark):
+    """Lines duplicated across the corpus drop from EVERY doc (all
+    copies); survivors re-join in original position order."""
+    docs = [
+        (0, "footer\nunique a line\nfooter"),   # footer x2 here alone
+        (1, "unique b line\nshared line"),
+        (2, "shared line\nunique c line"),
+        (3, "shared line"),                      # all lines dup -> empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.drop_duplicate_lines(df).collect()
+    }
+    assert out[0]["clean_text"] == "unique a line"
+    assert out[0]["n_lines"] == 3 and out[0]["n_dropped"] == 2
+    assert out[1]["clean_text"] == "unique b line"
+    assert out[2]["clean_text"] == "unique c line"
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert len(out) == 4  # fully-deduped docs still emit a row
+
+
+def test_drop_duplicate_lines_min_count_and_order(spark):
+    df = spark.createDataFrame(
+        [(0, "x\ny\nx"), (1, "z\nx")], ["doc_id", "text"]
+    )
+    # min_count=3: 'x' occurs 3 times corpus-wide -> dropped everywhere;
+    # doc 0 keeps 'y' in place, doc 1 keeps 'z'
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.drop_duplicate_lines(df, min_count=3).collect()
+    }
+    assert out == {0: "y", 1: "z"}
+    # min_count=4: nothing reaches the threshold -> texts unchanged
+    out4 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.drop_duplicate_lines(df, min_count=4).collect()
+    }
+    assert out4 == {0: "x\ny\nx", 1: "z\nx"}
+
+
+def test_drop_duplicate_lines_partition_invariant(spark):
+    docs = [(i, f"common line\nonly {i} has this") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = dedup.drop_duplicate_lines(df).orderBy("doc_id").collect()
+    b = (
+        dedup.drop_duplicate_lines(df.repartition(7, "text"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    assert all(r["clean_text"] == f"only {r['doc_id']} has this" for r in a)

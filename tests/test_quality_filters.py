@@ -135,3 +135,58 @@ def test_no_shuffle_in_plan(spark):
     out = qf.with_repetition_stats(qf.with_gopher_word_stats(df))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_c4_rule_paths(spark):
+    pages = [
+        # 3 kept lines (terminal punct, >=3 words) -> page kept
+        (0, "one two three.\nfour five six!\nseven eight nine?"),
+        # lorem ipsum anywhere drops the page first
+        (1, "one two three.\nlorem ipsum.\nfour five six."),
+        # curly brace drops the page
+        (2, "one two three.\nvar x = {\nfour five six."),
+        # lexicon word (terminal chars stripped before matching)
+        (3, "one two dup.\nfour five six.\nseven eight nine."),
+        # line filters: no terminal punct / <3 words / javascript
+        (4, 'one two three\nab cd.\nenable javascript please.\n"quoted line ok."'),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in qf.c4_line_filter(df, badwords=("dup",)).collect()
+    }
+    assert out[0]["drop_reason"] == "kept" and out[0]["keep"] == 1
+    assert out[0]["clean_text"] == pages[0][1]
+    assert out[1]["drop_reason"] == "lorem_ipsum"
+    assert out[2]["drop_reason"] == "curly_brace"
+    assert out[3]["drop_reason"] == "bad_word"
+    # doc 4: only the quoted line survives -> too_few_lines
+    assert out[4]["drop_reason"] == "too_few_lines"
+    assert out[4]["n_lines"] == 4 and out[4]["n_kept_lines"] == 1
+    assert out[4]["clean_text"] == '"quoted line ok."'
+
+
+def test_c4_badword_not_glued_across_lines(spark):
+    """The lexicon tokenizer maps '\\n' (and marker chars) to spaces —
+    deleting them would fuse 'dup.\\nthe' into 'dupthe' and miss."""
+    df = spark.createDataFrame(
+        [(0, "one two dup.\nthe four five."), (1, "one two dupe.\nthe four five.")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in qf.c4_line_filter(df, badwords=("dup",)).collect()
+    }
+    assert out[0] == "bad_word"
+    assert out[1] == "too_few_lines"  # 'dupe' is not 'dup'
+
+
+def test_c4_no_shuffle_in_plan(spark):
+    df = spark.createDataFrame([(1, "a b c.")], ["doc_id", "text"])
+    plan = (
+        qf.c4_line_filter(df, badwords=("x",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
