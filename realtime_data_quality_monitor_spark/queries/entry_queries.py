@@ -4805,7 +4805,8 @@ SQL_SK4 = """
 #   e7, t11, d9, d10, e8, e9, p13 (session 4);
 #   sk1-sk4, d11, e10 (session 5 sketches/dedup/sampling);
 #   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
-#   s7, s8, s9 (session 5 product quantization + IVF-PQ).
+#   s7, s8, s9 (session 5 product quantization + IVF-PQ);
+#   g4, g5, d12 (session 6 C4 filters + duplicate-line removal).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
