@@ -281,7 +281,7 @@ def write_transcripts(
     would be laid out (bucket(conv_id)); Iceberg jars are absent in this
     container, so the layout is emulated with a derived bucket column.
 
-    ``fmt``: parquet (default) | jsonl | csv — the landing formats an
+    ``fmt``: parquet (default) | orc | jsonl | csv — the landing formats an
     ingest actually sees. CSV writes RFC-4180 quoting with an explicit
     NULL marker so text newlines/quotes and NULL-vs-"" survive the
     round trip (pinned in tests/test_source_formats.py).
@@ -303,6 +303,10 @@ def write_transcripts(
         writer = writer.partitionBy("bucket")
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        # binary columnar like parquet: self-describing types, micros
+        # intact, no in-band NULL marker — the other lake-native landing
+        writer.orc(path)
     elif fmt == "jsonl":
         for k, v in _JSON_OPTS.items():
             writer = writer.option(k, v)
@@ -323,6 +327,8 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     layout, is discovered and appended by Spark."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "jsonl":
         reader = spark.read.schema(TRANSCRIPT_SCHEMA)
         for k, v in _JSON_OPTS.items():

@@ -93,3 +93,17 @@ def test_csv_null_marker_collision_is_the_documented_limit(spark, tmp_path):
     write_transcripts(df, p_jsonl, fmt="jsonl")
     got = read_transcripts(spark, p_jsonl, fmt="jsonl").collect()[0]
     assert got["text"] == "\\N"  # jsonl round-trips it exactly
+
+
+def test_orc_round_trip(spark, table, tmp_path):
+    p = str(tmp_path / "t_orc")
+    write_transcripts(table, p, fmt="orc")
+    assert _rows(read_transcripts(spark, p, fmt="orc")) == _rows(table)
+
+
+def test_bucketed_orc_keeps_partition_column(spark, table, tmp_path):
+    p = str(tmp_path / "t_orc_b")
+    write_transcripts(table, p, buckets=4, fmt="orc")
+    back = read_transcripts(spark, p, fmt="orc")
+    assert "bucket" in back.columns
+    assert _rows(back) == _rows(table)
