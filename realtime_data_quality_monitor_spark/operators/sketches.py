@@ -397,3 +397,123 @@ def bloom_contains(
     return out.withColumn("member", member.cast("int")).drop(
         *[c for j in range(k) for c in (f"_pos{j}", f"_word{j}", f"_bits{j}")]
     )
+
+
+# --- equi-width histogram (mergeable quantile sketch) ------------------------
+
+def hist_bin(value: Column, lo_q: int, hi_q: int, n_bins: int, scale: int) -> Column:
+    """Bin index for one value under an equi-width histogram over the
+    quantized range [lo_q, hi_q) (units = 1/scale). Quantization is
+    ``floor(value * scale)`` — one IEEE double multiply + floor, which
+    both engines evaluate bit-identically (the repo's s1/e6 trick) —
+    and the bin is exact integer algebra after clamping, so histogram
+    CONTENTS are cell-exact cross-engine. Out-of-range values clamp
+    into the edge bins (a clamped histogram; widen the range or check
+    min/max upstream when tails matter)."""
+    span = hi_q - lo_q
+    v_q = F.floor(value * scale).cast("long")
+    v_c = F.greatest(F.lit(lo_q), F.least(F.lit(hi_q - 1), v_q))
+    x = (v_c - F.lit(lo_q)) * n_bins
+    return ((x - x % span) / span).cast("int")
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo_q: int,
+    hi_q: int,
+    n_bins: int = 64,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-width histogram counts: (group..., bin, cnt), one row per
+    NON-EMPTY bin. The quantile sketch of this family: where HLL bounds
+    distinct-count state and CMS bounds frequency state, the histogram
+    bounds ORDER-STATISTIC state at n_bins rows per group — the groupBy
+    is map-side-combinable and never shuffles raw values, and two
+    histograms over the same geometry merge by bin-wise SUM
+    (``hist_merge``). Rank error is bounded by one bin width, fixed at
+    build time — the honest contrast with GK/KLL's adaptive bounds,
+    bought with exact cross-engine reproducibility."""
+    b = hist_bin(F.col(value_col), lo_q, hi_q, n_bins, scale)
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Same-geometry histograms merge by bin-wise SUM (NOT idempotent —
+    the cms_update_state replay caveat applies verbatim)."""
+    out = sketches[0]
+    group_cols = [c for c in out.columns if c not in ("bin", "cnt")]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_update_state(spark, state_path: str, batch_sketch: DataFrame) -> None:
+    """Fold a batch histogram into the persisted one (bin-wise SUM,
+    crash-safe staging swap) — running value-distribution state in
+    <= n_bins rows per group."""
+    _sketch_update_state(spark, state_path, batch_sketch, hist_merge)
+
+
+def hist_quantile_edges(
+    hist: DataFrame,
+    quantiles: tuple[tuple[int, int], ...],
+    lo_q: int,
+    hi_q: int,
+    n_bins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram frame, entirely in
+    integer column algebra (no collect, no float): for q = num/den the
+    answer is the LOWER EDGE (quantized units) of the first bin whose
+    cumulative count reaches ceil(total * num / den) — true quantile is
+    within one bin width above it. The cumulative window runs over
+    <= n_bins rows per group (aggregate grain), so the single-partition
+    risk of an unpartitioned window does not exist here by construction.
+
+    ``quantiles`` are exact rationals (num, den), e.g. ((1,2),(95,100)).
+    Output: group cols + one BIGINT ``p{num}_{den}_edge`` per quantile
+    + ``total``.
+    """
+    from pyspark.sql import Window
+
+    span = hi_q - lo_q
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    tot_w = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    edge = F.lit(lo_q) + (
+        (F.col("bin").cast("long") * span)
+        - (F.col("bin").cast("long") * span) % n_bins
+    ) / n_bins
+    cum = hist.withColumns(
+        {
+            "__cum": F.sum("cnt").over(w),
+            "__tot": F.sum("cnt").over(tot_w),
+            "__edge": edge.cast("long"),
+        }
+    )
+    aggs = [F.max("__tot").cast("long").alias("total")]
+    for num, den in quantiles:
+        # ceil(total*num/den) = (total*num + den - 1) // den, exact ints
+        rank = F.col("__tot") * num + (den - 1)
+        rank = ((rank - rank % den) / den).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("__edge"))).alias(
+                f"p{num}_{den}_edge"
+            )
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

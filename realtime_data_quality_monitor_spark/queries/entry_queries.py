@@ -4785,6 +4785,84 @@ SQL_SK4 = """
 """
 
 
+# histogram geometry shared by sk5/sk6: events.value spans [0, ~561)
+# across SFs; 64 bins over quantized [0, 64000) at scale=100 (units of
+# 0.01, bin width 10.00) with out-of-range clamped to edge bins.
+_H_LO, _H_HI, _H_BINS, _H_SCALE = 0, 64_000, 64, 100
+
+
+def q_sk5_hist_events(spark, sf_dir):
+    """Per-event_type equi-width histogram of value (sketches.
+    hist_sketch): the mergeable ORDER-STATISTIC sketch — one map-side-
+    combinable groupBy into <= 64 rows per group; same-geometry frames
+    merge bin-wise (hist_merge / hist_update_state). Quantization is
+    floor(value*100), so the contents are cell-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hist_sketch(
+        ev, "value", _H_LO, _H_HI, n_bins=_H_BINS, scale=_H_SCALE,
+        group_cols=("event_type",),
+    )
+
+
+_SQL_HIST = f"""
+    binned AS (
+      SELECT event_type,
+        CAST((v_c * {_H_BINS} - (v_c * {_H_BINS}) % {_H_HI - _H_LO})
+             // {_H_HI - _H_LO} AS INT) AS bin
+      FROM (SELECT event_type,
+              greatest({_H_LO}, least({_H_HI - 1},
+                CAST(floor(value * {_H_SCALE}) AS BIGINT))) AS v_c
+            FROM events)),
+    hist AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2)
+"""
+
+SQL_SK5 = f"""
+    WITH {_SQL_HIST}
+    SELECT event_type, bin, cnt FROM hist
+"""
+
+
+def q_sk6_hist_quantiles_events(spark, sf_dir):
+    """Quantile edges from the sk5 histogram (sketches.
+    hist_quantile_edges): p50/p90/p99 lower bin edges per event_type in
+    pure integer algebra — rank = ceil(total * num / den), answer = the
+    first bin whose cumulative count reaches it; true quantile is
+    within one bin width. The cumulative window runs over <= 64
+    aggregate-grain rows per group."""
+    ev = _t(spark, sf_dir, "events")
+    h = sketches.hist_sketch(
+        ev, "value", _H_LO, _H_HI, n_bins=_H_BINS, scale=_H_SCALE,
+        group_cols=("event_type",),
+    )
+    return sketches.hist_quantile_edges(
+        h, ((1, 2), (9, 10), (99, 100)), _H_LO, _H_HI, _H_BINS,
+        group_cols=("event_type",),
+    )
+
+
+SQL_SK6 = f"""
+    WITH {_SQL_HIST},
+    cum AS (
+      SELECT event_type, bin, cnt,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+        SUM(cnt) OVER (PARTITION BY event_type) AS tot,
+        CAST({_H_LO} + (bin * {_H_HI - _H_LO}
+             - (bin * {_H_HI - _H_LO}) % {_H_BINS}) // {_H_BINS} AS BIGINT)
+          AS edge
+      FROM hist)
+    SELECT event_type, CAST(MAX(tot) AS BIGINT) AS total,
+      CAST(MIN(CASE WHEN c >= (tot * 1 + 1) // 2 THEN edge END) AS BIGINT)
+        AS p1_2_edge,
+      CAST(MIN(CASE WHEN c >= (tot * 9 + 9) // 10 THEN edge END) AS BIGINT)
+        AS p9_10_edge,
+      CAST(MIN(CASE WHEN c >= (tot * 99 + 99) // 100 THEN edge END)
+           AS BIGINT) AS p99_100_edge
+    FROM cum GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4806,7 +4884,8 @@ SQL_SK4 = """
 #   sk1-sk4, d11, e10 (session 5 sketches/dedup/sampling);
 #   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
 #   s7, s8, s9 (session 5 product quantization + IVF-PQ);
-#   g4, g5, d12 (session 6 C4 filters + duplicate-line removal).
+#   g4, g5, d12 (session 6 C4 filters + duplicate-line removal);
+#   sk5, sk6 (session 6 histogram sketch + quantile edges).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -4945,4 +5024,6 @@ ENTRY_QUERIES = {
         q_d12_dup_line_removal_documents,
         SQL_D12,
     ),
+    "sk5_hist_events": (q_sk5_hist_events, SQL_SK5),
+    "sk6_hist_quantiles_events": (q_sk6_hist_quantiles_events, SQL_SK6),
 }

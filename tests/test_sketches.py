@@ -372,3 +372,70 @@ def test_run_stream_bloom_matches_batch_filter(spark, tmp_path):
         spark.read.parquet(state), df, "k", "sb", n_bits=8192, k=3
     )
     assert probed.where("member = 0").count() == 0
+
+
+# --- histogram quantile sketch ----------------------------------------------
+
+_HG = dict(lo_q=0, hi_q=6400, n_bins=64, scale=100)  # [0, 64.0), width 1.0
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [(i % 3, (i * 7919) % 6000 / 100.0) for i in range(3000)]
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_hist_merge_equals_full_build(spark, values):
+    a = values.where("g = 0")
+    b = values.where("g != 0")
+    full = sketches.hist_sketch(values, "v", 0, 6400, 64, 100)
+    ha = sketches.hist_sketch(a, "v", 0, 6400, 64, 100)
+    hb = sketches.hist_sketch(b, "v", 0, 6400, 64, 100)
+    merged = sketches.hist_merge(ha, hb)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (63.99,), (900.0,)], ["v"])
+    got = dict(
+        (r["bin"], r["cnt"])
+        for r in sketches.hist_sketch(df, "v", 0, 6400, 64, 100).collect()
+    )
+    assert got == {0: 2, 63: 2}  # -5 clamps low, 900 clamps high
+
+
+def test_hist_quantile_edges_bound_true_quantiles(spark, values):
+    h = sketches.hist_sketch(
+        values, "v", 0, 6400, 64, 100, group_cols=("g",)
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in sketches.hist_quantile_edges(
+            h, ((1, 2), (99, 100)), 0, 6400, 64, group_cols=("g",)
+        ).collect()
+    }
+    import math as _m
+
+    rows = [(i % 3, (i * 7919) % 6000 / 100.0) for i in range(3000)]
+    for g in (0, 1, 2):
+        vs = sorted(v for gg, v in rows if gg == g)
+        assert out[g]["total"] == len(vs)
+        for (num, den), col in (((1, 2), "p1_2_edge"), ((99, 100), "p99_100_edge")):
+            true_q = vs[_m.ceil(len(vs) * num / den) - 1]
+            edge = out[g][col] / 100.0  # back to value units
+            # true quantile lies in [edge, edge + bin_width)
+            assert edge <= true_q < edge + 1.0, (g, col, edge, true_q)
+
+
+def test_hist_update_state_incremental_equals_whole(spark, values, tmp_path):
+    state = str(tmp_path / "hist_state")
+    for part in (values.where("g = 0"), values.where("g != 0")):
+        sketches.hist_update_state(
+            spark, state, sketches.hist_sketch(part, "v", 0, 6400, 64, 100)
+        )
+    whole = sketches.hist_sketch(values, "v", 0, 6400, 64, 100)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+        map(tuple, whole.collect())
+    )
