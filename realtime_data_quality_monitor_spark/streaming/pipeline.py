@@ -316,6 +316,54 @@ def run_stream_bloom(
     return writer.start()
 
 
+def run_stream_hist(
+    sdf: DataFrame,
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    lo_q: int,
+    hi_q: int,
+    n_bins: int = 64,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = True,
+):
+    """Maintain the running value-distribution histogram FROM THE
+    STREAM: every micro-batch's equi-width bin counts fold into the
+    persisted frame (operators/sketches.py::hist_update_state, bin-wise
+    SUM with the crash-safe staging swap). State stays <= n_bins rows
+    per group forever — the live "latency/score distribution so far"
+    whose quantile edges (`hist_quantile_edges`) feed dashboards and
+    drift checks without ever sorting the stream. SUM is NOT
+    idempotent: as with cms_update_state, feed each batch exactly once
+    (foreachBatch serializes; the staging heal never half-applies).
+
+    SINGLE-WRITER contract as in run_stream_upsert; geometry
+    (lo_q, hi_q, n_bins, scale) is the sketch's identity — every fold
+    and read must use the same values.
+    """
+    from ..operators.sketches import hist_sketch, hist_update_state
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        hist_update_state(
+            batch_df.sparkSession,
+            state_path,
+            hist_sketch(
+                batch_df, value_col, lo_q, hi_q,
+                n_bins=n_bins, scale=scale, group_cols=group_cols,
+            ),
+        )
+
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "read_transcript_stream",
     "streaming_quality",
@@ -325,6 +373,7 @@ __all__ = [
     "run_stream_upsert",
     "run_stream_hll",
     "run_stream_bloom",
+    "run_stream_hist",
     "with_static_enrichment",
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",

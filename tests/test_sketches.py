@@ -439,3 +439,32 @@ def test_hist_update_state_incremental_equals_whole(spark, values, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_run_stream_hist_matches_batch(spark, tmp_path):
+    """The streaming bin-count fold over micro-batches lands on exactly
+    the batch histogram of the same rows."""
+    from realtime_data_quality_monitor_spark.streaming.pipeline import (
+        run_stream_hist,
+    )
+
+    src = str(tmp_path / "hsrc")
+    df = spark.range(2000).select(
+        ((F.col("id") * 7919) % 6000 / 100.0).alias("v")
+    )
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "hstate")
+    q = run_stream_hist(
+        stream, "v", state, str(tmp_path / "hckpt"),
+        lo_q=0, hi_q=6400, n_bins=64, scale=100,
+    )
+    q.awaitTermination(120)
+    whole = sketches.hist_sketch(df, "v", 0, 6400, 64, 100)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+        map(tuple, whole.collect())
+    )
