@@ -302,3 +302,17 @@ def test_q22_anti_join_after_broadcast_threshold(spark):
     p = _plan(spark, df, "simple")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_d12_duplicate_line_removal_is_two_exchanges(spark):
+    """drop_duplicate_lines promises exactly two shuffles: the
+    line-fingerprint count window and the doc-keyed rebuild — no
+    global sort, no extra exchange from the join-back (there is no
+    join-back: the keep flag rides the window output)."""
+    from realtime_data_quality_monitor_spark.operators import dedup
+
+    df = eq._d12_pages(spark.read.parquet(f"{SF}/documents.parquet"))
+    out = dedup.drop_duplicate_lines(df, "doc_id", "text")
+    p = _plan(spark, out, "simple")
+    assert _n_shuffles(spark, out) == 2, p
+    assert "Exchange rangepartitioning" not in p  # no global sort
