@@ -668,11 +668,14 @@ def drop_duplicate_lines(
     of the (tiny) high-count fingerprint set, which this operator's
     min_count semantics make equivalent.
     """
+    # F.split takes a Java REGEX while F.array_join below re-joins the
+    # separator literally — quote it so a metachar sep ('|', '.') splits
+    # on the literal string too (seps containing '\\E' are unsupported)
     lines = df.select(
         id_col,
-        F.posexplode_outer(F.split(F.col(text_col), sep)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__pos", "__line"),
     )
     cnt_w = Window.partitionBy(F.md5(F.col("__line")))
     flagged = lines.withColumn(

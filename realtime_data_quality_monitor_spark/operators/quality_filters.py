@@ -276,10 +276,9 @@ C4_TERMINAL_CHARS = [".", "!", "?", '"']
 
 def _c4_line_ok(line: Column, min_line_words: int) -> Column:
     term = F.array(*[F.lit(c) for c in C4_TERMINAL_CHARS])
-    n_words = F.size(F.filter(F.split(line, " "), lambda t: t != ""))
     return (
         F.array_contains(term, F.substring(line, -1, 1))
-        & (n_words >= min_line_words)
+        & (F.size(tokens_col(line)) >= min_line_words)
         & ~F.contains(F.lower(line), F.lit("javascript"))
     )
 
@@ -314,9 +313,17 @@ def c4_line_filter(
     # would glue words across line boundaries: "dup.\nthe" -> "dupthe")
     _strip = "".join(C4_TERMINAL_CHARS) + "{}\n"
     bad_toks = F.split(F.translate(lower, _strip, " " * len(_strip)), " ")
-    has_bad = F.lit(False)
-    for w in badwords:
-        has_bad = has_bad | F.array_contains(bad_toks, w.lower())
+    # one flat membership test — an OR-chain of array_contains would put
+    # len(badwords) nodes in the expression tree (the paper's LDNOOBW
+    # lexicon is ~400 words), the codegen-bloat shape the module header
+    # warns about
+    has_bad = (
+        F.arrays_overlap(
+            bad_toks, F.array(*[F.lit(w.lower()) for w in badwords])
+        )
+        if badwords
+        else F.lit(False)
+    )
     reason = (
         F.when(F.contains(lower, F.lit("lorem ipsum")), F.lit("lorem_ipsum"))
         .when(F.contains(F.col(text_col), F.lit("{")), F.lit("curly_brace"))

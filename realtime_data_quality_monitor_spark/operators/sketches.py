@@ -434,10 +434,15 @@ def hist_sketch(
     histograms over the same geometry merge by bin-wise SUM
     (``hist_merge``). Rank error is bounded by one bin width, fixed at
     build time — the honest contrast with GK/KLL's adaptive bounds,
-    bought with exact cross-engine reproducibility."""
+    bought with exact cross-engine reproducibility.
+
+    NULL values are EXCLUDED (Spark's greatest/least skip NULLs, which
+    would otherwise silently clamp every NULL into the top bin); track
+    null counts separately when completeness matters."""
     b = hist_bin(F.col(value_col), lo_q, hi_q, n_bins, scale)
     return (
-        df.select(*group_cols, b.alias("bin"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

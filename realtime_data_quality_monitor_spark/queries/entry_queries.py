@@ -4095,7 +4095,7 @@ SQL_D12 = f"""
     ls AS (SELECT doc_id, string_split(page, chr(10)) AS arr FROM pages),
     lines AS (
       SELECT doc_id, gs.i AS pos, arr[gs.i] AS line
-      FROM ls JOIN generate_series(1, 128) gs(i) ON gs.i <= len(arr)),
+      FROM ls JOIN generate_series(1, 100000) gs(i) ON gs.i <= len(arr)),
     counted AS (
       SELECT doc_id, pos, line,
              count(*) OVER (PARTITION BY line) AS cnt

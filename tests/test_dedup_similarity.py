@@ -615,3 +615,14 @@ def test_drop_duplicate_lines_partition_invariant(spark):
     )
     assert a == b
     assert all(r["clean_text"] == f"only {r['doc_id']} has this" for r in a)
+
+
+def test_drop_duplicate_lines_metachar_separator(spark):
+    """The separator is literal on BOTH sides (split quotes it as a
+    regex): '|' must not become an empty alternation."""
+    df = spark.createDataFrame([(0, "a|b"), (1, "c|b")], ["doc_id", "text"])
+    out = sorted(
+        (r["doc_id"], r["n_lines"], r["n_dropped"], r["clean_text"])
+        for r in dedup.drop_duplicate_lines(df, sep="|").collect()
+    )
+    assert out == [(0, 2, 1, "a"), (1, 2, 1, "c")]

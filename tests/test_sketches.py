@@ -468,3 +468,13 @@ def test_run_stream_hist_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hist_excludes_nulls(spark):
+    """greatest/least skip NULLs — without the explicit filter every
+    NULL would silently land in the top bin (probe-confirmed)."""
+    df = spark.createDataFrame([(1.0,), (None,), (None,)], "v double")
+    got = sorted(
+        map(tuple, sketches.hist_sketch(df, "v", 0, 6400, 64, 100).collect())
+    )
+    assert got == [(1, 1)]  # one real value, NULLs contribute nothing
