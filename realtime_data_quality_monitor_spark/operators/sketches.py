@@ -522,3 +522,69 @@ def hist_quantile_edges(
             )
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def hist_drift(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> Column | DataFrame:
+    """KS-style drift between two SAME-GEOMETRY histograms: the max
+    absolute CDF gap evaluated at the union of occupied bins (where a
+    step-function CDF difference attains its max), as a scaled BIGINT
+    ``ks_u`` = max |floor(cdf_a*1e6) - floor(cdf_b*1e6)|.
+
+    This is drift detection on BOUNDED state — yesterday's persisted
+    histogram vs today's, <= 2*n_bins rows per group touched — where
+    ``anomaly.ks_statistic`` ranks the raw values (exact but
+    data-sized). Per-side quantization floor(cum*1e6/total) keeps every
+    intermediate below 1e6 * total, so BIGINT arithmetic is safe to
+    ~9e12 rows per group, and both engines floor identically — the
+    statistic is cell-exact at the cost of <= 1e-6 absolute error vs
+    the unquantized gap.
+
+    Returns group_cols + (ks_u, tot_a, tot_b); groups present in only
+    one input get ks_u = 1e6 (total mass displacement).
+    """
+    from pyspark.sql import Window
+
+    M = 1_000_000
+    ga = a.withColumnRenamed("cnt", "__ca")
+    gb = b.withColumnRenamed("cnt", "__cb")
+    j = ga.join(gb, [*group_cols, "bin"], "full_outer").fillna(
+        0, ["__ca", "__cb"]
+    )
+    ow = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    tw = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+
+    def cdf_u(cum: Column, tot: Column) -> Column:
+        x = cum * M
+        return F.when(tot > 0, ((x - x % tot) / tot).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    staged = j.withColumns(
+        {
+            "__cum_a": F.sum("__ca").over(ow),
+            "__cum_b": F.sum("__cb").over(ow),
+            "__tot_a": F.sum("__ca").over(tw),
+            "__tot_b": F.sum("__cb").over(tw),
+        }
+    )
+    gap = F.abs(
+        cdf_u(F.col("__cum_a"), F.col("__tot_a"))
+        - cdf_u(F.col("__cum_b"), F.col("__tot_b"))
+    )
+    return staged.groupBy(*group_cols).agg(
+        F.max(gap).cast("long").alias("ks_u"),
+        F.max("__tot_a").cast("long").alias("tot_a"),
+        F.max("__tot_b").cast("long").alias("tot_b"),
+    )

@@ -4863,6 +4863,68 @@ SQL_SK6 = f"""
 """
 
 
+def q_sk7_hist_drift_events(spark, sf_dir):
+    """Drift between two histogram sketches (sketches.hist_drift):
+    first-half vs second-half January value distributions per
+    event_type, as the max quantized-CDF gap over the union of occupied
+    bins — KS on BOUNDED state (<= 2 x 64 rows per group touched)
+    instead of anomaly.ks_statistic's data-sized rank pass. Per-side
+    floor(cum*1e6/total) keeps arithmetic in BIGINT to ~9e12 rows and
+    is cell-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    mk = lambda d: sketches.hist_sketch(  # noqa: E731
+        d, "value", _H_LO, _H_HI, n_bins=_H_BINS, scale=_H_SCALE,
+        group_cols=("event_type",),
+    )
+    return sketches.hist_drift(
+        mk(ev.where(F.col("ts") < cut)),
+        mk(ev.where(F.col("ts") >= cut)),
+        group_cols=("event_type",),
+    )
+
+
+def _sql_hist_half(name: str, pred: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT event_type,
+          CAST((v_c * {_H_BINS} - (v_c * {_H_BINS}) % {_H_HI - _H_LO})
+               // {_H_HI - _H_LO} AS INT) AS bin
+        FROM (SELECT event_type,
+                greatest({_H_LO}, least({_H_HI - 1},
+                  CAST(floor(value * {_H_SCALE}) AS BIGINT))) AS v_c
+              FROM events WHERE {pred}))
+      GROUP BY 1, 2)
+"""
+
+
+SQL_SK7 = f"""
+    WITH {_sql_hist_half("ha", "ts < TIMESTAMP '2024-01-16'")},
+    {_sql_hist_half("hb", "ts >= TIMESTAMP '2024-01-16'")},
+    j AS (
+      SELECT event_type, bin,
+             coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+      FROM ha FULL OUTER JOIN hb USING (event_type, bin)),
+    c AS (
+      SELECT event_type,
+        SUM(ca) OVER (PARTITION BY event_type ORDER BY bin) AS cum_a,
+        SUM(cb) OVER (PARTITION BY event_type ORDER BY bin) AS cum_b,
+        SUM(ca) OVER (PARTITION BY event_type) AS tot_a,
+        SUM(cb) OVER (PARTITION BY event_type) AS tot_b
+      FROM j)
+    SELECT event_type,
+      CAST(MAX(abs(
+        (CASE WHEN tot_a > 0 THEN (cum_a * 1000000) // tot_a ELSE 0 END)
+        - (CASE WHEN tot_b > 0 THEN (cum_b * 1000000) // tot_b ELSE 0 END)
+      )) AS BIGINT) AS ks_u,
+      CAST(MAX(tot_a) AS BIGINT) AS tot_a,
+      CAST(MAX(tot_b) AS BIGINT) AS tot_b
+    FROM c GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4885,7 +4947,7 @@ SQL_SK6 = f"""
 #   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
 #   s7, s8, s9 (session 5 product quantization + IVF-PQ);
 #   g4, g5, d12 (session 6 C4 filters + duplicate-line removal);
-#   sk5, sk6 (session 6 histogram sketch + quantile edges).
+#   sk5, sk6, sk7 (session 6 histogram sketch + quantiles + drift).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5026,4 +5088,5 @@ ENTRY_QUERIES = {
     ),
     "sk5_hist_events": (q_sk5_hist_events, SQL_SK5),
     "sk6_hist_quantiles_events": (q_sk6_hist_quantiles_events, SQL_SK6),
+    "sk7_hist_drift_events": (q_sk7_hist_drift_events, SQL_SK7),
 }

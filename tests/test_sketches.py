@@ -478,3 +478,36 @@ def test_hist_excludes_nulls(spark):
         map(tuple, sketches.hist_sketch(df, "v", 0, 6400, 64, 100).collect())
     )
     assert got == [(1, 1)]  # one real value, NULLs contribute nothing
+
+
+def test_hist_drift_semantics(spark, values):
+    """Identical distributions -> 0; disjoint -> full mass (1e6); a
+    shifted copy -> a gap close to the true KS statistic."""
+    h = sketches.hist_sketch(values, "v", 0, 6400, 64, 100)
+    same = sketches.hist_drift(h, h).collect()[0]
+    assert same["ks_u"] == 0 and same["tot_a"] == same["tot_b"]
+
+    lo = spark.createDataFrame([(float(i % 10),) for i in range(500)], ["v"])
+    hi = spark.createDataFrame([(50.0 + i % 10,) for i in range(500)], ["v"])
+    mk = lambda d: sketches.hist_sketch(d, "v", 0, 6400, 64, 100)  # noqa: E731
+    disjoint = sketches.hist_drift(mk(lo), mk(hi)).collect()[0]
+    assert disjoint["ks_u"] == 1_000_000
+
+    # uniform [0,30) vs uniform [15,45): true KS = 0.5, bins exact here
+    a = spark.createDataFrame([(i % 3000 / 100.0,) for i in range(3000)], ["v"])
+    b = spark.createDataFrame([(15.0 + i % 3000 / 100.0,) for i in range(3000)], ["v"])
+    shifted = sketches.hist_drift(mk(a), mk(b)).collect()[0]
+    assert abs(shifted["ks_u"] - 500_000) <= 1_000, shifted
+
+
+def test_hist_drift_group_only_on_one_side(spark):
+    df_a = spark.createDataFrame([("x", 1.0), ("y", 2.0)], ["g", "v"])
+    df_b = spark.createDataFrame([("x", 1.0)], ["g", "v"])
+    mk = lambda d: sketches.hist_sketch(  # noqa: E731
+        d, "v", 0, 6400, 64, 100, group_cols=("g",)
+    )
+    out = {
+        r["g"]: r["ks_u"]
+        for r in sketches.hist_drift(mk(df_a), mk(df_b), ("g",)).collect()
+    }
+    assert out == {"x": 0, "y": 1_000_000}  # absent side = total displacement
