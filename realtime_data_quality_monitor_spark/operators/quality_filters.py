@@ -386,3 +386,71 @@ def gopher_keep_flag(
             "keep": (reason == "kept").cast("int"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style scoring pass)
+# ---------------------------------------------------------------------------
+
+def _hash32(key: Column, seed: str, salt: str) -> Column:
+    """Uniform BIGINT in [0, 2^32) from md5(key|seed|salt) — the repo's
+    engine-portable keyed hash (export._key_hash's formula, restated
+    here so the classifier columns stay self-contained row algebra)."""
+    h = F.md5(F.concat_ws("|", key.cast("string"), F.lit(seed), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "qclf",
+    weight_span: int = 1000,
+    threshold: int = 0,
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring pass (Joulin et
+    al. 2017, "Bag of Tricks for Efficient Text Classification"): each
+    token hashes into one of ``n_buckets`` feature buckets, every bucket
+    carries an integer weight, and the document score is the
+    tf-weighted sum of its tokens' bucket weights.
+
+    A production pipeline would broadcast a trained weight table; here
+    the weights are a CLOSED-FORM function of the bucket id (a second
+    keyed md5 draw mapped into [-weight_span, +weight_span]) — the same
+    trick the multimodal fixtures use — so the scoring algebra is fully
+    exercised and the DuckDB oracle is cell-exact without shipping a
+    model artifact. Swapping in real weights = replacing ``_weight``
+    with a broadcast-join against a (bucket, weight) table; the plan
+    shape is unchanged.
+
+    Scale shape: the whole classifier is ROW-LOCAL column algebra
+    (``F.transform`` + ``F.aggregate`` over the token array — no
+    explode, no shuffle, no Python). At 100 TB this is a single
+    embarrassingly-parallel scan; a broadcast weight table would add
+    one broadcast, still no shuffle.
+
+    Output columns: clf_score (BIGINT, signed), clf_keep (INT 0/1,
+    score >= threshold).
+
+    Reference parity note: the reference has no ML text classifier;
+    this is training-data-pipeline surface (SURVEY.md §2.7) modeled on
+    the CCNet/RefinedWeb "quality classifier scoring" stage.
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def _weight(tok: Column) -> Column:
+        bucket = _hash32(tok, seed, "b") % F.lit(n_buckets)
+        draw = _hash32(bucket, seed, "w")
+        return draw % F.lit(2 * weight_span + 1) - F.lit(weight_span)
+
+    score = F.aggregate(
+        F.transform(toks, _weight),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return df.withColumns(
+        {
+            "clf_score": score,
+            "clf_keep": (score >= F.lit(threshold)).cast("int"),
+        }
+    )

@@ -1,0 +1,116 @@
+"""Inverted-index text retrieval over a documents-shaped corpus.
+
+Quantized tf-idf scoring and top-k ranking for a literal query-term
+set — the "find the documents most like X" primitive a training-data
+curation pipeline uses for targeted sampling, contamination triage and
+eyeballing clusters.
+
+Exactness contract: idf is the QUANTIZED LINEAR form
+``idf_q = (n_docs * idf_scale) // df`` (exact BIGINT floor division,
+monotone in 1/df) rather than the textbook ``ln(N/df)`` — a log would
+differ across engines in the last ulp, while the linear form is
+cell-exact everywhere and preserves the ranking semantics the score is
+used for. Scores are ``SUM(tf * idf_q)`` — pure BIGINT algebra.
+
+Scale shape (the part that matters at 100 TB):
+
+  * the query-term filter is applied BEFORE any shuffle — tokens are
+    exploded and immediately filtered against the literal IN-list, so
+    only matching (doc, term) rows ever leave the scan stage;
+  * document frequencies aggregate over that filtered stream (at most
+    |terms| groups) and come back as a BROADCAST join — no second scan
+    of the corpus, no shuffle keyed by term against corpus-sized data;
+  * the per-document score is one partial-aggregated shuffle keyed by
+    doc id; top-k is Spark's TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), never a full sort.
+
+Reference parity note: the reference repo has no text-retrieval
+surface; this module is training-data-pipeline surface per SURVEY.md
+§2.7 (the d2/d7 inverted-index machinery applied to scoring instead of
+pair generation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+IDF_SCALE = 1_000_000
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact BIGINT floor division of non-negative values: (a - a % b)
+    is exactly divisible, and an exactly-divisible double division of
+    magnitudes below 2^53 is exact (the repo-standard trick)."""
+    a, b = a.cast("long"), b.cast("long")
+    return ((a - a % b) / b).cast("long")
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_scale: int = IDF_SCALE,
+) -> DataFrame:
+    """Top-k documents by quantized tf-idf against ``query_terms``.
+
+    Returns (doc_id, score_q, rank): score_q = SUM over matched terms
+    of tf(term, doc) * idf_q(term); rank is 1-based, ties broken by
+    ascending doc id so the result is deterministic on any engine.
+    """
+    if not query_terms:
+        raise ValueError("tfidf_topk: query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("tfidf_topk: k must be >= 1")
+    terms = sorted(set(query_terms))
+
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+
+    # inverted postings restricted to the query terms: the isin filter
+    # sits directly on the exploded token, before any exchange.
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # both the df aggregate and the scorer consume postings; without
+        # materialization Catalyst re-executes the lineage = a SECOND
+        # full corpus scan. The checkpointed frame holds only query-term
+        # hits (tiny by construction), so this is the repo-standard
+        # localCheckpoint reuse (dedup.connected_components pattern).
+        .localCheckpoint(eager=True)
+    )
+
+    # document frequencies: at most |terms| rows -> broadcast back.
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))  # one-row totals frame
+        .withColumn(
+            "idf_q",
+            _idiv(F.col("__n_docs") * F.lit(int(idf_scale)), F.col("df")),
+        )
+        .select("term", "idf_q")
+    )
+
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score_q"))
+    )
+    topk = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(k)
+    # k rows by construction — the rank window sorts the LIMIT k frame,
+    # not the corpus (the global top-k itself is TakeOrderedAndProject).
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score_q", F.row_number().over(w).alias("rank")
+    )

@@ -350,48 +350,18 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_fit(
+def _kmeans_loop(
     df: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1000,
-) -> DataFrame:
-    """Deterministic Lloyd's k-means on quantized embeddings — the IVF
-    coarse-quantizer trainer (``ivf_topk`` consumes arbitrary centroid
-    tables; this builds good ones instead of the seed-row shortcut).
-
-    Everything is exact integer arithmetic, so the result is identical
-    on any engine / partitioning / run:
-
-      * vectors quantize to BIGINT via floor(x * scale) (scale=1e3 keeps
-        per-vector squared distances <= ~1e8 and corpus-wide inertia
-        sums far below 2^63 — the 1e7 dot-product scale would overflow
-        an inertia SUM);
-      * assignment = argmin integer squared-Euclidean distance, ties on
-        the smaller centroid id;
-      * update = per-dimension integer mean, truncated toward zero via
-        (s - s % n) / n (both engines' % follows the dividend sign, so
-        the truncation is portable even for negative sums);
-      * init = the k rows with smallest id (deterministic seed);
-      * an emptied cluster keeps its previous centroid.
-
-    Scale shape per iteration: the centroid table is k x d BIGINTs —
-    aggregate-grain, so it is collect()ed to the driver and
-    re-broadcast as a literal frame (the MLlib pattern; this also
-    truncates the lineage so iterations don't stack a growing plan).
-    Assignment is a broadcast cross join against k rows; the update is
-    ONE shuffle keyed (centroid, dim) with map-side partial sums.
-    Nothing corpus-sized ever reaches the driver.
-
-    Returns one row per centroid: (centroid_id, n_vecs, inertia_q,
-    centroid_sum_q, centroid_q) where inertia_q is the exact integer
-    inertia of the FINAL assignment against the final centroids,
-    centroid_sum_q the BIGINT sum of the centroid's components (a
-    scalar fingerprint of the vector) and centroid_q the quantized
-    centroid itself.
-    """
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> tuple[dict, DataFrame]:
+    """Shared Lloyd's loop (see ``kmeans_fit`` for the determinism and
+    scale contract): returns (final centroids dict, final assignment
+    frame (id, xq, cid, dist)). ``semantic_dedup`` consumes the
+    assignment; ``kmeans_fit`` the centroid stats."""
     spark = df.sparkSession
     vecs = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
@@ -435,7 +405,53 @@ def kmeans_fit(
             for cid, old in centroids.items()
         }
 
-    final = _assign(centroids)
+    return centroids, _assign(centroids)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means on quantized embeddings — the IVF
+    coarse-quantizer trainer (``ivf_topk`` consumes arbitrary centroid
+    tables; this builds good ones instead of the seed-row shortcut).
+
+    Everything is exact integer arithmetic, so the result is identical
+    on any engine / partitioning / run:
+
+      * vectors quantize to BIGINT via floor(x * scale) (scale=1e3 keeps
+        per-vector squared distances <= ~1e8 and corpus-wide inertia
+        sums far below 2^63 — the 1e7 dot-product scale would overflow
+        an inertia SUM);
+      * assignment = argmin integer squared-Euclidean distance, ties on
+        the smaller centroid id;
+      * update = per-dimension integer mean, truncated toward zero via
+        (s - s % n) / n (both engines' % follows the dividend sign, so
+        the truncation is portable even for negative sums);
+      * init = the k rows with smallest id (deterministic seed);
+      * an emptied cluster keeps its previous centroid.
+
+    Scale shape per iteration: the centroid table is k x d BIGINTs —
+    aggregate-grain, so it is collect()ed to the driver and
+    re-broadcast as a literal frame (the MLlib pattern; this also
+    truncates the lineage so iterations don't stack a growing plan).
+    Assignment is a broadcast cross join against k rows; the update is
+    ONE shuffle keyed (centroid, dim) with map-side partial sums.
+    Nothing corpus-sized ever reaches the driver.
+
+    Returns one row per centroid: (centroid_id, n_vecs, inertia_q,
+    centroid_sum_q, centroid_q) where inertia_q is the exact integer
+    inertia of the FINAL assignment against the final centroids,
+    centroid_sum_q the BIGINT sum of the centroid's components (a
+    scalar fingerprint of the vector) and centroid_q the quantized
+    centroid itself.
+    """
+    spark = df.sparkSession
+    centroids, final = _kmeans_loop(df, k, iters, id_col, vec_col, scale)
     stats = final.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("dist").alias("inertia_q"),
@@ -727,3 +743,178 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+# --- semantic dedup (SemDeDup) ------------------------------------------------
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_scale: int = 1000,
+    dot_scale: int = 10_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then look for near-duplicate pairs ONLY within each
+    cluster and keep one representative per duplicate relation.
+
+    Determinism/exactness: clustering is the repo's integer Lloyd's
+    (``_kmeans_loop``, scale=1e3); pair cosines use the d5 contract —
+    1e-7-quantized components, exact BIGINT dot/norm sums, one double
+    division per pair (no accumulation-order sensitivity). The keep
+    rule is "drop a vector iff some SMALLER id in its cluster is within
+    the threshold" — a total-order greedy that needs no iteration and
+    is cell-exact in SQL.
+
+    Scale shape: this is the whole point of SemDeDup — the quadratic
+    pair generation is fenced inside clusters. The self-join is an
+    equi-join on cid (k partitions of n/k rows each), never a corpus
+    cross product; with k scaled ~sqrt(n) the per-cluster work stays
+    bounded. Assignment itself is a broadcast of k centroids. At 100 TB
+    you raise k (paper uses 50k clusters) — the plan shape is constant.
+
+    Returns one row per input vector: (vec_id, centroid_id, is_kept).
+    """
+    _, final = _kmeans_loop(df, k, iters, id_col, vec_col, cluster_scale)
+    assign = final.select("id", "cid")
+
+    qv = df.select(
+        F.col(id_col).alias("id"),
+        _quantize(F.col(vec_col), dot_scale).alias("q"),
+    ).join(assign, "id")
+
+    a = qv.select(
+        F.col("cid"), F.col("id").alias("id_a"), F.col("q").alias("qa")
+    )
+    b = qv.select(
+        F.col("cid"), F.col("id").alias("id_b"), F.col("q").alias("qb")
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _qdot(F.col("qa"), F.col("qb"))
+            / (
+                F.sqrt(_qdot(F.col("qa"), F.col("qa")))
+                * F.sqrt(_qdot(F.col("qb"), F.col("qb")))
+            ),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assign.join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cid").alias("centroid_id"),
+            F.col("__drop").isNull().cast("int").alias("is_kept"),
+        )
+    )
+
+
+# --- distributed linear algebra: Gram matrix + PCA ---------------------------
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact integer Gram matrix G = Xq^T Xq of the quantized embedding
+    column (upper triangle, 1-based indices): the distributed substrate
+    for PCA / whitening / covariance diagnostics over corpus-scale
+    embedding tables.
+
+    Exactness: components quantize via floor(x * scale) (BIGINT), every
+    product and sum is integer — identical on any engine, partitioning
+    or batch order. With |x| <= ~2 and scale=1e3 a product is <= ~4e6,
+    so the BIGINT sum holds ~2e12 rows before overflow — document-scale
+    headroom (raise via a DECIMAL sum if ever needed).
+
+    Scale shape: per-Arrow-batch partial Gram in numpy int64 (d x d per
+    batch — ``mapInPandas``, the vectorized path), then ONE shuffle of
+    d*(d+1)/2-row partials keyed (i, j) with map-side combine. Nothing
+    row-scale ever shuffles; the driver never sees row data. This is
+    the standard tree-aggregate X^T X pattern (MLlib computeGramian).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qdf = df.select(_quantize(F.col(vec_col), scale).alias("xq"))
+
+    def _partial(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["xq"]])
+            g = x.T @ x  # int64-exact
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "g_part": g[iu, ju]}
+            )
+
+    partials = qdf.mapInPandas(_partial, schema="i int, j int, g_part long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("g_part").alias("g_q")
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Project embeddings onto the top principal directions of the
+    (uncentered) quantized Gram matrix — the dimensionality-reduction
+    pass in front of clustering / visual triage.
+
+    The d x d Gram aggregate (exact, from ``gram_matrix``) is collected
+    to the driver — aggregate-grain by construction — eigendecomposed
+    with numpy (symmetric ``eigh``), and the top components re-enter
+    the plan as literal arrays: projection is a broadcast of d*r
+    doubles + row-local dot products, no shuffle. Eigenvectors are
+    float (engine-specific in the last ulp) so this operator is
+    pytest-verified (orthogonality / variance ordering / reconstruction
+    bounds), not oracle-gated; sign is fixed deterministically (largest
+    |component| made positive) so repeated runs agree.
+    """
+    import numpy as np
+
+    d_rows = gram_matrix(df, vec_col=vec_col, scale=scale).collect()
+    dim = max(r["j"] for r in d_rows)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in d_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["g_q"]
+        g[r["j"] - 1, r["i"] - 1] = r["g_q"]
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # d x r
+    # deterministic sign: the largest-|.| entry of each component > 0
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    out = df.select(F.col(id_col), F.col(vec_col))
+    for c in range(comps.shape[1]):
+        lit_vec = F.array(*[F.lit(float(v)) for v in comps[:, c]])
+        out = out.withColumn(f"pc{c + 1}", dot(F.col(vec_col), lit_vec))
+    return out.drop(vec_col)

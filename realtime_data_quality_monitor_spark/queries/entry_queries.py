@@ -38,6 +38,7 @@ from ..operators import (
     metrics,
     multimodal,
     quality_filters,
+    retrieval,
     similarity,
     sketches,
     skew,
@@ -4359,9 +4360,11 @@ def q_s6_kmeans_embeddings(spark, sf_dir):
     return out.select("centroid_id", "n_vecs", "inertia_q", "centroid_sum_q")
 
 
-def _sql_s6(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
+def _sql_s6_ctes(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
     """Unrolled Lloyd iterations as chained CTEs (assign a{i} -> dim
-    sums u{i} -> centroids c{i}, empty clusters keep c{i-1}'s row)."""
+    sums u{i} -> centroids c{i}, empty clusters keep c{i-1}'s row).
+    Returns the WITH-body only (ending in the ``afinal`` assignment) so
+    both the k-means entry (s6) and semantic dedup (s10) compose it."""
 
     def assign(cin: str, aout: str) -> str:
         return f"""
@@ -4400,9 +4403,12 @@ def _sql_s6(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
         SELECT cid, list(CAST((s - (s % n)) / n AS BIGINT) ORDER BY pos) AS c
         FROM u{i} GROUP BY cid) m USING (cid))""")
     parts.append(assign(f"c{iters}", "afinal"))
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _sql_s6(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
     return f"""
-    WITH {body}
+    WITH {_sql_s6_ctes(k, iters, scale)}
     SELECT f.centroid_id, f.n_vecs, f.inertia_q, cs.centroid_sum_q
     FROM (
       SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -4926,6 +4932,151 @@ SQL_SK7 = f"""
 
 
 # ---------------------------------------------------------------------------
+# session 7: hashed classifier, tf-idf retrieval, SemDeDup, Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def q_g6_clf_score_documents(spark, sf_dir):
+    """fastText-style hashed linear classifier scoring pass
+    (quality_filters.hashed_linear_score): token -> md5 feature bucket
+    -> integer bucket weight, tf-weighted BIGINT sum per document, keep
+    iff score >= 0. Row-local column algebra, zero shuffles; the
+    weights are a closed-form keyed-md5 function of the bucket so the
+    oracle is cell-exact without a model artifact."""
+    d = quality_filters.hashed_linear_score(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "clf_score", "clf_keep")
+
+
+SQL_G6 = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(toks, t ->
+          CAST('0x' || substr(md5(
+            CAST(CAST('0x' || substr(md5(t || '|qclf|b'), 1, 8) AS BIGINT)
+                 % 4096 AS VARCHAR)
+            || '|qclf|w'), 1, 8) AS BIGINT) % 2001 - 1000
+        )), 0) AS BIGINT) AS clf_score
+      FROM toks)
+    SELECT doc_id, clf_score, CAST(clf_score >= 0 AS INT) AS clf_keep
+    FROM scored
+"""
+
+
+TFIDF_QUERY_TERMS = ["hash", "join", "stream", "vector"]
+
+
+def q_t12_tfidf_topk_documents(spark, sf_dir):
+    """Quantized tf-idf retrieval (retrieval.tfidf_topk): inverted
+    postings filtered to the literal query terms BEFORE any shuffle,
+    document frequencies broadcast back, exact BIGINT scores
+    (idf_q = (N * 1e6) // df — linear quantized idf, no cross-engine
+    log ulps), global top-15 via TakeOrderedAndProject with doc-id tie
+    break."""
+    return retrieval.tfidf_topk(
+        _t(spark, sf_dir, "documents"), TFIDF_QUERY_TERMS, k=15
+    )
+
+
+SQL_T12 = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    posting AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents)
+      WHERE tok IN ('hash', 'join', 'stream', 'vector')
+      GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term,
+             CAST((n_docs * 1000000)
+                  // CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS BIGINT)
+               AS idf_q
+      FROM posting, n GROUP BY term, n_docs),
+    scored AS (
+      SELECT p.doc_id, CAST(SUM(p.tf * d.idf_q) AS BIGINT) AS score_q
+      FROM posting p JOIN dfreq d USING (term) GROUP BY 1)
+    SELECT doc_id, score_q,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS INT)
+             AS rank
+    FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT 15
+"""
+
+
+def q_s10_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): integer k-means fences the
+    quadratic, near-dup pairs are found only WITHIN clusters (equi-join
+    on centroid id, d5's exact quantized-cosine contract), and a vector
+    is dropped iff a smaller id in its cluster is within threshold.
+    The oracle composes the unrolled-Lloyd CTEs (s6) with the d5 pair
+    algebra — an iterative-clustering + dedup pipeline, cell-exact."""
+    out = similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.4
+    )
+    return out.select("vec_id", "centroid_id", "is_kept")
+
+
+SQL_S10 = f"""
+    WITH {{ctes}},
+    pairs0 AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.id < b.id),
+    terms AS (
+      SELECT p.id_a, p.id_b,
+        CAST(floor(UNNEST(ea.embedding)::DOUBLE * 10000000.0e0) AS BIGINT)
+          AS qa,
+        CAST(floor(UNNEST(eb.embedding)::DOUBLE * 10000000.0e0) AS BIGINT)
+          AS qb
+      FROM pairs0 p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b),
+    dots AS (
+      SELECT id_a, id_b, CAST(SUM(qa * qb) AS DOUBLE) AS dab,
+             CAST(SUM(qa * qa) AS DOUBLE) AS daa,
+             CAST(SUM(qb * qb) AS DOUBLE) AS dbb
+      FROM terms GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT id_b FROM dots
+      WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.4e0)
+    SELECT f.id AS vec_id, f.cid AS centroid_id,
+           CAST(d.id_b IS NULL AS INT) AS is_kept
+    FROM afinal f LEFT JOIN dropped d ON f.id = d.id_b
+""".format(ctes=_sql_s6_ctes())
+
+
+def q_s11_gram_matrix_embeddings(spark, sf_dir):
+    """Distributed exact Gram matrix (similarity.gram_matrix): per-batch
+    numpy int64 partial X^T X via mapInPandas, one (i, j)-keyed shuffle
+    of d*(d+1)/2-row partials with map-side combine — the tree-aggregate
+    substrate for PCA/whitening. Upper triangle, 1-based indices."""
+    return similarity.gram_matrix(_t(spark, sf_dir, "embeddings")).select(
+        "i", "j", "g_q"
+    )
+
+
+SQL_S11 = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000.0e0) AS BIGINT)) AS q
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, u.i AS i, u.x AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(q, (x, i) -> {'i': i, 'x': x})) AS u
+            FROM v))
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS g_q
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -4947,7 +5098,9 @@ SQL_SK7 = f"""
 #   q4, q7, q12, q13, q15, q17, q19, q22 (session 5 TPC-H);
 #   s7, s8, s9 (session 5 product quantization + IVF-PQ);
 #   g4, g5, d12 (session 6 C4 filters + duplicate-line removal);
-#   sk5, sk6, sk7 (session 6 histogram sketch + quantiles + drift).
+#   sk5, sk6, sk7 (session 6 histogram sketch + quantiles + drift);
+#   g6, t12, s10, s11 (session 7 hashed classifier, tf-idf retrieval,
+#   SemDeDup, Gram matrix).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5089,4 +5242,12 @@ ENTRY_QUERIES = {
     "sk5_hist_events": (q_sk5_hist_events, SQL_SK5),
     "sk6_hist_quantiles_events": (q_sk6_hist_quantiles_events, SQL_SK6),
     "sk7_hist_drift_events": (q_sk7_hist_drift_events, SQL_SK7),
+    # -- session 7: classifier / retrieval / semantic dedup / linalg -----
+    "g6_clf_score_documents": (q_g6_clf_score_documents, SQL_G6),
+    "t12_tfidf_topk_documents": (q_t12_tfidf_topk_documents, SQL_T12),
+    "s10_semantic_dedup_embeddings": (
+        q_s10_semantic_dedup_embeddings,
+        SQL_S10,
+    ),
+    "s11_gram_matrix_embeddings": (q_s11_gram_matrix_embeddings, SQL_S11),
 }

@@ -1,0 +1,175 @@
+"""Session-7 operators vs independent pure-Python/numpy oracles:
+hashed linear classifier, tf-idf retrieval, SemDeDup, Gram matrix/PCA."""
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import (
+    quality_filters as qf,
+)
+from realtime_data_quality_monitor_spark.operators import retrieval, similarity
+
+
+def _h32(key: str, seed: str, salt: str) -> int:
+    return int(hashlib.md5(f"{key}|{seed}|{salt}".encode()).hexdigest()[:8], 16)
+
+
+def _py_clf_score(text: str, n_buckets=4096, seed="qclf", span=1000) -> int:
+    score = 0
+    for t in text.split(" "):
+        if not t:
+            continue
+        bucket = _h32(t, seed, "b") % n_buckets
+        score += _h32(str(bucket), seed, "w") % (2 * span + 1) - span
+    return score
+
+
+DOCS = [
+    (0, "spark join hash join"),
+    (1, "stream vector vector vector"),
+    (2, ""),
+    (3, "  padded   tokens  "),
+    (4, "hash hash hash hash stream"),
+    (5, "unrelated words only here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_hashed_linear_score_matches_python(docs_df):
+    rows = {
+        r["doc_id"]: r
+        for r in qf.hashed_linear_score(docs_df).collect()
+    }
+    for doc_id, text in DOCS:
+        want = _py_clf_score(text)
+        assert rows[doc_id]["clf_score"] == want, doc_id
+        assert rows[doc_id]["clf_keep"] == int(want >= 0)
+
+
+def test_hashed_linear_score_empty_text_is_zero(docs_df):
+    r = {x["doc_id"]: x for x in qf.hashed_linear_score(docs_df).collect()}
+    assert r[2]["clf_score"] == 0 and r[2]["clf_keep"] == 1
+
+
+def _py_tfidf(docs, terms, k, idf_scale=1_000_000):
+    n = len(docs)
+    tf = {}
+    for doc_id, text in docs:
+        c = Counter(t for t in text.split(" ") if t and t in terms)
+        if c:
+            tf[doc_id] = c
+    df = Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    idf = {t: (n * idf_scale) // d for t, d in df.items()}
+    scores = {
+        doc_id: sum(cnt * idf[t] for t, cnt in c.items())
+        for doc_id, c in tf.items()
+    }
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(doc_id, s, i + 1) for i, (doc_id, s) in enumerate(ranked)]
+
+
+def test_tfidf_topk_matches_python(docs_df):
+    terms = ["hash", "join", "vector"]
+    got = [
+        (r["doc_id"], r["score_q"], r["rank"])
+        for r in retrieval.tfidf_topk(docs_df, terms, k=3).collect()
+    ]
+    assert got == _py_tfidf(DOCS, set(terms), 3)
+
+
+def test_tfidf_topk_validates_inputs(docs_df):
+    with pytest.raises(ValueError):
+        retrieval.tfidf_topk(docs_df, [], k=3)
+    with pytest.raises(ValueError):
+        retrieval.tfidf_topk(docs_df, ["hash"], k=0)
+
+
+def _rand_vecs(n=40, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim).astype(np.float32)
+    # plant near-duplicates so the dedup path has real work
+    v[11] = v[3] + 0.01 * rng.randn(dim).astype(np.float32)
+    v[29] = v[3] + 0.01 * rng.randn(dim).astype(np.float32)
+    v[17] = v[8] + 0.01 * rng.randn(dim).astype(np.float32)
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    v = _rand_vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(len(v))],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_semantic_dedup_keep_rule(emb_df):
+    thr = 0.9
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            emb_df, k=3, iters=2, threshold=thr
+        ).collect()
+    }
+    assert len(out) == 40  # one row per input vector
+    v = _rand_vecs()
+    q = np.floor(v.astype(np.float64) * 1e7).astype(np.int64)
+    cid = {i: out[i]["centroid_id"] for i in out}
+
+    def cos(i, j):
+        return (q[i] @ q[j]) / (
+            math.sqrt(q[i] @ q[i]) * math.sqrt(q[j] @ q[j])
+        )
+
+    dropped_want = {
+        j
+        for j in range(40)
+        for i in range(j)
+        if cid[i] == cid[j] and cos(i, j) >= thr
+    }
+    got = {i for i in out if out[i]["is_kept"] == 0}
+    assert got == dropped_want
+    assert dropped_want  # the planted dups actually exercised the rule
+
+
+def test_gram_matrix_matches_numpy(emb_df):
+    rows = similarity.gram_matrix(emb_df, scale=1000).collect()
+    v = _rand_vecs()
+    q = np.floor(v.astype(np.float64) * 1000).astype(np.int64)
+    g = q.T @ q
+    assert len(rows) == 8 * 9 // 2  # upper triangle incl. diagonal
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert r["g_q"] == g[r["i"] - 1, r["j"] - 1]
+
+
+def test_pca_project_properties(emb_df):
+    out = similarity.pca_project(emb_df, n_components=3).toPandas()
+    assert list(out.columns) == ["vec_id", "pc1", "pc2", "pc3"]
+    p = out.sort_values("vec_id")[["pc1", "pc2", "pc3"]].to_numpy()
+    # uncentered PCA: component energies (sum of squared projections)
+    # come out in decreasing eigenvalue order
+    e = (p**2).sum(axis=0)
+    assert e[0] >= e[1] >= e[2] > 0
+    # projections onto distinct eigenvectors of Xq^T Xq are uncorrelated
+    # up to quantization: the eigenvectors come from the scale=1000
+    # integer Gram while the projection dots the raw floats, so the
+    # cross terms carry ~1e-3 relative quantization noise, not zero
+    cross = p.T @ p
+    off = np.abs(cross[np.triu_indices(3, k=1)])
+    assert np.all(off <= 1e-2 * np.max(np.abs(cross)))
+    # deterministic across runs (sign fixing)
+    out2 = similarity.pca_project(emb_df, n_components=3).toPandas()
+    p2 = out2.sort_values("vec_id")[["pc1", "pc2", "pc3"]].to_numpy()
+    assert np.allclose(p, p2, rtol=0, atol=0)
