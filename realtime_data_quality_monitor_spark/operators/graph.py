@@ -1,0 +1,132 @@
+"""Link-graph analytics for corpus curation.
+
+Web-scale corpus pipelines rank sources by link authority (Common
+Crawl publishes harmonic-centrality / PageRank-style host ranks, and
+curation recipes weight or threshold on them). This module provides a
+deterministic integer PageRank over an (src, dst) edge table plus the
+degree statistics that feed it.
+
+Exactness contract: ranks are scaled BIGINTs. Each iteration is
+
+    contrib(e)  = pr[src] // outdeg[src]            (exact floor)
+    pr'[v]      = (scale * (den - num)) // den
+                  + (num * sum(contrib into v)) // den
+
+with damping num/den (default 85/100) — every step is integer floor
+arithmetic, so any engine / partitioning / run produces identical
+ranks, and a SQL oracle can unroll the iterations as chained CTEs
+(the s6 k-means pattern). Floor truncation loses < 1 per division —
+bounded drift that is part of the pinned definition, not error.
+
+Scale shape (the standard distributed PageRank):
+
+  * out-degrees are computed ONCE and live with the rank frame
+    (joined on src each iteration — an equi-join co-partitioned by the
+    same key the contribution shuffle just produced);
+  * one shuffle per iteration: contributions groupBy(dst). Map-side
+    partial sums absorb hub fan-in; an irreducibly hot dst (a
+    mega-hub) is the documented salted-agg escape (operators/skew.py);
+  * per-iteration ``localCheckpoint`` truncates the lineage so the
+    plan does not grow with iteration count (the
+    dedup.connected_components pattern);
+  * dangling vertices (no out-edges) keep receiving the teleport term;
+    their own mass is NOT redistributed — the simple-sink variant,
+    pinned by the oracle.
+
+Reference parity note: the reference repo has no graph surface; this
+is training-data-pipeline surface per SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact BIGINT floor division for non-negative values."""
+    a, b = a.cast("long"), b.cast("long")
+    return ((a - a % b) / b).cast("long")
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-vertex in/out degree (full outer over both endpoints):
+    (vertex, out_deg, in_deg) with absent sides as 0."""
+    out_d = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "vertex", "full")
+        .select(
+            "vertex",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Deterministic integer PageRank over an (src, dst) edge frame.
+
+    Vertices are the union of both endpoints; every vertex starts at
+    ``scale``. Returns (vertex, pr_q) — the scaled BIGINT rank after
+    ``iters`` exact integer iterations (see module docstring for the
+    update rule and the scale shape).
+    """
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("pagerank: need 0 < damping_num < damping_den")
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+
+    pr = verts.withColumn("pr_q", F.lit(int(scale)).cast("long"))
+    teleport = (scale * (damping_den - damping_num)) // damping_den
+    for _ in range(iters):
+        contribs = (
+            pr.join(out_deg, "vertex")  # dangling vertices emit nothing
+            .withColumn("share", _idiv(F.col("pr_q"), F.col("out_deg")))
+            .join(e, F.col("vertex") == F.col("src"))
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("share").cast("long").alias("mass"))
+        )
+        pr = (
+            verts.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(int(teleport)).cast("long")
+                    + _idiv(
+                        F.lit(int(damping_num))
+                        * F.coalesce(F.col("mass"), F.lit(0)),
+                        F.lit(int(damping_den)),
+                    )
+                ).alias("pr_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

@@ -91,9 +91,11 @@ def tfidf_topk(
     )
 
     # document frequencies: at most |terms| rows -> broadcast back.
+    # postings is unique per (doc_id, term) by construction, so a plain
+    # COUNT is the distinct doc count — no distinct-aggregate expand.
     dfreq = (
         postings.groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .crossJoin(F.broadcast(n_docs))  # one-row totals frame
         .withColumn(
             "idf_q",

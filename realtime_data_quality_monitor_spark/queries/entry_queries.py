@@ -35,6 +35,7 @@ from ..operators import (
     anomaly,
     dedup,
     export,
+    graph,
     metrics,
     multimodal,
     quality_filters,
@@ -5076,6 +5077,119 @@ SQL_S11 = """
 """
 
 
+def _doc_link_edges(docs: DataFrame) -> DataFrame:
+    """Closed-form link graph over the documents table (the m1-m3
+    derived-fixture pattern): each doc emits 3 out-links whose targets
+    are keyed-md5 draws over the other doc ids (self-loops excluded by
+    the shift trick), so both engines build the identical graph."""
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    e = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "__n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("j").cast("string"),
+                    F.lit("links"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = h % (F.col("__n") - F.lit(1))
+    dst = F.when(r >= F.col("doc_id"), r + 1).otherwise(r)
+    return e.select(F.col("doc_id").alias("src"), dst.alias("dst"))
+
+
+_SQL_GR_EDGES = """
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src, n_docs,
+             CAST('0x' || substr(md5(d.doc_id || '|' || js.j || '|links'),
+                                 1, 8) AS BIGINT) % (n_docs - 1) AS r
+      FROM documents d, n, (SELECT unnest([1, 2, 3]) AS j) js),
+    edges AS (
+      SELECT src, CASE WHEN r >= src THEN r + 1 ELSE r END AS dst
+      FROM e0)
+"""
+
+
+def q_gr1_pagerank_documents(spark, sf_dir):
+    """Integer PageRank over the derived doc link graph (operators/
+    graph.py): 2 exact integer iterations, damping 85/100, scale 1e6.
+    The third iterative distributed algorithm with a cell-exact
+    unrolled-CTE oracle (after k-means s6 and connected components d8);
+    one contribution shuffle per iteration, lineage truncated per
+    round."""
+    edges = _doc_link_edges(_t(spark, sf_dir, "documents"))
+    return graph.pagerank(edges, iters=2).select("vertex", "pr_q")
+
+
+SQL_GR1 = f"""
+    WITH {_SQL_GR_EDGES},
+    odeg AS (
+      SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS out_deg
+      FROM edges GROUP BY 1),
+    verts AS (
+      SELECT src AS vertex FROM edges
+      UNION SELECT dst FROM edges),
+    pr0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS pr_q FROM verts),
+    c1 AS (
+      SELECT e.dst AS vertex,
+             CAST(SUM(p.pr_q // o.out_deg) AS BIGINT) AS mass
+      FROM pr0 p JOIN odeg o USING (vertex)
+      JOIN edges e ON e.src = p.vertex GROUP BY 1),
+    pr1 AS (
+      SELECT v.vertex,
+             CAST(150000 + (85 * coalesce(c.mass, 0)) // 100 AS BIGINT)
+               AS pr_q
+      FROM verts v LEFT JOIN c1 c USING (vertex)),
+    c2 AS (
+      SELECT e.dst AS vertex,
+             CAST(SUM(p.pr_q // o.out_deg) AS BIGINT) AS mass
+      FROM pr1 p JOIN odeg o USING (vertex)
+      JOIN edges e ON e.src = p.vertex GROUP BY 1),
+    pr2 AS (
+      SELECT v.vertex,
+             CAST(150000 + (85 * coalesce(c.mass, 0)) // 100 AS BIGINT)
+               AS pr_q
+      FROM verts v LEFT JOIN c2 c USING (vertex))
+    SELECT vertex, pr_q FROM pr2
+"""
+
+
+def q_gr2_degree_stats_documents(spark, sf_dir):
+    """In/out degree per vertex of the derived link graph
+    (graph.degree_stats): two grouped counts + one full outer join."""
+    edges = _doc_link_edges(_t(spark, sf_dir, "documents"))
+    return graph.degree_stats(edges).select("vertex", "out_deg", "in_deg")
+
+
+SQL_GR2 = f"""
+    WITH {_SQL_GR_EDGES},
+    o AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS out_deg
+          FROM edges GROUP BY 1),
+    i AS (SELECT dst AS vertex, CAST(COUNT(*) AS BIGINT) AS in_deg
+          FROM edges GROUP BY 1)
+    SELECT coalesce(o.vertex, i.vertex) AS vertex,
+           CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+    FROM o FULL OUTER JOIN i ON o.vertex = i.vertex
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5100,7 +5214,8 @@ SQL_S11 = """
 #   g4, g5, d12 (session 6 C4 filters + duplicate-line removal);
 #   sk5, sk6, sk7 (session 6 histogram sketch + quantiles + drift);
 #   g6, t12, s10, s11 (session 7 hashed classifier, tf-idf retrieval,
-#   SemDeDup, Gram matrix).
+#   SemDeDup, Gram matrix); gr1, gr2 (session 7 integer PageRank +
+#   degree stats over the derived link graph).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5250,4 +5365,6 @@ ENTRY_QUERIES = {
         SQL_S10,
     ),
     "s11_gram_matrix_embeddings": (q_s11_gram_matrix_embeddings, SQL_S11),
+    "gr1_pagerank_documents": (q_gr1_pagerank_documents, SQL_GR1),
+    "gr2_degree_stats_documents": (q_gr2_degree_stats_documents, SQL_GR2),
 }

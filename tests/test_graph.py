@@ -1,0 +1,88 @@
+"""Integer PageRank / degree stats vs a pure-Python oracle."""
+
+import random
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import graph
+
+
+def _py_pagerank(edges, iters=2, num=85, den=100, scale=1_000_000):
+    verts = sorted({v for e in edges for v in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: scale for v in verts}
+    teleport = (scale * (den - num)) // den
+    for _ in range(iters):
+        mass = {v: 0 for v in verts}
+        for s, d in edges:
+            mass[d] += pr[s] // outdeg[s]
+        pr = {v: teleport + (num * mass[v]) // den for v in verts}
+    return pr
+
+
+def _rand_edges(n=60, m=180, seed=13):
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d:
+            es.add((s, d))
+    return sorted(es)
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(_rand_edges(), ["src", "dst"])
+
+
+def test_pagerank_matches_python(edges_df):
+    got = {
+        r["vertex"]: r["pr_q"]
+        for r in graph.pagerank(edges_df, iters=3).collect()
+    }
+    assert got == _py_pagerank(_rand_edges(), iters=3)
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # a directed ring: every vertex has out/in degree 1, so the exact
+    # fixed point is the uniform start and every iteration returns it
+    n = 12
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    rows = graph.pagerank(ring, iters=4).collect()
+    assert {r["pr_q"] for r in rows} == {1_000_000}
+    assert len(rows) == n
+
+
+def test_pagerank_dangling_sink_keeps_teleport(spark):
+    # 0 -> 1 only: vertex 0 receives nothing (teleport floor), vertex 1
+    # receives all of 0's share; 0's outdeg=1 so share = pr[0]
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    got = {r["vertex"]: r["pr_q"] for r in graph.pagerank(df, iters=1).collect()}
+    assert got == {0: 150_000, 1: 150_000 + 85 * 1_000_000 // 100}
+
+
+def test_pagerank_validates(edges_df):
+    with pytest.raises(ValueError):
+        graph.pagerank(edges_df, iters=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(edges_df, damping_num=100, damping_den=100)
+
+
+def test_degree_stats_matches_python(edges_df):
+    es = _rand_edges()
+    out_d, in_d = {}, {}
+    for s, d in es:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[d] = in_d.get(d, 0) + 1
+    got = {
+        r["vertex"]: (r["out_deg"], r["in_deg"])
+        for r in graph.degree_stats(edges_df).collect()
+    }
+    verts = {v for e in es for v in e}
+    assert got == {
+        v: (out_d.get(v, 0), in_d.get(v, 0)) for v in verts
+    }
