@@ -1,0 +1,19 @@
+"""Shared exact-arithmetic column helpers (the cross-engine parity
+primitives several operator modules rely on — single definition so the
+invariants live in one place)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division of NON-NEGATIVE BIGINTs without
+    leaving column algebra: (a - a % b) is exactly divisible by b, and
+    an exactly-divisible double division below 2^53 is exact. Callers
+    whose numerators can exceed 2^53 (e.g. count*scale at extreme
+    corpus sizes) must route through DECIMAL instead."""
+    a = a.cast("long")
+    b = b.cast("long")
+    return ((a - a % b) / b).cast("long")

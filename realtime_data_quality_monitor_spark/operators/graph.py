@@ -39,16 +39,12 @@ is training-data-pipeline surface per SURVEY.md §2.7.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv as _idiv
+
 PR_SCALE = 1_000_000
-
-
-def _idiv(a: Column, b: Column) -> Column:
-    """Exact BIGINT floor division for non-negative values."""
-    a, b = a.cast("long"), b.cast("long")
-    return ((a - a % b) / b).cast("long")
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
@@ -100,8 +96,12 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    out_deg = e.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).cast("long").alias("out_deg")
+    out_deg = (
+        e.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+        # computed ONCE for real: without materialization every
+        # iteration's checkpoint replays this corpus-scale aggregate
+        .localCheckpoint(eager=True)
     )
 
     pr = verts.withColumn("pr_q", F.lit(int(scale)).cast("long"))

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv
+from .export import keyed_md5_hex
 from .textstats import tokens_col
 
 MILLION = 1_000_000
@@ -52,13 +54,8 @@ MILLION = 1_000_000
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def _idiv(a: Column, b: Column) -> Column:
-    """Exact integer floor division of non-negative BIGINTs without
-    leaving column algebra: (a - a % b) is exactly divisible by b, and
-    an exactly-divisible double division below 2^53 is exact."""
-    a = a.cast("long")
-    b = b.cast("long")
-    return ((a - (a % b)) / b).cast("long")
+# exact floor division — single shared definition (functions/exact.py)
+_idiv = idiv
 
 
 def word_char_count(toks: Column) -> Column:
@@ -393,11 +390,12 @@ def gopher_keep_flag(
 # ---------------------------------------------------------------------------
 
 def _hash32(key: Column, seed: str, salt: str) -> Column:
-    """Uniform BIGINT in [0, 2^32) from md5(key|seed|salt) — the repo's
-    engine-portable keyed hash (export._key_hash's formula, restated
-    here so the classifier columns stay self-contained row algebra)."""
-    h = F.md5(F.concat_ws("|", key.cast("string"), F.lit(seed), F.lit(salt)))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    """Uniform BIGINT in [0, 2^32) from md5(key|seed|salt) — delegates
+    to the repo's single keyed-hash definition (export.keyed_md5_hex)
+    so the engine-portable contract lives in one place."""
+    return F.conv(F.substring(keyed_md5_hex(key, seed, salt), 1, 8), 16, 10).cast(
+        "long"
+    )
 
 
 def hashed_linear_score(
@@ -443,10 +441,16 @@ def hashed_linear_score(
         draw = _hash32(bucket, seed, "w")
         return draw % F.lit(2 * weight_span + 1) - F.lit(weight_span)
 
-    score = F.aggregate(
-        F.transform(toks, _weight),
+    # NULL text null-propagates through split/transform/aggregate;
+    # coalesce to 0 so a null document scores 0 / keep=1 exactly like
+    # the oracle's coalesce(list_sum(...), 0).
+    score = F.coalesce(
+        F.aggregate(
+            F.transform(toks, _weight),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        ),
         F.lit(0).cast("long"),
-        lambda acc, w: acc + w,
     )
     return df.withColumns(
         {

@@ -32,20 +32,13 @@ pair generation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv as _idiv
 from .textstats import tokens_col
 
 IDF_SCALE = 1_000_000
-
-
-def _idiv(a: Column, b: Column) -> Column:
-    """Exact BIGINT floor division of non-negative values: (a - a % b)
-    is exactly divisible, and an exactly-divisible double division of
-    magnitudes below 2^53 is exact (the repo-standard trick)."""
-    a, b = a.cast("long"), b.cast("long")
-    return ((a - a % b) / b).cast("long")
 
 
 def tfidf_topk(

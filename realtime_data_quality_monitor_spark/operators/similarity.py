@@ -790,12 +790,19 @@ def semantic_dedup(
     Returns one row per input vector: (vec_id, centroid_id, is_kept).
     """
     _, final = _kmeans_loop(df, k, iters, id_col, vec_col, cluster_scale)
-    assign = final.select("id", "cid")
 
-    qv = df.select(
-        F.col(id_col).alias("id"),
-        _quantize(F.col(vec_col), dot_scale).alias("q"),
-    ).join(assign, "id")
+    # one materialization feeds all three consumers (both sides of the
+    # pair join and the output frame) — without it Catalyst replays the
+    # assignment lineage (broadcast join + per-id window over the
+    # corpus) per consumer.
+    qv = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _quantize(F.col(vec_col), dot_scale).alias("q"),
+        )
+        .join(final.select("id", "cid"), "id")
+        .localCheckpoint(eager=True)
+    )
 
     a = qv.select(
         F.col("cid"), F.col("id").alias("id_a"), F.col("q").alias("qa")
@@ -808,17 +815,21 @@ def semantic_dedup(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            _qdot(F.col("qa"), F.col("qb"))
-            / (
+            # try_divide: an all-zero quantized vector has norm 0 — the
+            # pair yields NULL (filtered below), matching the oracle's
+            # SQL NULL division instead of an ANSI DIVIDE_BY_ZERO abort
+            F.try_divide(
+                _qdot(F.col("qa"), F.col("qb")),
                 F.sqrt(_qdot(F.col("qa"), F.col("qa")))
-                * F.sqrt(_qdot(F.col("qb"), F.col("qb")))
+                * F.sqrt(_qdot(F.col("qb"), F.col("qb"))),
             ),
         )
         .where(F.col("cos") >= F.lit(float(threshold)))
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return (
-        assign.join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
+        qv.select("id", "cid")
+        .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
         .select(
             F.col("id").alias("vec_id"),
             F.col("cid").alias("centroid_id"),

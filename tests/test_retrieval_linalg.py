@@ -59,6 +59,13 @@ def test_hashed_linear_score_empty_text_is_zero(docs_df):
     assert r[2]["clf_score"] == 0 and r[2]["clf_keep"] == 1
 
 
+def test_hashed_linear_score_null_text_scores_zero(spark):
+    # NULL text must match the oracle's coalesce(list_sum(...), 0)
+    df = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = qf.hashed_linear_score(df).collect()[0]
+    assert r["clf_score"] == 0 and r["clf_keep"] == 1
+
+
 def _py_tfidf(docs, terms, k, idf_scale=1_000_000):
     n = len(docs)
     tf = {}
@@ -141,6 +148,21 @@ def test_semantic_dedup_keep_rule(emb_df):
     got = {i for i in out if out[i]["is_kept"] == 0}
     assert got == dropped_want
     assert dropped_want  # the planted dups actually exercised the rule
+
+
+def test_semantic_dedup_zero_vector_survives(spark):
+    # a vector that quantizes to all zeros has norm 0: its pairs must
+    # yield NULL cosine (filtered) — not an ANSI DIVIDE_BY_ZERO abort —
+    # and the vector itself stays kept
+    rows = [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [1e-9, 1e-9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in similarity.semantic_dedup(
+            df, k=1, iters=1, threshold=0.9
+        ).collect()
+    }
+    assert out == {0: 1, 1: 0, 2: 1}
 
 
 def test_gram_matrix_matches_numpy(emb_df):
