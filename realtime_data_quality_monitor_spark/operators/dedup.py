@@ -698,3 +698,109 @@ def drop_duplicate_lines(
         ).alias("clean_text"),
     )
     return rebuilt
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level repeated-SPAN removal — the exact-substring dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021) at n-token granularity: every token covered by an n-token
+    span whose fingerprint occurs >= ``min_count`` times ACROSS THE
+    CORPUS is removed (all copies — repeated boilerplate carries no
+    signal), and each document's surviving tokens are re-joined in
+    original order. The suffix-array formulation of the paper finds
+    maximal repeats; fixed-n shingle cover is the shuffle-friendly
+    equivalent (a repeat of length L >= n is covered by its L - n + 1
+    constituent shingles).
+
+    Returns (id_col, n_tokens, n_dropped, clean_text) — one row per
+    input document, docs shorter than n tokens pass through untouched,
+    empty/NULL text yields ('', 0, 0).
+
+    Scale shape — no corpus-wide sort, no self-join:
+      1. shingle fingerprints (md5 of the n-token window) are counted
+         with a window keyed on the fingerprint (shuffle #1; same skew
+         escape as drop_duplicate_lines: a boilerplate-dominated corpus
+         swaps the window for groupBy-count + broadcast of the tiny
+         frequent set);
+      2. frequent span starts expand to covered positions row-locally
+         (explode of an n-element sequence) and distinct on
+         (doc, position) — shuffle #2 keyed (doc, pos);
+      3. the token stream left-joins the covered set on (doc, pos) —
+         co-partitioned with shuffle #2's key — and one hash aggregate
+         keyed by document rebuilds clean_text from each doc's OWN
+         sorted (pos, token) structs (shuffle #3; per-group k log k).
+    """
+    if n < 2:
+        raise ValueError("drop_repeated_spans: n must be >= 2")
+    staged = df.select(
+        id_col, tokens_col(F.col(text_col)).alias("__toks")
+    )
+
+    tokens = staged.select(
+        id_col, F.posexplode_outer("__toks").alias("__pos", "__tok")
+    )
+
+    # one struct per span start (1-based slice, 0-based positions out)
+    # sequence(1, 0) would be DESCENDING [1, 0], not empty — docs
+    # shorter than n tokens must contribute no span starts at all
+    n_starts = F.size("__toks") - F.lit(n - 1)
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = staged.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    (i - 1).alias("spos"),
+                    F.md5(F.array_join(F.slice("__toks", i, n), " ")).alias(
+                        "fp"
+                    ),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.spos").alias("__spos"), F.col("__s.fp").alias("__fp"))
+
+    cnt_w = Window.partitionBy("__fp")
+    covered = (
+        spans.withColumn("__c", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("__c") >= min_count)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__spos"), F.col("__spos") + F.lit(n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+        .withColumn("__covered", F.lit(1))
+    )
+
+    flagged = tokens.join(covered, [id_col, "__pos"], "left")
+    return flagged.groupBy(id_col).agg(
+        F.count("__tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("__covered").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("__pos", "__tok", "__covered")
+                        )
+                    ),
+                    lambda s: s["__tok"].isNotNull()
+                    & s["__covered"].isNull(),
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

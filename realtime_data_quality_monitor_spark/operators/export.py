@@ -437,3 +437,56 @@ def stratified_take(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the
+    audit primitive for incremental corpus refreshes (what changed
+    between yesterday's crawl load and today's?).
+
+    Returns one row per key present in either side:
+    (key_cols..., status) with status in
+    {'added', 'removed', 'changed', 'unchanged'}; 'changed' means any
+    compared column differs under NULL-SAFE equality (NULL == NULL is
+    unchanged, NULL vs value is changed).
+
+    Scale shape: ONE full-outer shuffle join keyed on key_cols — both
+    sides hash-partition once, no sort, no driver data. Comparison is
+    row-local column algebra after the join. Skewed hot keys are not
+    expected (keys are unique per side by contract); if the contract is
+    violated the join degenerates and the caller should dedup first.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff: key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    missing = [c for c in compare_cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: new side lacks columns {missing}")
+
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("__o_present"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("__n_present"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__n_present").isNull(), F.lit("removed"))
+        .when(F.col("__o_present").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*key_cols, status.alias("status"))

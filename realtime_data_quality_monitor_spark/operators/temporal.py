@@ -232,3 +232,44 @@ def session_stats(
             _us(F.max(ts_col)) - _us(F.min(ts_col))
         ).alias("duration_us"),
     )
+
+
+def session_window_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "12 hours",
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``F.session_window``
+    aggregate — the built-in dynamic-gap session operator (also the
+    streaming-capable form: the same expression works under a watermark
+    in Structured Streaming).
+
+    Boundary semantics, pinned by test: session_window merges windows
+    that overlap OR TOUCH — an event exactly ``gap`` after the previous
+    one stays in the SAME session (verified empirically on Spark 4:
+    events at 2h and 5h with a 3h gap merge), i.e. a new session starts
+    only when the inter-event gap is STRICTLY greater than ``gap`` —
+    the same boundary rule as the lag-based ``session_stats``.
+
+    Rows with a NULL timestamp cannot be assigned a window and are
+    filtered (session_window would reject them); NULL key values group
+    as their own key, matching SQL GROUP BY.
+
+    Scale shape: one shuffle keyed on the session keys; Spark merges
+    windows with a per-group sort (no corpus-wide sort). Returns
+    (key_cols..., session_start, session_end, n_events) where
+    session_end = last event + gap (the operator's native definition).
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*key_cols, w.alias("__sw"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("__sw.start").alias("session_start"),
+            F.col("__sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -5190,6 +5190,207 @@ SQL_GR2 = f"""
 """
 
 
+def q_w3_session_window_events(spark, sf_dir):
+    """Spark's NATIVE session_window aggregate (temporal.
+    session_window_stats) — the built-in dynamic-gap sessionizer, 12h
+    gap on user_id. Boundary semantics pinned by test: windows that
+    touch MERGE (a gap of exactly 12h stays in the session; a new one
+    starts only when the gap strictly exceeds it — same rule as w1);
+    session_end = last event + gap. One shuffle keyed by user."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.session_window_stats(ev, ["user_id"], gap="12 hours")
+
+
+SQL_W3 = f"""
+    WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+    b AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS bnd
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(bnd) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 12 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+def _snap_h(salt: str) -> F.Column:
+    """Keyed 32-bit draw for the snapshot-diff fixture derivation."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.lit("snap"), F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _snapshot_new(docs: DataFrame) -> DataFrame:
+    """Closed-form 'today' snapshot derived from documents: ~1/19 of
+    rows deleted, ~1/13 of survivors get ' [v2]' appended, ~1/29 spawn
+    an added row at doc_id + 1e6 — both engines derive it identically."""
+    base = docs.select("doc_id", "text")
+    kept = base.filter(_snap_h("del") % 19 != 0)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            _snap_h("mod") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = base.filter(_snap_h("add") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return modified.unionByName(added)
+
+
+def q_e11_snapshot_diff_documents(spark, sf_dir):
+    """Snapshot diff (export.snapshot_diff): one full-outer shuffle
+    join keyed on doc_id, null-safe column comparison, statuses
+    added/removed/changed — the audit pass for incremental corpus
+    refreshes. The 'new' side derives closed-form from documents."""
+    docs = _t(spark, sf_dir, "documents")
+    d = export.snapshot_diff(
+        docs.select("doc_id", "text"), _snapshot_new(docs), ["doc_id"]
+    )
+    return d.filter(F.col("status") != "unchanged").select("doc_id", "status")
+
+
+SQL_E11 = """
+    WITH base AS (
+      SELECT doc_id, text,
+        CAST('0x' || substr(md5(doc_id || '|snap|del'), 1, 8) AS BIGINT)
+          % 19 AS hd,
+        CAST('0x' || substr(md5(doc_id || '|snap|mod'), 1, 8) AS BIGINT)
+          % 13 AS hm,
+        CAST('0x' || substr(md5(doc_id || '|snap|add'), 1, 8) AS BIGINT)
+          % 29 AS ha
+      FROM documents),
+    nw AS (
+      SELECT doc_id,
+             CASE WHEN hm = 0 THEN text || ' [v2]' ELSE text END AS text
+      FROM base WHERE hd <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE ha = 0),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM (SELECT doc_id, text FROM documents) o
+      FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+    SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+
+_SPAN_BOILER = [
+    "subscribe to our newsletter today",
+    "all rights reserved legal notice",
+    "click here to read more now",
+]
+
+
+def _span_pages(docs: DataFrame) -> DataFrame:
+    """Derived fixture for repeated-span removal: every doc gets one of
+    three 5-token boilerplate sentences appended (keyed-md5 choice), so
+    each variant's interior 4-grams occur ~N/3 times corpus-wide while
+    organic 4-grams stay far below the threshold."""
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("boiler"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    variant = F.element_at(
+        F.array(*[F.lit(s) for s in _SPAN_BOILER]), (draw % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), variant).alias("text")
+    )
+
+
+def q_d13_repeated_span_removal_documents(spark, sf_dir):
+    """Exact-substring dedup at 4-token-span granularity (dedup.
+    drop_repeated_spans, Lee et al. 2021's repeated-substring pass as
+    shingle cover): spans whose fingerprint occurs >= 20 times
+    corpus-wide mark their token positions, covered tokens drop, docs
+    rebuild in order. Fixture plants 3 boilerplate sentences (the
+    derived-page pattern); three shuffles, no corpus sort."""
+    pages = _span_pages(_t(spark, sf_dir, "documents"))
+    return dedup.drop_repeated_spans(pages, n=4, min_count=20).select(
+        "doc_id", "n_tokens", "n_dropped", "clean_text"
+    )
+
+
+SQL_D13 = """
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' ' ||
+             CASE CAST('0x' || substr(md5(doc_id || '|boiler'), 1, 8)
+                       AS BIGINT) % 3
+               WHEN 0 THEN 'subscribe to our newsletter today'
+               WHEN 1 THEN 'all rights reserved legal notice'
+               ELSE 'click here to read more now' END AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM pages),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS pos, u.x AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x}))
+                     AS u
+            FROM t)),
+    sh AS (
+      SELECT doc_id, u.i - 1 AS spos, u.fp AS fp
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                     i -> {'i': i,
+                           'fp': md5(array_to_string(toks[i:i+3], ' '))}))
+                     AS u
+            FROM t WHERE len(toks) >= 4)),
+    cnt AS (
+      SELECT doc_id, spos, COUNT(*) OVER (PARTITION BY fp) AS c FROM sh),
+    cov AS (
+      SELECT DISTINCT doc_id, spos + js.j AS pos
+      FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS j) js
+      WHERE c >= 20),
+    flagged AS (
+      SELECT tok.doc_id, tok.pos, tok.tok,
+             cov.pos IS NOT NULL AS dropped
+      FROM tok LEFT JOIN cov USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(dropped::INT) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(
+               list(tok ORDER BY pos) FILTER (WHERE NOT dropped), ' '), '')
+               AS clean_text
+      FROM flagged GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_dropped, 0) AS n_dropped,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5215,7 +5416,9 @@ SQL_GR2 = f"""
 #   sk5, sk6, sk7 (session 6 histogram sketch + quantiles + drift);
 #   g6, t12, s10, s11 (session 7 hashed classifier, tf-idf retrieval,
 #   SemDeDup, Gram matrix); gr1, gr2 (session 7 integer PageRank +
-#   degree stats over the derived link graph).
+#   degree stats over the derived link graph);
+#   w3, e11, d13 (session 8 native session_window, snapshot diff,
+#   repeated-span removal).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5367,4 +5570,10 @@ ENTRY_QUERIES = {
     "s11_gram_matrix_embeddings": (q_s11_gram_matrix_embeddings, SQL_S11),
     "gr1_pagerank_documents": (q_gr1_pagerank_documents, SQL_GR1),
     "gr2_degree_stats_documents": (q_gr2_degree_stats_documents, SQL_GR2),
+    "w3_session_window_events": (q_w3_session_window_events, SQL_W3),
+    "e11_snapshot_diff_documents": (q_e11_snapshot_diff_documents, SQL_E11),
+    "d13_repeated_span_removal_documents": (
+        q_d13_repeated_span_removal_documents,
+        SQL_D13,
+    ),
 }

@@ -1,0 +1,117 @@
+"""session_window_stats / snapshot_diff / drop_repeated_spans vs
+pure-Python oracles (session-8 operators)."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import dedup, export, temporal
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_session_window_boundary_merges_on_touch(spark):
+    # PINS the session_window boundary rule the oracle depends on:
+    # an event exactly gap later MERGES (touching windows coalesce);
+    # only a strictly larger gap starts a new session; NULL ts filtered
+    rows = [
+        ("u1", _ts(0)),
+        ("u1", _ts(2)),
+        ("u1", _ts(5)),  # exactly 3h after _ts(2) -> SAME session
+        ("u1", _ts(8, 0, 1)),  # 3h1s later -> new session
+        ("u2", _ts(1)),
+        ("u2", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in temporal.session_window_stats(
+            df, ["user_id"], gap="3 hours"
+        ).collect()
+    )
+    assert out == [
+        ("u1", _ts(0), _ts(8), 3),  # end = last(5h) + 3h gap
+        ("u1", _ts(8, 0, 1), _ts(11, 0, 1), 1),
+        ("u2", _ts(1), _ts(4), 1),
+    ]
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, x string, y long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, None, 40), (5, "e", 50)],
+        "k long, x string, y long",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in export.snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",  # NULL -> 20 is a change under null-safe eq
+        3: "removed",
+        4: "unchanged",  # NULL == NULL is unchanged
+        5: "added",
+    }
+
+
+def test_snapshot_diff_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, x string")
+    with pytest.raises(ValueError):
+        export.snapshot_diff(df, df, [])
+    with pytest.raises(ValueError):
+        export.snapshot_diff(df, df.select("k"), ["k"])
+
+
+def _py_drop_spans(docs, n, min_count):
+    toks = {d: [t for t in text.split(" ") if t] for d, text in docs}
+    counts = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            fp = hashlib.md5(" ".join(tk[i : i + n]).encode()).hexdigest()
+            counts[fp] = counts.get(fp, 0) + 1
+    out = {}
+    for d, tk in toks.items():
+        covered = set()
+        for i in range(len(tk) - n + 1):
+            fp = hashlib.md5(" ".join(tk[i : i + n]).encode()).hexdigest()
+            if counts[fp] >= min_count:
+                covered.update(range(i, i + n))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        out[d] = (len(tk), len(covered), " ".join(kept))
+    return out
+
+
+def test_drop_repeated_spans_matches_python(spark):
+    boiler = "one two three four five"
+    docs = [
+        (0, "alpha beta " + boiler),
+        (1, "gamma " + boiler + " delta"),
+        (2, boiler),
+        (3, "unique words only here today now"),
+        (4, "tiny doc"),  # shorter than n: untouched
+        (5, ""),  # empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["clean_text"])
+        for r in dedup.drop_repeated_spans(df, n=4, min_count=3).collect()
+    }
+    assert got == _py_drop_spans(docs, 4, 3)
+    # the planted boilerplate is gone everywhere, organic text survives
+    assert got[0] == (7, 5, "alpha beta")
+    assert got[2] == (5, 5, "")
+    assert got[4] == (2, 0, "tiny doc")
+    assert got[5] == (0, 0, "")
+
+
+def test_drop_repeated_spans_validates(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.drop_repeated_spans(df, n=1)
