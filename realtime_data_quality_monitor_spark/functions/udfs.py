@@ -66,3 +66,23 @@ def scrub_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(
         [None if t is None else scrub_text(t) for t in texts], dtype="object"
     )
+
+
+@pandas_udf(StringType())
+def normalize_unicode_udf(texts: pd.Series) -> pd.Series:
+    """NFC-compose + lowercase + strip combining accents (NFD -> drop
+    Mn -> NFC) — the multilingual normalization stage; Arrow-batched,
+    per-string loop (the documented fast path on this host). Parity
+    with DuckDB's strip_accents(lower(nfc_normalize(...))) is pinned on
+    the Latin accent subset by the t13 oracle."""
+    import unicodedata
+
+    def f(x):
+        if x is None:
+            return None
+        x = unicodedata.normalize("NFC", x).lower()
+        x = unicodedata.normalize("NFD", x)
+        x = "".join(c for c in x if not unicodedata.combining(c))
+        return unicodedata.normalize("NFC", x)
+
+    return texts.map(f)

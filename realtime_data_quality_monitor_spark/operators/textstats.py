@@ -295,3 +295,33 @@ def chunk_spans(text: Column, chunk_tokens: int, stride: int) -> Column:
             ).alias("chunk_text"),
         ),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Multilingual text normalization (the CCNet/mC4 cleaning stage):
+    NFC-compose, lowercase, strip combining accents — so 'Café',
+    'café' and the decomposed 'cafe'+U+0301 all normalize to 'cafe'
+    and downstream dedup/fingerprints see one form.
+
+    Implementation: Arrow-batched pandas UDF (functions/udfs.py::
+    normalize_unicode_udf; Spark has no built-in Unicode normalizer).
+    Row-local: no shuffle, the corpus scan stays embarrassingly
+    parallel. Cross-engine parity is pinned on the Latin accent subset
+    (probed against DuckDB's nfc_normalize/lower/strip_accents);
+    locale-sensitive edge cases (Turkish I-dot, eszett) are outside the
+    oracle-gated contract and documented as such.
+
+    Adds ``out_col`` and ``changed`` (INT 0/1: normalized form differs
+    from the input; NULL text stays NULL with changed=0).
+    """
+    from ..functions.udfs import normalize_unicode_udf
+
+    out = df.withColumn(out_col, normalize_unicode_udf(F.col(text_col)))
+    return out.withColumn(
+        "changed",
+        (~F.col(out_col).eqNullSafe(F.col(text_col))).cast("int"),
+    )

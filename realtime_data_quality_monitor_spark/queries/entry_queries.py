@@ -5391,6 +5391,68 @@ SQL_D13 = """
 """
 
 
+# unicode-decorated fixture variants: composed e-acute, DECOMPOSED
+# e + combining acute (NFC folds them together), uppercase U-umlaut,
+# and a plain-ASCII control. Explicit codepoints on both sides so no
+# editor/encoding ambiguity can slip into the parity contract.
+_NORM_VARIANTS = ["caf\u00e9", "cafe\u0301", "M\u00dcNCHEN", "plainword"]
+
+
+def _norm_pages(docs: DataFrame) -> DataFrame:
+    """Decorated fixture for unicode normalization: one accent variant
+    appended per doc by keyed draw (the derived-page pattern)."""
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("norm"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    variant = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_VARIANTS]), (draw % 4 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), variant).alias("text")
+    )
+
+
+def q_t13_normalize_unicode_documents(spark, sf_dir):
+    """Unicode normalization pass (textstats.normalize_unicode): NFC +
+    lowercase + accent strip via an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer) — row-local, no shuffle. The fixture plants
+    composed/decomposed/uppercase accent variants; DuckDB's
+    nfc_normalize/lower/strip_accents mirror the pinned Latin-subset
+    contract."""
+    pages = _norm_pages(_t(spark, sf_dir, "documents"))
+    return textstats.normalize_unicode(pages).select(
+        "doc_id", "norm_text", "changed"
+    )
+
+
+SQL_T13 = """
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' ' ||
+             CASE CAST('0x' || substr(md5(doc_id || '|norm'), 1, 8)
+                       AS BIGINT) % 4
+               WHEN 0 THEN 'caf' || chr(233)
+               WHEN 1 THEN 'cafe' || chr(769)
+               WHEN 2 THEN 'M' || chr(220) || 'NCHEN'
+               ELSE 'plainword' END AS text
+      FROM documents),
+    n AS (
+      SELECT doc_id, text,
+             strip_accents(lower(nfc_normalize(text))) AS norm_text
+      FROM pages)
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN norm_text IS NOT DISTINCT FROM text
+                     THEN 0 ELSE 1 END AS INT) AS changed
+    FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5418,7 +5480,7 @@ SQL_D13 = """
 #   SemDeDup, Gram matrix); gr1, gr2 (session 7 integer PageRank +
 #   degree stats over the derived link graph);
 #   w3, e11, d13 (session 8 native session_window, snapshot diff,
-#   repeated-span removal).
+#   repeated-span removal); t13 (session 9 unicode normalization).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5575,5 +5637,9 @@ ENTRY_QUERIES = {
     "d13_repeated_span_removal_documents": (
         q_d13_repeated_span_removal_documents,
         SQL_D13,
+    ),
+    "t13_normalize_unicode_documents": (
+        q_t13_normalize_unicode_documents,
+        SQL_T13,
     ),
 }

@@ -316,3 +316,63 @@ def test_d12_duplicate_line_removal_is_two_exchanges(spark):
     p = _plan(spark, out, "simple")
     assert _n_shuffles(spark, out) == 2, p
     assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_g6_classifier_is_row_local(spark):
+    df = eq.ENTRY_QUERIES["g6_clf_score_documents"][0](spark, SF)
+    p = _plan(spark, df)
+    assert "Exchange" not in p  # zero shuffles: pure row algebra
+    assert "BatchEvalPython" not in p  # no Python in the plan either
+
+
+def test_t12_tfidf_single_corpus_scan(spark):
+    df = eq.ENTRY_QUERIES["t12_tfidf_topk_documents"][0](spark, SF)
+    p = _plan(spark, df)
+    # global k via TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in p
+    # the postings frame is checkpoint-reused: at most ONE parquet scan
+    # (the count(*) totals frame) appears; consumers read the RDD scan
+    assert p.count("FileScan") <= 1
+    assert "Scan ExistingRDD" in p
+
+
+def test_s11_gram_matrix_one_exchange_pruned_scan(spark):
+    df = eq.ENTRY_QUERIES["s11_gram_matrix_embeddings"][0](spark, SF)
+    p = _plan(spark, df)
+    assert _n_shuffles(spark, df) == 1  # (i, j)-keyed partial-sum merge
+    assert "ReadSchema: struct<embedding" in p  # column-pruned scan
+
+
+def test_s10_semantic_dedup_no_cartesian(spark):
+    df = eq.ENTRY_QUERIES["s10_semantic_dedup_embeddings"][0](spark, SF)
+    p = _plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gr1_pagerank_reads_checkpoints_no_cartesian(spark):
+    df = eq.ENTRY_QUERIES["gr1_pagerank_documents"][0](spark, SF)
+    p = _plan(spark, df)
+    assert "Scan ExistingRDD" in p  # edges/degrees materialized once
+    assert "CartesianProduct" not in p
+
+
+def test_w3_session_window_single_exchange(spark):
+    df = eq.ENTRY_QUERIES["w3_session_window_events"][0](spark, SF)
+    assert _n_shuffles(spark, df) == 1  # keyed by user only
+
+
+def test_e11_snapshot_diff_is_one_full_outer_join(spark):
+    df = eq.ENTRY_QUERIES["e11_snapshot_diff_documents"][0](spark, SF)
+    p = _plan(spark, df)
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_d13_span_removal_bounded_shuffles_no_cartesian(spark):
+    df = eq.ENTRY_QUERIES["d13_repeated_span_removal_documents"][0](spark, SF)
+    p = _plan(spark, df)
+    assert "CartesianProduct" not in p
+    # fp count window + covered distinct + token join + doc rebuild:
+    # bounded small shuffle count, never a corpus-wide sort node at root
+    assert _n_shuffles(spark, df) <= 5

@@ -115,3 +115,27 @@ def test_drop_repeated_spans_validates(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.drop_repeated_spans(df, n=1)
+
+
+def test_normalize_unicode_forms(spark):
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    rows = [
+        (0, "café"),          # composed e-acute
+        (1, "café"),         # decomposed e + combining acute
+        (2, "MÜNCHEN"),       # uppercase U-umlaut
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_text"], r["changed"])
+        for r in textstats.normalize_unicode(df).collect()
+    }
+    assert got == {
+        0: ("cafe", 1),
+        1: ("cafe", 1),
+        2: ("munchen", 1),
+        3: ("plain ascii", 0),
+        4: (None, 0),
+    }
