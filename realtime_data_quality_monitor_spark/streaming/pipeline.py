@@ -378,3 +378,53 @@ __all__ = [
     "DEFAULT_WINDOW",
     "DEFAULT_WATERMARK",
 ]
+
+
+def run_stream_sessions(
+    sdf: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    gap: str = "12 hours",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming gap sessionization with Spark's NATIVE session_window
+    aggregate under a watermark — the Structured Streaming twin of
+    temporal.session_window_stats (same merge rule: touching windows
+    coalesce). Append mode emits a session only once it can no longer
+    grow: the watermark (max observed event time minus the delay) has
+    passed the session's end, so late events within the delay still
+    merge instead of corrupting an emitted row. The tail sessions —
+    those still within gap+delay of the stream's frontier — stay in
+    state and emit on later batches; a finite availableNow replay
+    therefore emits exactly the sessions whose end <= final watermark
+    (pinned by the batch-equality test).
+
+    State per key is one open-session row plus merge candidates —
+    bounded by activity, evicted at watermark; this is the
+    memory-bounded alternative to buffering raw events for the
+    lag-based formulation, which streaming cannot do unbounded.
+    """
+    agg = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("__sw"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("__sw.start").alias("session_start"),
+            F.col("__sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

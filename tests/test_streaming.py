@@ -342,3 +342,59 @@ def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) == docs.count()
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
+    """Native session_window under a watermark: the availableNow replay
+    must emit exactly the batch sessions whose end the final watermark
+    passed; the still-open tail stays in state (append-mode contract)."""
+    import datetime as dt
+
+    from realtime_data_quality_monitor_spark.operators.temporal import (
+        session_window_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        t = base + dt.timedelta(minutes=u)
+        for s in range(3):  # 3 sessions per user, 2h apart
+            for i in range(1 + (u + s) % 3):
+                rows.append((f"u{u}", t))
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=2)
+    # frontier event: pushes the watermark far past every session above
+    rows.append(("sentinel", base + dt.timedelta(days=30)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "sess_out")
+    q = sp.run_stream_sessions(
+        spark.readStream.schema("user_id string, ts timestamp").parquet(src),
+        out,
+        str(tmp_path / "sess_ckpt"),
+        gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = session_window_stats(
+        spark.read.parquet(src), ["user_id"], gap="30 minutes"
+    )
+    # final watermark = max event time - delay; closed = end <= watermark
+    wm = base + dt.timedelta(days=30) - dt.timedelta(minutes=10)
+    want = (
+        batch.filter(F.col("session_end") <= F.lit(wm))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(want) >= 18  # every non-sentinel session closed
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
