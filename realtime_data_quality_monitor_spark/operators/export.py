@@ -465,9 +465,17 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: key_cols must be non-empty")
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_cols]
-    missing = [c for c in compare_cols if c not in new.columns]
-    if missing:
-        raise ValueError(f"snapshot_diff: new side lacks columns {missing}")
+    overlap = [c for c in compare_cols if c in key_cols]
+    if overlap:
+        raise ValueError(
+            f"snapshot_diff: compare_cols overlap key_cols {overlap}"
+        )
+    for side, frame in (("old", old), ("new", new)):
+        missing = [c for c in compare_cols if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff: {side} side lacks columns {missing}"
+            )
 
     o = old.select(
         *key_cols,

@@ -261,10 +261,24 @@ def session_window_stats(
     (key_cols..., session_start, session_end, n_events) where
     session_end = last event + gap (the operator's native definition).
     """
+    return session_window_agg(
+        df.filter(F.col(ts_col).isNotNull()), key_cols, ts_col, gap
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str,
+) -> DataFrame:
+    """The shared session_window groupBy/agg/select — ONE definition
+    consumed by both the batch operator above and the streaming
+    ``run_stream_sessions`` (which applies its watermark first), so the
+    documented batch/stream twinhood cannot silently diverge."""
     w = F.session_window(F.col(ts_col), gap)
     return (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(*key_cols, w.alias("__sw"))
+        df.groupBy(*key_cols, w.alias("__sw"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(
             *key_cols,

@@ -3883,16 +3883,21 @@ SQL_G3 = f"""
 # ---------------------------------------------------------------------------
 
 
+def _keyed_draw(*parts: F.Column) -> F.Column:
+    """Raw 32-bit keyed draw — md5('part1|part2|...') first 8 hex chars
+    as BIGINT (THE repo-standard engine-portable keyed hash; single
+    definition for every derived-fixture site in this module). Parts
+    must already be string columns/literals."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def _page_draw(i, seed: str) -> F.Column:
-    """Raw 32-bit keyed draw for line ``i`` of the current doc —
-    md5('doc_id|i|seed') first 8 hex chars as BIGINT (the repo-standard
-    engine-portable keyed hash)."""
-    h = F.md5(
-        F.concat_ws(
-            "|", F.col("doc_id").cast("string"), i.cast("string"), F.lit(seed)
-        )
+    """Keyed draw for line ``i`` of the current doc."""
+    return _keyed_draw(
+        F.col("doc_id").cast("string"), i.cast("string"), F.lit(seed)
     )
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
 def _paged(df: DataFrame, line_fn) -> DataFrame:
@@ -5223,19 +5228,9 @@ SQL_W3 = f"""
 
 def _snap_h(salt: str) -> F.Column:
     """Keyed 32-bit draw for the snapshot-diff fixture derivation."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.col("doc_id").cast("string"), F.lit("snap"), F.lit(salt)
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    return _keyed_draw(
+        F.col("doc_id").cast("string"), F.lit("snap"), F.lit(salt)
+    )
 
 
 def _snapshot_new(docs: DataFrame) -> DataFrame:
@@ -5308,20 +5303,14 @@ def _span_pages(docs: DataFrame) -> DataFrame:
     three 5-token boilerplate sentences appended (keyed-md5 choice), so
     each variant's interior 4-grams occur ~N/3 times corpus-wide while
     organic 4-grams stay far below the threshold."""
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("boiler"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = _keyed_draw(F.col("doc_id").cast("string"), F.lit("boiler"))
     variant = F.element_at(
         F.array(*[F.lit(s) for s in _SPAN_BOILER]), (draw % 3 + 1).cast("int")
     )
+    # F.concat (not concat_ws): NULL-propagating exactly like the
+    # oracle's '||' — a NULL text yields a NULL page on BOTH engines
     return docs.select(
-        "doc_id", F.concat_ws(" ", F.col("text"), variant).alias("text")
+        "doc_id", F.concat(F.col("text"), F.lit(" "), variant).alias("text")
     )
 
 
@@ -5401,20 +5390,14 @@ _NORM_VARIANTS = ["caf\u00e9", "cafe\u0301", "M\u00dcNCHEN", "plainword"]
 def _norm_pages(docs: DataFrame) -> DataFrame:
     """Decorated fixture for unicode normalization: one accent variant
     appended per doc by keyed draw (the derived-page pattern)."""
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("norm"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = _keyed_draw(F.col("doc_id").cast("string"), F.lit("norm"))
     variant = F.element_at(
         F.array(*[F.lit(s) for s in _NORM_VARIANTS]), (draw % 4 + 1).cast("int")
     )
+    # F.concat (not concat_ws): NULL-propagating exactly like the
+    # oracle's '||' — a NULL text yields a NULL page on BOTH engines
     return docs.select(
-        "doc_id", F.concat_ws(" ", F.col("text"), variant).alias("text")
+        "doc_id", F.concat(F.col("text"), F.lit(" "), variant).alias("text")
     )
 
 

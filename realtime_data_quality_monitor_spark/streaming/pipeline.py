@@ -407,17 +407,13 @@ def run_stream_sessions(
     memory-bounded alternative to buffering raw events for the
     lag-based formulation, which streaming cannot do unbounded.
     """
-    agg = (
-        sdf.filter(F.col(ts_col).isNotNull())
-        .withWatermark(ts_col, watermark)
-        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("__sw"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .select(
-            *key_cols,
-            F.col("__sw.start").alias("session_start"),
-            F.col("__sw.end").alias("session_end"),
-            "n_events",
-        )
+    from ..operators.temporal import session_window_agg
+
+    agg = session_window_agg(
+        sdf.filter(F.col(ts_col).isNotNull()).withWatermark(ts_col, watermark),
+        list(key_cols),
+        ts_col,
+        gap,
     )
     writer = (
         agg.writeStream.outputMode("append")

@@ -67,6 +67,10 @@ def test_snapshot_diff_validates(spark):
         export.snapshot_diff(df, df, [])
     with pytest.raises(ValueError):
         export.snapshot_diff(df, df.select("k"), ["k"])
+    with pytest.raises(ValueError):  # old side lacks the column too
+        export.snapshot_diff(df.select("k"), df, ["k"], compare_cols=["x"])
+    with pytest.raises(ValueError):  # compare col may not be a key col
+        export.snapshot_diff(df, df, ["k"], compare_cols=["k", "x"])
 
 
 def _py_drop_spans(docs, n, min_count):
