@@ -458,3 +458,44 @@ def hashed_linear_score(
             "clf_keep": (score >= F.lit(threshold)).cast("int"),
         }
     )
+
+
+def simpson_diversity_u(toks: Column) -> Column:
+    """Simpson lexical-diversity index as an exact scaled BIGINT:
+    D = 1 - sum_i (c_i / n)^2 over token counts c_i, emitted as
+    floor(D * 1e6) = 1e6 - ceil(sum(c_i^2) * 1e6 / n^2).
+
+    The RATIONAL diversity signal: Shannon entropy needs a log (engine
+    ulps), Simpson needs only integer counts — so a repetition/
+    diversity quality score stays inside the cell-exact contract.
+    Row-local: counts come from one array_sort + aggregate run-length
+    sweep (the g2 trick), no explode, no shuffle. 0 for empty docs
+    (degenerate: a single repeated token also scores 0)."""
+    sorted_toks = F.array_sort(toks)
+    # run-length sweep: fold (prev, run, sumsq); close the run on change
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sumsq"),
+    )
+
+    def step(acc, t):
+        same = acc["prev"].eqNullSafe(t)
+        return F.struct(
+            t.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["sumsq"]).otherwise(
+                acc["sumsq"] + acc["run"] * acc["run"]
+            ).alias("sumsq"),
+        )
+
+    def fin(acc):
+        return acc["sumsq"] + acc["run"] * acc["run"]
+
+    sumsq = F.aggregate(sorted_toks, acc0, step, fin)
+    n = F.size(toks).cast("long")
+    # ceil(a/b) = (a + b - 1) // b in exact integer algebra
+    num = sumsq * F.lit(MILLION) + n * n - F.lit(1)
+    return F.when(
+        n > 0, F.lit(MILLION).cast("long") - _idiv(num, n * n)
+    ).otherwise(F.lit(0).cast("long"))

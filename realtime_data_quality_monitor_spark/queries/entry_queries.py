@@ -5436,6 +5436,113 @@ SQL_T13 = """
 """
 
 
+def q_g7_diversity_documents(spark, sf_dir):
+    """Simpson lexical diversity per document (quality_filters.
+    simpson_diversity_u): the RATIONAL diversity signal — Shannon
+    entropy needs a log (engine ulps), Simpson needs only integer token
+    counts, so it stays cell-exact. Row-local sorted-run sweep, no
+    shuffle (the Gopher-stack plan shape); the oracle uses the explode
+    + GROUP BY formulation — an independent algorithm, same
+    definition."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        quality_filters.simpson_diversity_u(toks).alias("simpson_u"),
+        quality_filters.type_token_ratio_u(toks).alias("ttr_u"),
+    )
+
+
+SQL_G7 = f"""
+    WITH {_SQL_G_TOKS},
+    c AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS sumsq
+          FROM c GROUP BY 1)
+    SELECT b.doc_id,
+           CASE WHEN b.n_words > 0
+                THEN 1000000 - (s.sumsq * 1000000
+                                + b.n_words * b.n_words - 1)
+                               // (b.n_words * b.n_words)
+                ELSE 0 END AS simpson_u,
+           CASE WHEN b.n_words > 0
+                THEN b.n_distinct * 1000000 // b.n_words
+                ELSE 0 END AS ttr_u
+    FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_p14_source_vocab_overlap(spark, sf_dir):
+    """Corpus-comparison analytics: pairwise vocabulary Jaccard between
+    sources. The (source, token) vocab is distinct-ed once, then
+    self-joined ON TOKEN — each token appears at most n_sources times,
+    so the join fan-out is bounded by sources^2 per token, never
+    corpus-quadratic. Exact integer Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(textstats.tokens_col(F.col("text")))
+            ).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers, one corpus scan
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vsize")
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    out = (
+        inter.join(sz.withColumnRenamed("source", "src_a")
+                     .withColumnRenamed("vsize", "size_a"), "src_a")
+        .join(sz.withColumnRenamed("source", "src_b")
+                .withColumnRenamed("vsize", "size_b"), "src_b")
+    )
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_common")
+    jac = ((F.col("n_common") * F.lit(1_000_000)
+            - (F.col("n_common") * F.lit(1_000_000)) % union_sz)
+           / union_sz).cast("long")
+    return out.select(
+        "src_a", "src_b", "n_common", jac.alias("jaccard_u")
+    )
+
+
+SQL_P14 = """
+    WITH vocab AS (
+      SELECT DISTINCT source, tok AS token
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents)),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vsize
+      FROM vocab GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_common,
+           CAST(i.n_common * 1000000
+                // (sa.vsize + sb.vsize - i.n_common) AS BIGINT)
+             AS jaccard_u
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5463,7 +5570,8 @@ SQL_T13 = """
 #   SemDeDup, Gram matrix); gr1, gr2 (session 7 integer PageRank +
 #   degree stats over the derived link graph);
 #   w3, e11, d13 (session 8 native session_window, snapshot diff,
-#   repeated-span removal); t13 (session 9 unicode normalization).
+#   repeated-span removal); t13 (session 9 unicode normalization);
+#   g7, p14 (session 9 Simpson diversity, source vocab overlap).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5625,4 +5733,6 @@ ENTRY_QUERIES = {
         q_t13_normalize_unicode_documents,
         SQL_T13,
     ),
+    "g7_diversity_documents": (q_g7_diversity_documents, SQL_G7),
+    "p14_source_vocab_overlap": (q_p14_source_vocab_overlap, SQL_P14),
 }

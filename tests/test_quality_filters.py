@@ -190,3 +190,34 @@ def test_c4_no_shuffle_in_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_simpson_diversity_matches_counter(spark):
+    from pyspark.sql import functions as SF
+
+    texts = [
+        (0, "a b c d"),          # all distinct
+        (1, "a a a a"),          # one token repeated -> 0
+        (2, "a a b b c"),
+        (3, ""),                 # empty -> 0
+        (4, "x"),                # single token -> 0
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    toks = SF.filter(SF.split(SF.col("text"), " "), lambda t: t != "")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", qf.simpson_diversity_u(toks).alias("s")
+        ).collect()
+    }
+
+    def py(text):
+        tk = [t for t in text.split(" ") if t]
+        n = len(tk)
+        if n == 0:
+            return 0
+        sumsq = sum(c * c for c in Counter(tk).values())
+        return M - -(-(sumsq * M) // (n * n))  # 1e6 - ceil div
+
+    assert got == {d: py(t) for d, t in texts}
+    assert got[0] == M - 250000 and got[1] == 0 and got[4] == 0
