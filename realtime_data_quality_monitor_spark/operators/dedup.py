@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv as _idiv
 from .textstats import fingerprint, tokens_col
+
+MILLION_U = 1_000_000
 
 
 def exact_duplicates(
@@ -803,4 +806,71 @@ def drop_repeated_spans(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+def edit_distance_refine(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_ratio_u: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate-verify stage for near-dup pipelines: exact Levenshtein
+    refinement of a candidate PAIR list (from MinHash bands, SimHash
+    sub-keys, shingle Jaccard — anything with id_a/id_b columns).
+    The two-stage shape is the production contract: cheap candidate
+    generation bounds the quadratic, exact verification makes the final
+    answer trustworthy.
+
+    Emits (id_a, id_b, lev, lev_ratio_u) for pairs whose scaled ratio
+    floor(lev * 1e6 / max(len_a, len_b)) <= ``max_ratio_u``; an
+    identical pair scores 0, a totally different pair ~1e6.
+
+    Exactness: ``F.levenshtein`` is the standard DP definition —
+    integer, byte-identical across engines (DuckDB's levenshtein
+    matches, probed); the ratio is exact integer floor algebra.
+
+    Scale shape: ONLY candidate pairs are scored, never all pairs;
+    texts join in by id (two hash joins). The length lower bound
+    lev >= |len_a - len_b| is applied BEFORE the O(len_a*len_b) DP, so
+    pairs that cannot possibly pass are dropped by cheap column
+    algebra (JVM-side, inside the join stage)."""
+    t = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("__len"),
+    )
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            t.select(
+                F.col("__id").alias("id_a"),
+                F.col("__t").alias("__ta"),
+                F.col("__len").alias("__la"),
+            ),
+            "id_a",
+        )
+        .join(
+            t.select(
+                F.col("__id").alias("id_b"),
+                F.col("__t").alias("__tb"),
+                F.col("__len").alias("__lb"),
+            ),
+            "id_b",
+        )
+    )
+    gl = F.greatest(F.col("__la"), F.col("__lb"))
+    # lev >= |la - lb|: prune before the quadratic DP
+    lb_diff = F.abs(F.col("__la") - F.col("__lb"))
+    j = j.where((gl == 0) | (lb_diff * F.lit(MILLION_U) <= F.lit(max_ratio_u) * gl))
+    lev = F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long")
+    ratio = F.when(gl > 0, _idiv(lev * F.lit(MILLION_U), gl)).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        j.withColumn("lev", lev)
+        .withColumn("lev_ratio_u", ratio)
+        .where(F.col("lev_ratio_u") <= F.lit(max_ratio_u))
+        .select("id_a", "id_b", "lev", "lev_ratio_u")
     )

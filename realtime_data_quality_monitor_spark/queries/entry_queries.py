@@ -5543,6 +5543,55 @@ SQL_P14 = """
 """
 
 
+def q_d14_edit_distance_refine_documents(spark, sf_dir):
+    """Two-stage near-dup verification (dedup.edit_distance_refine):
+    shingle-Jaccard candidates (loose 0.05 threshold — cheap, bounded
+    by the inverted index) refined by EXACT Levenshtein ratio
+    (JVM-native DP, integer — byte-identical cross-engine). The length
+    lower bound lev >= |len_a - len_b| prunes before the quadratic DP.
+    This is the production candidates->verify contract end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    return dedup.edit_distance_refine(
+        docs, cands, max_ratio_u=600_000
+    ).select("id_a", "id_b", "lev", "lev_ratio_u")
+
+
+SQL_D14 = """
+    WITH arr AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+               AS toks
+      FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id AS id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 2),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    cand AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE intersection::DOUBLE
+            / (sa.set_size + sb.set_size - intersection) >= 0.05e0),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+               AS gl
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b)
+    SELECT id_a, id_b, lev,
+           CAST(CASE WHEN gl > 0 THEN lev * 1000000 // gl ELSE 0 END
+                AS BIGINT) AS lev_ratio_u
+    FROM scored
+    WHERE (CASE WHEN gl > 0 THEN lev * 1000000 // gl ELSE 0 END) <= 600000
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5571,7 +5620,8 @@ SQL_P14 = """
 #   degree stats over the derived link graph);
 #   w3, e11, d13 (session 8 native session_window, snapshot diff,
 #   repeated-span removal); t13 (session 9 unicode normalization);
-#   g7, p14 (session 9 Simpson diversity, source vocab overlap).
+#   g7, p14 (session 9 Simpson diversity, source vocab overlap);
+#   d14 (session 9 Levenshtein candidate refinement).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5735,4 +5785,8 @@ ENTRY_QUERIES = {
     ),
     "g7_diversity_documents": (q_g7_diversity_documents, SQL_G7),
     "p14_source_vocab_overlap": (q_p14_source_vocab_overlap, SQL_P14),
+    "d14_edit_distance_refine_documents": (
+        q_d14_edit_distance_refine_documents,
+        SQL_D14,
+    ),
 }

@@ -143,3 +143,44 @@ def test_normalize_unicode_forms(spark):
         3: ("plain ascii", 0),
         4: (None, 0),
     }
+
+
+def test_edit_distance_refine_matches_python(spark):
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "the quick browne fox"),   # lev 1
+        (2, "totally different words"),
+        (3, ""),
+        (4, ""),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["lev_ratio_u"])
+        for r in dedup.edit_distance_refine(
+            ddf, pairs, max_ratio_u=500_000
+        ).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(d[len(b)])
+
+    txt = dict(docs)
+    want = {}
+    for a, b in [(0, 1), (0, 2), (3, 4), (1, 2)]:
+        gl = max(len(txt[a]), len(txt[b]))
+        lv = lev(txt[a], txt[b])
+        ratio = (lv * 1_000_000) // gl if gl else 0
+        if ratio <= 500_000:
+            want[(a, b)] = (lv, ratio)
+    assert got == want
+    assert (0, 1) in got and (3, 4) in got and (0, 2) not in got
