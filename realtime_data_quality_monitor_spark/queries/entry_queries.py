@@ -36,6 +36,7 @@ from ..operators import (
     dedup,
     export,
     graph,
+    layout,
     metrics,
     multimodal,
     quality_filters,
@@ -5592,6 +5593,63 @@ SQL_D14 = """
 """
 
 
+def _z1_quantized(ev: DataFrame):
+    """Shared quantization for the z-order entry: user_id masked to 16
+    bits, value in 0.1-wide buckets clamped to [0, 65535] — the clamp
+    and widths are the visible caller-owned part of the contract."""
+    a_q = (
+        F.coalesce(F.col("user_id"), F.lit(0))
+        .bitwiseAND(F.lit(65535))
+        .cast("long")
+    )
+    b_q = F.least(
+        F.lit(65535).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(10.0)).cast(
+                "long"
+            ),
+        ),
+    )
+    return a_q, b_q
+
+
+def q_z1_zorder_events(spark, sf_dir):
+    """Z-order (Morton) key for multi-column data skipping
+    (operators/layout.py::zvalue): user_id and 0.1-bucketed value
+    bit-interleaved into one BIGINT — pure integer bit algebra, so the
+    lakehouse OPTIMIZE-ZORDER key itself is oracle-gated; the actual
+    file-pruning win is asserted on real parquet footers in
+    tests/test_layout.py."""
+    ev = _t(spark, sf_dir, "events")
+    a_q, b_q = _z1_quantized(ev)
+    return ev.select(
+        "event_id",
+        a_q.alias("a_q"),
+        b_q.alias("b_q"),
+        layout.zvalue([a_q, b_q], bits=16).alias("z"),
+    )
+
+
+_Z1_TERMS = " + ".join(
+    f"((a_q >> {b}) & 1) * {1 << (2 * b)}"
+    f" + ((b_q >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(16)
+)
+
+SQL_Z1 = f"""
+    WITH q AS (
+      SELECT event_id,
+             CAST(coalesce(user_id, 0) & 65535 AS BIGINT) AS a_q,
+             CAST(least(65535, greatest(0,
+               CAST(floor(coalesce(value, 0.0e0) * 10.0e0) AS BIGINT)))
+               AS BIGINT) AS b_q
+      FROM events)
+    SELECT event_id, a_q, b_q, CAST({_Z1_TERMS} AS BIGINT) AS z
+    FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5621,7 +5679,8 @@ SQL_D14 = """
 #   w3, e11, d13 (session 8 native session_window, snapshot diff,
 #   repeated-span removal); t13 (session 9 unicode normalization);
 #   g7, p14 (session 9 Simpson diversity, source vocab overlap);
-#   d14 (session 9 Levenshtein candidate refinement).
+#   d14 (session 9 Levenshtein candidate refinement);
+#   z1 (session 9 Z-order clustering key).
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -5789,4 +5848,5 @@ ENTRY_QUERIES = {
         q_d14_edit_distance_refine_documents,
         SQL_D14,
     ),
+    "z1_zorder_events": (q_z1_zorder_events, SQL_Z1),
 }
