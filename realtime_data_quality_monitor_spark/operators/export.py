@@ -449,6 +449,14 @@ def snapshot_diff(
     audit primitive for incremental corpus refreshes (what changed
     between yesterday's crawl load and today's?).
 
+    Sibling of ``plans/diff.py::table_diff``: that one emits a CDC
+    CHANGELOG (changed keys only, with the row payload, hash-compared
+    map-side so the join carries one long per side); this one emits a
+    STATUS AUDIT (every key, including 'unchanged', no payload,
+    direct null-safe comparison — and therefore SQL-oracle-gated).
+    Pick by consumer: feed table_diff to merge_apply, feed this to
+    refresh reports.
+
     Returns one row per key present in either side:
     (key_cols..., status) with status in
     {'added', 'removed', 'changed', 'unchanged'}; 'changed' means any

@@ -22,7 +22,10 @@ range-exchange on z (sampling-based bounds, Spark's
 repartitionByRange) plus an in-partition sort — no global sort, no
 driver data. This module does not rewrite tables in place; pair it
 with plans/maintenance.py's rewrite-then-swap for production
-re-clustering.
+re-clustering. ``plans/maintenance.py::zorder_value`` layers a
+quantile-bucket quantization policy (one approxQuantile driver pass)
+on top of this module's ``zvalue`` — one interleave definition, two
+quantization policies.
 """
 
 from __future__ import annotations

@@ -29,7 +29,12 @@ def table_diff(
     """Rows that differ between ``old`` and ``new``:
     (key..., change_type, <new-side payload for insert/update, old-side
     for delete>). Unchanged keys are dropped. ``compare_cols`` defaults
-    to all non-key columns present in BOTH snapshots."""
+    to all non-key columns present in BOTH snapshots.
+
+    Sibling of ``operators/export.py::snapshot_diff``: this is the CDC
+    changelog (payload-carrying, hash-compared, feeds
+    plans/upsert.merge_apply); that is the all-keys status audit
+    (oracle-gated, feeds refresh reports)."""
     if compare_cols is None:
         shared = [c for c in new.columns if c in set(old.columns)]
         compare_cols = [c for c in shared if c not in key_cols]

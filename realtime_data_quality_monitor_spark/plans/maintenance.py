@@ -105,25 +105,25 @@ def _bucket_idx(col, boundaries: list):
 def zorder_value(df: DataFrame, cols: list, bits_per_dim: int = 8):
     """Z-order (Morton) key over two numeric columns: each value maps to
     its quantile bucket (2^bits buckets, boundaries from one
-    approxQuantile pass), bucket bits are interleaved. Sorting by the
+    approxQuantile pass), bucket bits are interleaved
+    (operators/layout.py::zvalue — the single interleave definition;
+    this wrapper owns the QUANTILE-BUCKET quantization policy, while
+    layout.zvalue callers own theirs explicitly). Sorting by the
     key gives files whose min/max footer stats are tight on BOTH
     dimensions — the two-column generalization of ``cluster_parquet``.
     Returns (column, boundaries) so callers can reuse the boundaries."""
+    from ..operators.layout import zvalue
+
     assert len(cols) == 2, "z-order here is 2-dimensional"
     n_b = (1 << bits_per_dim) - 1
     probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
-    z = F.lit(0)
     bounds = {}
-    for ci, name in enumerate(cols):
+    idxs = []
+    for name in cols:
         qs = df.approxQuantile(name, probs, 0.001)
         bounds[name] = qs
-        idx = _bucket_idx(F.col(name), qs)
-        for bit in range(bits_per_dim):
-            z = z + (
-                F.shiftright(idx, bit).bitwiseAND(F.lit(1))
-                * F.lit(1 << (2 * bit + ci))
-            )
-    return z, bounds
+        idxs.append(_bucket_idx(F.col(name), qs))
+    return zvalue(idxs, bits=bits_per_dim), bounds
 
 
 def zorder_parquet(
@@ -137,15 +137,11 @@ def zorder_parquet(
     """Rewrite ``src`` Z-ordered on two columns: range-partition + sort on
     the Morton key, so range queries on EITHER column prune files (a
     single-column sort only prunes its own column)."""
+    from ..operators.layout import zorder_write
+
     df = spark.read.parquet(src)
     if n_files is None:
         n_files = max(1, math.ceil(_dir_bytes(src) / (128 * 1024 * 1024)))
     z, _bounds = zorder_value(df, cols, bits_per_dim)
-    out = (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )
-    out.write.mode("overwrite").parquet(dst)
+    zorder_write(df, z, dst, n_files=n_files)
     return {"target_files": n_files, **file_stats(spark, dst)}

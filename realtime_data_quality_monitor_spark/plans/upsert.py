@@ -101,6 +101,87 @@ def merge_upsert(
         F.broadcast(dedup.select(*key_cols).distinct()), key_cols, "left_anti"
     )
     merged = keep.unionByName(dedup.select(*keep.columns))
+    n = _stage_and_swap(spark, merged, staging, target_path, partition_col)
+    return {"touched_partitions": sorted(parts), "upserted_rows": n}
+
+
+def merge_apply(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key_cols: list,
+    partition_col: str,
+    op_col: str = "_op",
+    order_col: str | None = None,
+    staging_path: str | None = None,
+) -> dict:
+    """CDC apply: fold a change batch carrying an op column
+    ('upsert' | 'delete') into the partitioned parquet table — the
+    MERGE INTO ... WHEN MATCHED DELETE/UPDATE ... WHEN NOT MATCHED
+    INSERT shape over plain parquet. Per key, the LAST change wins
+    (``order_col`` max; ties by the deterministic column sort), so a
+    batch that inserts then deletes a key nets to the delete.
+
+    Same crash-safety, recovery, and single-writer contract as
+    ``merge_upsert`` (shared staging/swap tail): only the touched
+    partitions are rewritten, kept rows can never be lost to a crash.
+
+    Returns {touched_partitions, applied_rows, deleted_keys}.
+    """
+    import os
+
+    staging = staging_path or f"{target_path.rstrip('/')}__staging"
+    if staging_path is None and os.path.isdir(staging):
+        if _staging_committed(staging):
+            resume_swap(spark, staging, target_path, partition_col)
+        _remove_staging(staging)
+
+    parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
+    if not parts:
+        return {"touched_partitions": [], "applied_rows": 0, "deleted_keys": 0}
+
+    data_cols = [c for c in changes.columns if c != op_col]
+    ordering = (
+        [F.col(order_col).desc()] if order_col else []
+    ) + [F.col(c).asc() for c in data_cols if c not in key_cols] + [
+        F.col(op_col).asc()  # total determinism even on data-col ties
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    final = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = final.filter(F.col(op_col) != "delete").drop(op_col)
+    n_deleted = final.filter(F.col(op_col) == "delete").count()
+
+    target = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    # every changed key leaves the kept set; upserted rows re-enter
+    keep = target.join(
+        F.broadcast(final.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    merged = keep.unionByName(upserts.select(*keep.columns))
+    n = _stage_and_swap(spark, merged, staging, target_path, partition_col)
+    return {
+        "touched_partitions": sorted(parts),
+        "applied_rows": n,
+        "deleted_keys": n_deleted,
+    }
+
+
+def _stage_and_swap(
+    spark: SparkSession,
+    merged: DataFrame,
+    staging: str,
+    target_path: str,
+    partition_col: str,
+) -> int:
+    """Shared rewrite-then-swap tail: materialize the merged partitions
+    to staging, mark the commit, swap into the target, clean up.
+    Returns the staged row count."""
+    import os
 
     (
         merged.write.mode("overwrite")
@@ -114,7 +195,7 @@ def merge_upsert(
     n = staged.count()
     resume_swap(spark, staging, target_path, partition_col)
     _remove_staging(staging)
-    return {"touched_partitions": sorted(parts), "upserted_rows": n}
+    return n
 
 
 _COMMIT_MARKER = "_STAGED_COMMIT"

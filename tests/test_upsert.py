@@ -235,3 +235,83 @@ def test_explicit_staging_path_gets_no_recovery_replay(spark, tmp_path):
     assert after.filter("k = 12345").count() == 0
     assert after.filter("p = 0").count() == 200
     assert after.filter("k = 4").collect()[0]["v"] == -8
+
+
+def test_merge_apply_cdc_with_deletes(spark, tmp_path):
+    path = str(tmp_path / "cdc_tbl")
+    _seed_table(spark, path)
+    before_p3 = _file_set(path, "p=3")
+
+    changes = spark.createDataFrame(
+        [
+            (0, -1, 0, "upsert", 1),      # update existing key 0
+            (5, 0, 0, "delete", 1),       # delete existing key 5 (p=0)
+            (9990, -2, 0, "upsert", 1),   # insert new key
+            (6, -9, 1, "upsert", 1),      # insert-then-delete nets to
+            (6, 0, 1, "delete", 2),       #   delete (order_col wins)
+            (11, -5, 1, "delete", 1),     # delete-then-reinsert nets to
+            (11, -5, 1, "upsert", 2),     #   the upsert
+        ],
+        ["k", "v", "p", "_op", "seq"],
+    )
+    res = upsert.merge_apply(
+        spark, path, changes, ["k"], "p", op_col="_op", order_col="seq"
+    )
+    assert res["touched_partitions"] == [0, 1]
+    assert res["deleted_keys"] == 2  # keys 5 and 6 end deleted
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(path).filter("p <= 1").collect()
+    }
+    assert got[0] == -1            # updated
+    assert 5 not in got            # deleted
+    assert got[9990] == -2         # inserted
+    assert 6 not in got            # insert-then-delete
+    assert got[11] == -5           # delete-then-reinsert
+    assert got[10] == 100          # untouched key in touched partition kept
+    # untouched partition files byte-identical
+    assert _file_set(path, "p=3") == before_p3
+    # total: 1000 seed - 2 deletes (5, 6... key 6 was not in seed!) ...
+    # seed holds keys 0..999: 5 deleted, 6 deleted (was present), 11
+    # re-upserted, 9990 added -> 1000 - 2 + 1
+    assert spark.read.parquet(path).count() == 999
+
+
+def test_table_diff_feeds_merge_apply_roundtrip(spark, tmp_path):
+    """CDC closure: applying table_diff(old, new) onto the old table
+    must reproduce the new table exactly (the changelog and the
+    apply operator agree on semantics end to end)."""
+    from realtime_data_quality_monitor_spark.plans.diff import table_diff
+
+    path = str(tmp_path / "rt_tbl")
+    _seed_table(spark, path)  # keys 0..999, v = k*10, p = k%5
+    old_df = spark.read.parquet(path).select("k", "v", "p")
+    new_df = (
+        old_df.filter("k % 97 != 0")                   # deletes
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 13 == 0, -F.col("v")).otherwise(F.col("v")),
+        )                                              # updates
+        .unionByName(
+            spark.createDataFrame([(5000, 1, 0), (5001, 2, 3)], ["k", "v", "p"])
+        )                                              # inserts
+    )
+    # materialize the changelog AND the expectation before the apply —
+    # both lazily read the files merge_apply is about to rewrite
+    changes = spark.createDataFrame(
+        table_diff(old_df, new_df, ["k"]).collect()
+    )
+    want = sorted((r["k"], r["v"], r["p"]) for r in new_df.collect())
+    assert set(
+        r["change_type"] for r in changes.select("change_type").distinct().collect()
+    ) == {"insert", "delete", "update"}
+
+    upsert.merge_apply(
+        spark, path, changes, ["k"], "p", op_col="change_type"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["p"])
+        for r in spark.read.parquet(path).select("k", "v", "p").collect()
+    )
+    assert got == want
