@@ -1,0 +1,154 @@
+"""Hypothesis fuzz for the session 7-9 curation operators vs their
+pure-Python oracles: repeated-span removal, Simpson diversity, Z-value
+interleave, Levenshtein refinement. Each example is a whole corpus ->
+one Spark job per example; max_examples stays small accordingly."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import dedup, layout
+from realtime_data_quality_monitor_spark.operators import quality_filters as qf
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary -> repeated spans actually occur
+_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "e"]), min_size=0, max_size=12
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+def _py_spans(docs, n, min_count):
+    toks = {d: [t for t in text.split(" ") if t] for d, text in docs}
+    counts: Counter = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            counts[" ".join(tk[i : i + n])] += 1
+    out = {}
+    for d, tk in toks.items():
+        covered = set()
+        for i in range(len(tk) - n + 1):
+            if counts[" ".join(tk[i : i + n])] >= min_count:
+                covered.update(range(i, i + n))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        out[d] = (len(tk), len(covered), " ".join(kept))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, n=st.integers(2, 4), min_count=st.integers(2, 3))
+def test_fuzz_drop_repeated_spans(spark, corpus, n, min_count):
+    docs = list(enumerate(corpus))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["clean_text"])
+        for r in dedup.drop_repeated_spans(
+            df, n=n, min_count=min_count
+        ).collect()
+    }
+    assert got == _py_spans(docs, n, min_count)
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_fuzz_simpson_diversity(spark, corpus):
+    docs = list(enumerate(corpus))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", qf.simpson_diversity_u(toks).alias("s")
+        ).collect()
+    }
+    for d, text in docs:
+        tk = [t for t in text.split(" ") if t]
+        n = len(tk)
+        want = (
+            1_000_000
+            - -(-(sum(c * c for c in Counter(tk).values()) * 1_000_000)
+                // (n * n))
+            if n
+            else 0
+        )
+        assert got[d] == want, (d, text)
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, (1 << 16) - 1),
+            st.integers(0, (1 << 16) - 1),
+            st.integers(0, (1 << 10) - 1),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bits=st.sampled_from([8, 16]),
+)
+def test_fuzz_zvalue_three_dims(spark, pairs, bits):
+    mask = (1 << bits) - 1
+    rows = [(a & mask, b & mask, c & mask) for a, b, c in pairs]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a",
+        "b",
+        "c",
+        layout.zvalue(
+            [F.col("a"), F.col("b"), F.col("c")], bits=bits
+        ).alias("z"),
+    ).collect()
+    for r in got:
+        want = 0
+        for i in range(bits):
+            want |= ((r["a"] >> i) & 1) << (3 * i)
+            want |= ((r["b"] >> i) & 1) << (3 * i + 1)
+            want |= ((r["c"] >> i) & 1) << (3 * i + 2)
+        assert r["z"] == want
+
+
+_short = st.text(alphabet="abc ", min_size=0, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_short, min_size=2, max_size=6))
+def test_fuzz_edit_distance_refine(spark, texts):
+    docs = list(enumerate(texts))
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    all_pairs = [
+        (a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))
+    ]
+    pdf = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["lev_ratio_u"])
+        for r in dedup.edit_distance_refine(
+            ddf, pdf, max_ratio_u=1_000_000
+        ).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    for a, b in all_pairs:
+        gl = max(len(texts[a]), len(texts[b]))
+        lv = lev(texts[a], texts[b])
+        ratio = (lv * 1_000_000) // gl if gl else 0
+        assert got[(a, b)] == (lv, ratio), (texts[a], texts[b])
