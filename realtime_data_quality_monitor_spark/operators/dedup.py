@@ -827,9 +827,13 @@ def edit_distance_refine(
     floor(lev * 1e6 / max(len_a, len_b)) <= ``max_ratio_u``; an
     identical pair scores 0, a totally different pair ~1e6.
 
-    Exactness: ``F.levenshtein`` is the standard DP definition —
-    integer, byte-identical across engines (DuckDB's levenshtein
-    matches, probed); the ratio is exact integer floor algebra.
+    Exactness: ``F.levenshtein`` is the standard DP definition over
+    CODEPOINTS; the ratio is exact integer floor algebra. Cross-engine
+    caveat (probed): DuckDB's levenshtein counts UTF-8 BYTES —
+    levenshtein('café','cafe') is 1 in Spark, 2 in DuckDB — so the d14
+    oracle parity is pinned on single-byte (ASCII) corpora; on
+    multilingual text the operator stays correct (codepoint edits) but
+    a SQL oracle must use a codepoint-exact engine.
 
     Scale shape: ONLY candidate pairs are scored, never all pairs;
     texts join in by id (two hash joins). The length lower bound
@@ -861,9 +865,17 @@ def edit_distance_refine(
         )
     )
     gl = F.greatest(F.col("__la"), F.col("__lb"))
-    # lev >= |la - lb|: prune before the quadratic DP
+    # lev >= |la - lb|: prune before the quadratic DP. The prune must
+    # be the FLOOR comparison the final filter applies —
+    # floor(lb_diff*1e6/gl) <= max_ratio_u, i.e. strictly below
+    # (max_ratio_u + 1) * gl — not lb_diff*1e6 <= max_ratio_u*gl, which
+    # is stronger and would drop pairs whose exact ratio lands ON the
+    # threshold (boundary pinned by test).
     lb_diff = F.abs(F.col("__la") - F.col("__lb"))
-    j = j.where((gl == 0) | (lb_diff * F.lit(MILLION_U) <= F.lit(max_ratio_u) * gl))
+    j = j.where(
+        (gl == 0)
+        | (lb_diff * F.lit(MILLION_U) < F.lit(int(max_ratio_u) + 1) * gl)
+    )
     lev = F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long")
     ratio = F.when(gl > 0, _idiv(lev * F.lit(MILLION_U), gl)).otherwise(
         F.lit(0).cast("long")

@@ -59,8 +59,14 @@ def table_diff(
         .when(F.col("_h_n").isNull(), F.lit("delete"))
         .when(F.col("_h_o") != F.col("_h_n"), F.lit("update"))
     )
+    # payload side is decided by the row's presence, NOT per-column
+    # coalesce: an update that sets a column to NULL must emit NULL
+    # (coalesce would resurrect the old value and break
+    # apply(old, diff(old, new)) == new)
     out_payload = [
-        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        F.when(F.col("_h_n").isNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(f"_n_{c}"))
+        .alias(c)
         for c in compare_cols
     ]
     return (

@@ -70,14 +70,9 @@ def merge_upsert(
     concurrent second writer could discard or replay the first writer's
     in-flight staging. ``streaming/pipeline.py::run_stream_upsert``
     documents the same constraint for its micro-batch sink."""
-    import os
-    import shutil
-
-    staging = staging_path or f"{target_path.rstrip('/')}__staging"
-    if staging_path is None and os.path.isdir(staging):
-        if _staging_committed(staging):
-            resume_swap(spark, staging, target_path, partition_col)
-        _remove_staging(staging)
+    staging = _recover_default_staging(
+        spark, staging_path, target_path, partition_col
+    )
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -128,13 +123,9 @@ def merge_apply(
 
     Returns {touched_partitions, applied_rows, deleted_keys}.
     """
-    import os
-
-    staging = staging_path or f"{target_path.rstrip('/')}__staging"
-    if staging_path is None and os.path.isdir(staging):
-        if _staging_committed(staging):
-            resume_swap(spark, staging, target_path, partition_col)
-        _remove_staging(staging)
+    staging = _recover_default_staging(
+        spark, staging_path, target_path, partition_col
+    )
 
     parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
     if not parts:
@@ -147,13 +138,30 @@ def merge_apply(
         F.col(op_col).asc()  # total determinism even on data-col ties
     ]
     w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    # materialized once: the accounting aggregate, the anti-join key set
+    # and the upsert union all read this frame (dedup.py pattern)
     final = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=True)
     )
-    upserts = final.filter(F.col(op_col) != "delete").drop(op_col)
-    n_deleted = final.filter(F.col(op_col) == "delete").count()
+    is_delete = F.col(op_col) == "delete"
+    known = F.col(op_col).isin(_APPLY_OPS)
+    acct = final.agg(
+        F.sum(is_delete.cast("long")).alias("n_del"),
+        F.sum((~known).cast("long")).alias("n_bad"),
+        F.sum(F.col(op_col).isNull().cast("long")).alias("n_null"),
+    ).collect()[0]
+    if (acct["n_bad"] or 0) or (acct["n_null"] or 0):
+        # an unrecognized/NULL op would silently DELETE its key (fails
+        # the upsert filter yet still anti-joins the kept set) — refuse
+        raise ValueError(
+            f"merge_apply: {op_col} must be one of {_APPLY_OPS}; batch has "
+            f"{acct['n_bad'] or 0} unknown and {acct['n_null'] or 0} NULL"
+        )
+    n_deleted = acct["n_del"] or 0
+    upserts = final.filter(~is_delete).drop(op_col)
 
     target = spark.read.parquet(target_path).filter(
         F.col(partition_col).isin(parts)
@@ -169,6 +177,31 @@ def merge_apply(
         "applied_rows": n,
         "deleted_keys": n_deleted,
     }
+
+
+# op values merge_apply accepts: table_diff's changelog vocabulary plus
+# the plain 'upsert'; anything else (or NULL) is refused loudly
+_APPLY_OPS = ["upsert", "insert", "update", "delete"]
+
+
+def _recover_default_staging(
+    spark: SparkSession,
+    staging_path: str | None,
+    target_path: str,
+    partition_col: str,
+) -> str:
+    """Shared crash-recovery preamble for both MERGE entry points:
+    resolve the staging dir, and — for the DETERMINISTIC default path
+    only — replay a committed leftover into the target or discard an
+    uncommitted one (see merge_upsert's recovery contract)."""
+    import os
+
+    staging = staging_path or f"{target_path.rstrip('/')}__staging"
+    if staging_path is None and os.path.isdir(staging):
+        if _staging_committed(staging):
+            resume_swap(spark, staging, target_path, partition_col)
+        _remove_staging(staging)
+    return staging
 
 
 def _stage_and_swap(

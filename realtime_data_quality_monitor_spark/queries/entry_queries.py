@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .. import config
 from ..functions.constants import LANGID_LANGS, LANGID_STOPWORDS
+from ..functions.exact import idiv as _exact_idiv
 from ..operators import (
     alerting,
     anomaly,
@@ -5510,9 +5511,7 @@ def q_p14_source_vocab_overlap(spark, sf_dir):
                 .withColumnRenamed("vsize", "size_b"), "src_b")
     )
     union_sz = F.col("size_a") + F.col("size_b") - F.col("n_common")
-    jac = ((F.col("n_common") * F.lit(1_000_000)
-            - (F.col("n_common") * F.lit(1_000_000)) % union_sz)
-           / union_sz).cast("long")
+    jac = _exact_idiv(F.col("n_common") * F.lit(1_000_000), union_sz)
     return out.select(
         "src_a", "src_b", "n_common", jac.alias("jaccard_u")
     )

@@ -184,3 +184,19 @@ def test_edit_distance_refine_matches_python(spark):
             want[(a, b)] = (lv, ratio)
     assert got == want
     assert (0, 1) in got and (3, 4) in got and (0, 2) not in got
+
+
+def test_edit_distance_refine_threshold_boundary_survives_prune(spark):
+    # gl=7, lb_diff=6, lev=6 -> ratio = floor(6e6/7) = 857142 == the
+    # threshold: the pair must be EMITTED (a stronger
+    # lb_diff*1e6 <= thr*gl prune would silently drop it)
+    ddf = spark.createDataFrame(
+        [(0, "aaaaaaa"), (1, "a")], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = dedup.edit_distance_refine(ddf, pdf, max_ratio_u=857_142).collect()
+    assert [(r["lev"], r["lev_ratio_u"]) for r in got] == [(6, 857_142)]
+    # one ulp below the boundary: dropped (by prune AND by filter)
+    assert (
+        dedup.edit_distance_refine(ddf, pdf, max_ratio_u=857_141).count() == 0
+    )

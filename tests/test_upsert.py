@@ -315,3 +315,38 @@ def test_table_diff_feeds_merge_apply_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(path).select("k", "v", "p").collect()
     )
     assert got == want
+
+
+def test_merge_apply_rejects_null_and_unknown_ops(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "optbl")
+    _seed_table(spark, path)
+    bad = spark.createDataFrame(
+        [(1, -1, 0, None), (2, -2, 0, "Upsert")], ["k", "v", "p", "_op"]
+    )
+    with pytest.raises(ValueError, match="merge_apply"):
+        upsert.merge_apply(spark, path, bad, ["k"], "p", op_col="_op")
+    # table untouched by the refused batch
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_table_diff_update_to_null_roundtrips(spark, tmp_path):
+    from realtime_data_quality_monitor_spark.plans.diff import table_diff
+
+    path = str(tmp_path / "nulltbl")
+    _seed_table(spark, path)
+    old_df = spark.read.parquet(path).select("k", "v", "p")
+    # the update sets v to NULL — the changelog payload must carry NULL,
+    # not resurrect the old value via a per-column coalesce
+    new_df = old_df.withColumn(
+        "v", F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("v"))
+    )
+    cdf = table_diff(old_df, new_df, ["k"])
+    changes = spark.createDataFrame(cdf.collect(), cdf.schema)
+    row = changes.filter("k = 3").collect()
+    assert len(row) == 1 and row[0]["change_type"] == "update"
+    assert row[0]["v"] is None
+    upsert.merge_apply(spark, path, changes, ["k"], "p", op_col="change_type")
+    got = spark.read.parquet(path).filter("k = 3").collect()
+    assert len(got) == 1 and got[0]["v"] is None
