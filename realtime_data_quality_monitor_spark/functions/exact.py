@@ -13,7 +13,20 @@ def idiv(a: Column, b: Column) -> Column:
     leaving column algebra: (a - a % b) is exactly divisible by b, and
     an exactly-divisible double division below 2^53 is exact. Callers
     whose numerators can exceed 2^53 (e.g. count*scale at extreme
-    corpus sizes) must route through DECIMAL instead."""
+    corpus sizes) must route through :func:`idiv_big` instead."""
     a = a.cast("long")
     b = b.cast("long")
     return ((a - a % b) / b).cast("long")
+
+
+def idiv_big(a: Column, b: Column) -> Column:
+    """Exact integer floor division of NON-NEGATIVE integers routed
+    through DECIMAL(38,0) — exact past :func:`idiv`'s 2^53 double
+    bound (BigDecimal modulo and the exactly-divisible division are
+    both exact at any magnitude that fits 38 digits). Use where the
+    numerator can exceed 2^53 at corpus scale: the PageRank damping
+    update (85*mass on 1e8+-vertex graphs) and Simpson's sumsq*1e6
+    numerator on ~7e5+-token documents."""
+    a38 = a.cast("decimal(38,0)")
+    b38 = b.cast("decimal(38,0)")
+    return ((a38 - a38 % b38) / b38).cast("long")

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import idiv as _idiv
+from ..functions.exact import idiv_big as _idiv_big
 
 PR_SCALE = 1_000_000
 
@@ -108,6 +109,11 @@ def pagerank(
     teleport = (scale * (damping_den - damping_num)) // damping_den
     for _ in range(iters):
         contribs = (
+            # share's numerator pr_q is bounded by the TOTAL mass
+            # n*scale, so idiv's 2^53 double bound holds to ~9e9
+            # vertices at the default scale=1e6 — safe; the damping
+            # numerator below (85 * sum of shares into one hub) is
+            # not, hence _idiv_big there.
             pr.join(out_deg, "vertex")  # dangling vertices emit nothing
             .withColumn("share", _idiv(F.col("pr_q"), F.col("out_deg")))
             .join(e, F.col("vertex") == F.col("src"))
@@ -120,9 +126,14 @@ def pagerank(
                 "vertex",
                 (
                     F.lit(int(teleport)).cast("long")
-                    + _idiv(
-                        F.lit(int(damping_num))
-                        * F.coalesce(F.col("mass"), F.lit(0)),
+                    # damping_num * mass can exceed 2^53 once a hub
+                    # collects ~1e8 vertices' mass at scale=1e6 —
+                    # DECIMAL(38,0) keeps the floor exact (ADVICE r2)
+                    + _idiv_big(
+                        F.lit(int(damping_num)).cast("decimal(38,0)")
+                        * F.coalesce(F.col("mass"), F.lit(0)).cast(
+                            "decimal(38,0)"
+                        ),
                         F.lit(int(damping_den)),
                     )
                 ).alias("pr_q"),

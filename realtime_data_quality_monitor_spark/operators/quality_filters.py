@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import idiv
+from ..functions.exact import idiv, idiv_big as _idiv_big
 from .export import keyed_md5_hex
 from .textstats import tokens_col
 
@@ -494,8 +494,16 @@ def simpson_diversity_u(toks: Column) -> Column:
 
     sumsq = F.aggregate(sorted_toks, acc0, step, fin)
     n = F.size(toks).cast("long")
-    # ceil(a/b) = (a + b - 1) // b in exact integer algebra
-    num = sumsq * F.lit(MILLION) + n * n - F.lit(1)
+    # ceil(a/b) = (a + b - 1) // b in exact integer algebra.  The
+    # numerator sumsq*1e6 + n*n - 1 passes 2^53 once a document has
+    # roughly >= 7e5 tokens (sumsq near n^2), so the multiply and the
+    # floor division run in DECIMAL(38,0) (ADVICE r2) — exact at any
+    # document length that fits 38 digits.
+    num = (
+        sumsq.cast("decimal(38,0)") * F.lit(MILLION).cast("decimal(38,0)")
+        + (n * n).cast("decimal(38,0)")
+        - F.lit(1).cast("decimal(38,0)")
+    )
     return F.when(
-        n > 0, F.lit(MILLION).cast("long") - _idiv(num, n * n)
+        n > 0, F.lit(MILLION).cast("long") - _idiv_big(num, n * n)
     ).otherwise(F.lit(0).cast("long"))

@@ -817,7 +817,9 @@ def semantic_dedup(
             "cos",
             # try_divide: an all-zero quantized vector has norm 0 — the
             # pair yields NULL (filtered below), matching the oracle's
-            # SQL NULL division instead of an ANSI DIVIDE_BY_ZERO abort
+            # NULLIF-pinned SQL NULL division (stable across DuckDB's
+            # ieee_floating_point_ops settings) instead of an ANSI
+            # DIVIDE_BY_ZERO abort
             F.try_divide(
                 _qdot(F.col("qa"), F.col("qb")),
                 F.sqrt(_qdot(F.col("qa"), F.col("qa")))

@@ -5048,8 +5048,12 @@ SQL_S10 = f"""
              CAST(SUM(qb * qb) AS DOUBLE) AS dbb
       FROM terms GROUP BY 1, 2),
     dropped AS (
+      -- NULLIF pins the zero-norm (all-zero quantized vector) case to
+      -- SQL NULL regardless of DuckDB's ieee_floating_point_ops
+      -- setting (newer builds return NaN for 0.0/0.0, and NaN compares
+      -- greater than any value) — ADVICE r2
       SELECT DISTINCT id_b FROM dots
-      WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.4e0)
+      WHERE dab / NULLIF(sqrt(daa) * sqrt(dbb), 0) >= 0.4e0)
     SELECT f.id AS vec_id, f.cid AS centroid_id,
            CAST(d.id_b IS NULL AS INT) AS is_kept
     FROM afinal f LEFT JOIN dropped d ON f.id = d.id_b
@@ -5088,11 +5092,18 @@ def _doc_link_edges(docs: DataFrame) -> DataFrame:
     """Closed-form link graph over the documents table (the m1-m3
     derived-fixture pattern): each doc emits 3 out-links whose targets
     are keyed-md5 draws over the other doc ids (self-loops excluded by
-    the shift trick), so both engines build the identical graph."""
+    the shift trick), so both engines build the identical graph.
+
+    Assumes CONTIGUOUS 0-based doc_ids (the testdata layout): the
+    shift trick maps r in [0, n-2] onto [0, n-1] \\ {doc_id}, so with
+    1-based ids dst=0 would reference a nonexistent doc (ADVICE r2).
+    Corpora with n_docs < 2 yield an empty edge set (the ``__n >= 2``
+    guard below) instead of an ANSI ``% 0`` error."""
     n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("__n"))
     e = (
         docs.select("doc_id")
         .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__n") >= 2)
         .select(
             "doc_id",
             "__n",
@@ -5126,7 +5137,8 @@ _SQL_GR_EDGES = """
       SELECT d.doc_id AS src, n_docs,
              CAST('0x' || substr(md5(d.doc_id || '|' || js.j || '|links'),
                                  1, 8) AS BIGINT) % (n_docs - 1) AS r
-      FROM documents d, n, (SELECT unnest([1, 2, 3]) AS j) js),
+      FROM documents d, n, (SELECT unnest([1, 2, 3]) AS j) js
+      WHERE n_docs >= 2),
     edges AS (
       SELECT src, CASE WHEN r >= src THEN r + 1 ELSE r END AS dst
       FROM e0)
@@ -5655,7 +5667,10 @@ SQL_Z1 = f"""
 
 # The driver verifies only the FIRST 50 keys of this dict per round
 # (round 1: CORRECTNESS_r01.json held exactly keys #1-#50), so ordering
-# is the verification schedule. Round-2 order:
+# is the verification schedule.  NOTE: the dict below is defined in
+# semantic/catalog order and then REORDERED by the _ROUND3_WINDOW block
+# at the bottom of this file — that block is the authoritative round-3
+# driver window.  Historical round-2 order:
 #   1. the 17 entries that never received a round-1 driver verdict
 #      (t4, t5, s1-s5, d5-d8, m1-m3, m6-m8);
 #   2. the 11 round-1 hash-FAIL entries, re-verified after the
@@ -5848,4 +5863,79 @@ ENTRY_QUERIES = {
         SQL_D14,
     ),
     "z1_zorder_events": (q_z1_zorder_events, SQL_Z1),
+}
+
+# ---------------------------------------------------------------------------
+# ROUND-3 DRIVER WINDOW: the driver scores only the FIRST 50 keys per round,
+# so front-load the 44 entries that have never received a driver verdict
+# (all cell-exact under scripts/check_entry.py, but the driver is the
+# contract — VERDICT.md round 2, "Next round: do this" #1) plus 6
+# round-2-green regression sentinels.  The remaining entries keep their
+# relative catalog order behind the window; the local gate still covers
+# the full catalog every run.
+_ROUND3_WINDOW = [
+    # sessions 4-5: packing, BPE tokens, canonical/incremental dedup,
+    # mixing, budgets, datasheet, sketches, stratified sampling
+    "e7_pack_sequences_documents",
+    "t11_bpe_tokens_documents",
+    "d9_canonical_keep_documents",
+    "d10_incremental_dedup_documents",
+    "e8_upsample_mix_documents",
+    "e9_token_budget_documents",
+    "p13_source_datasheet_documents",
+    "sk1_hll_registers_events",
+    "sk2_cms_topk_documents",
+    "sk3_bloom_membership_documents",
+    "sk4_hll_grouped_events",
+    "d11_bloom_prefilter_dedup_documents",
+    "e10_stratified_sample_documents",
+    # session 5: TPC-H shapes
+    "q4_priority_semijoin",
+    "q7_volume_shipping",
+    "q12_priority_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunct_revenue",
+    "q22_idle_customer_balance",
+    # session 5: product quantization + IVF-PQ
+    "s7_pq_codes_embeddings",
+    "s8_pq_adc_topk_embeddings",
+    "s9_ivfpq_topk_embeddings",
+    # session 6: C4 filters, duplicate-line removal, histogram sketches
+    "g4_c4_line_filter_documents",
+    "g5_c4_filter_summary",
+    "d12_dup_line_removal_documents",
+    "sk5_hist_events",
+    "sk6_hist_quantiles_events",
+    "sk7_hist_drift_events",
+    # session 7: classifier, tf-idf, SemDeDup, Gram, link graph
+    "g6_clf_score_documents",
+    "t12_tfidf_topk_documents",
+    "s10_semantic_dedup_embeddings",
+    "s11_gram_matrix_embeddings",
+    "gr1_pagerank_documents",
+    "gr2_degree_stats_documents",
+    # sessions 8-9: session window, snapshot diff, repeated spans,
+    # unicode normalization, diversity, vocab overlap, Levenshtein, Z-order
+    "w3_session_window_events",
+    "e11_snapshot_diff_documents",
+    "d13_repeated_span_removal_documents",
+    "t13_normalize_unicode_documents",
+    "g7_diversity_documents",
+    "p14_source_vocab_overlap",
+    "d14_edit_distance_refine_documents",
+    "z1_zorder_events",
+    # round-2 driver-green regression sentinels (VERDICT.md's pick)
+    "p7_overall_quality_events",
+    "a1_window_stats_daily",
+    "d0_dedup_first_wins_events",
+    "m9_forecast_anomalies_daily",
+    "g1_gopher_stats_documents",
+    "e1_shuffle_documents",
+]
+assert len(_ROUND3_WINDOW) == 50 and len(set(_ROUND3_WINDOW)) == 50
+ENTRY_QUERIES = {
+    **{k: ENTRY_QUERIES[k] for k in _ROUND3_WINDOW},
+    **{k: v for k, v in ENTRY_QUERIES.items() if k not in set(_ROUND3_WINDOW)},
 }
