@@ -643,6 +643,7 @@ def drop_duplicate_lines(
     text_col: str = "text",
     sep: str = "\n",
     min_count: int = 2,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Corpus-level duplicate-LINE removal (the CCNet / "Deduplicating
     Training Data Makes Language Models Better" (Lee et al. 2021)
@@ -656,20 +657,29 @@ def drop_duplicate_lines(
     clean_text). Documents whose every line was duplicated survive with
     clean_text = ''.
 
-    Scale shape — exactly two exchanges, no corpus-wide sort:
-      1. lines are posexploded and counted with a window keyed on the
-         md5 line fingerprint (one shuffle; counting by the 128-bit
-         fingerprint instead of raw line text keys the exchange on a
-         fixed-width column — equal to counting by line text modulo
-         md5 collisions, which the cell-exact oracle would expose);
-      2. one hash aggregate keyed by document id rebuilds clean_text
+    Scale shape (default ``skew_safe=True``) — no corpus-wide sort and
+    NO full-width shuffle keyed on line content:
+      1. frequent fingerprints come from a groupBy-count over the md5
+         line fingerprint (counting by the 128-bit fingerprint instead
+         of raw line text keys the exchange on a fixed-width column —
+         equal to counting by line text modulo md5 collisions, which
+         the cell-exact oracle would expose). The hash aggregate's
+         map-side partial combine absorbs ANY line-frequency skew: a
+         boilerplate corpus where one line is 30%+ of all rows still
+         shuffles at most one (fingerprint, partial_count) row per
+         input partition for the hot key;
+      2. the line stream joins the >= min_count fingerprint set (tiny
+         for real boilerplate; AQE picks broadcast when its runtime
+         size allows, and its skew-join splitting covers the adversary
+         where the frequent set is itself huge);
+      3. one hash aggregate keyed by document id rebuilds clean_text
          by sorting each doc's OWN kept (pos, line) structs —
          per-group k log k, never a global sort.
-    The line window is the skew surface: a pathological corpus where
-    one line is most of the input concentrates its count partition —
-    at that point swap the window for a groupBy-count + broadcast join
-    of the (tiny) high-count fingerprint set, which this operator's
-    min_count semantics make equivalent.
+    ``skew_safe=False`` keeps the previous formulation — one count
+    window partitioned by the fingerprint — whose count partition
+    concentrates every copy of a hot line in one task; it exists so
+    tests can pin the two paths row-equal (the fingerprint sentinel
+    below makes NULL-text grouping identical across both).
     """
     # F.split takes a Java REGEX while F.array_join below re-joins the
     # separator literally — quote it so a metachar sep ('|', '.') splits
@@ -680,10 +690,27 @@ def drop_duplicate_lines(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("__pos", "__line"),
     )
-    cnt_w = Window.partitionBy(F.md5(F.col("__line")))
-    flagged = lines.withColumn(
-        "__keep", F.count(F.lit(1)).over(cnt_w) < min_count
-    )
+    # '' is not a valid md5 digest, so the NULL-line sentinel cannot
+    # collide; it makes the groupBy/join path group NULL lines exactly
+    # like the window path (which puts them in the md5(NULL) partition)
+    fp = F.coalesce(F.md5(F.col("__line")), F.lit(""))
+    if skew_safe:
+        freq = (
+            lines.groupBy(fp.alias("__fp"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= min_count)
+            .select("__fp", F.lit(True).alias("__dup"))
+        )
+        flagged = (
+            lines.withColumn("__fp", fp)
+            .join(freq, "__fp", "left")
+            .withColumn("__keep", F.col("__dup").isNull())
+        )
+    else:
+        cnt_w = Window.partitionBy(fp)
+        flagged = lines.withColumn(
+            "__keep", F.count(F.lit(1)).over(cnt_w) < min_count
+        )
     rebuilt = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum((~F.col("__keep")).cast("long")).cast("long").alias("n_dropped"),
@@ -709,6 +736,7 @@ def drop_repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Corpus-level repeated-SPAN removal — the exact-substring dedup of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -725,12 +753,17 @@ def drop_repeated_spans(
     input document, docs shorter than n tokens pass through untouched,
     empty/NULL text yields ('', 0, 0).
 
-    Scale shape — no corpus-wide sort, no self-join:
-      1. shingle fingerprints (md5 of the n-token window) are counted
-         with a window keyed on the fingerprint (shuffle #1; same skew
-         escape as drop_duplicate_lines: a boilerplate-dominated corpus
-         swaps the window for groupBy-count + broadcast of the tiny
-         frequent set);
+    Scale shape (default ``skew_safe=True``) — no corpus-wide sort,
+    no self-join:
+      1. shingle fingerprints (md5 of the n-token window) feed a
+         groupBy-count whose map-side partial combine absorbs
+         fingerprint skew, then the span stream inner-joins the
+         >= min_count fingerprint set (tiny for real boilerplate; AQE
+         broadcasts it at runtime, or splits the skewed probe
+         partitions when the frequent set is adversarially large).
+         ``skew_safe=False`` keeps the previous count-window
+         formulation — every copy of a hot shingle in one task — for
+         row-equality pinning in tests;
       2. frequent span starts expand to covered positions row-locally
          (explode of an n-element sequence) and distinct on
          (doc, position) — shuffle #2 keyed (doc, pos);
@@ -771,11 +804,21 @@ def drop_repeated_spans(
         ).alias("__s"),
     ).select(id_col, F.col("__s.spos").alias("__spos"), F.col("__s.fp").alias("__fp"))
 
-    cnt_w = Window.partitionBy("__fp")
+    if skew_safe:
+        freq = (
+            spans.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= min_count)
+            .select("__fp")
+        )
+        frequent_spans = spans.join(freq, "__fp")
+    else:
+        cnt_w = Window.partitionBy("__fp")
+        frequent_spans = spans.withColumn(
+            "__c", F.count(F.lit(1)).over(cnt_w)
+        ).filter(F.col("__c") >= min_count)
     covered = (
-        spans.withColumn("__c", F.count(F.lit(1)).over(cnt_w))
-        .filter(F.col("__c") >= min_count)
-        .select(
+        frequent_spans.select(
             id_col,
             F.explode(
                 F.sequence(F.col("__spos"), F.col("__spos") + F.lit(n - 1))

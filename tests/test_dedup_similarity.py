@@ -626,3 +626,57 @@ def test_drop_duplicate_lines_metachar_separator(spark):
         for r in dedup.drop_duplicate_lines(df, sep="|").collect()
     )
     assert out == [(0, 2, 1, "a"), (1, 2, 1, "c")]
+
+
+def test_drop_duplicate_lines_skew_paths_row_equal(spark):
+    """VERDICT r2 #2: boilerplate-dominated corpus (>=30% of all lines
+    are ONE hot line, plus a block of NULL-text docs) — the default
+    skew-safe groupBy+join path must be row-equal to the count-window
+    path, and its executed plan must contain no Window at all (the hot
+    fingerprint never lands in a single-task window partition)."""
+    hot = "generated by corpbot v2"  # the nav-bar/footer adversary
+    docs = [(i, f"{hot}\nbody {i}\n{hot}") for i in range(60)]
+    docs += [(100 + i, f"only {i} line\nshared tail") for i in range(20)]
+    docs += [(200 + i, None) for i in range(3)]  # md5(NULL) group
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    safe = dedup.drop_duplicate_lines(df, skew_safe=True)
+    window = dedup.drop_duplicate_lines(df, skew_safe=False)
+    a = sorted(map(tuple, safe.collect()))
+    b = sorted(map(tuple, window.collect()))
+    assert a == b
+    # 120 hot copies + 20 shared tails + 3 NULL lines dropped everywhere
+    out = {r["doc_id"]: r for r in safe.collect()}
+    assert out[0]["clean_text"] == "body 0" and out[0]["n_dropped"] == 2
+    assert out[100]["clean_text"] == "only 0 line"
+    assert out[200]["n_lines"] == 1 and out[200]["clean_text"] == ""
+
+    safe.collect()
+    executed = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in executed
+
+
+def test_drop_repeated_spans_skew_paths_row_equal(spark):
+    """Same pinning for the shingle-cover pass: one 4-token span
+    repeated across most of the corpus, both paths row-equal, no
+    Window node in the default executed plan."""
+    hot = "all rights reserved worldwide"
+    docs = [(i, f"{hot} body{i} tail{i}") for i in range(50)]
+    docs += [(100 + i, f"unique{i} prose{i} alpha{i} beta{i} gamma{i}")
+             for i in range(10)]
+    docs += [(200, ""), (201, None)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    safe = dedup.drop_repeated_spans(df, n=4, min_count=2, skew_safe=True)
+    window = dedup.drop_repeated_spans(df, n=4, min_count=2, skew_safe=False)
+    assert sorted(map(tuple, safe.collect())) == sorted(
+        map(tuple, window.collect())
+    )
+    out = {r["doc_id"]: r for r in safe.collect()}
+    assert out[0]["n_dropped"] == 4  # the hot 4-token span is covered
+    assert out[100]["n_dropped"] == 0
+    assert out[200]["clean_text"] == "" and out[201]["n_tokens"] == 0
+
+    safe.collect()
+    executed = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in executed
