@@ -766,6 +766,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cluster_scale: int = 1000,
     dot_scale: int = 10_000_000,
+    cluster_cap: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
@@ -776,9 +777,9 @@ def semantic_dedup(
     (``_kmeans_loop``, scale=1e3); pair cosines use the d5 contract —
     1e-7-quantized components, exact BIGINT dot/norm sums, one double
     division per pair (no accumulation-order sensitivity). The keep
-    rule is "drop a vector iff some SMALLER id in its cluster is within
-    the threshold" — a total-order greedy that needs no iteration and
-    is cell-exact in SQL.
+    rule is "drop a vector iff some SMALLER id in its cluster (and
+    fence, see below) is within the threshold" — a total-order greedy
+    that needs no iteration and is cell-exact in SQL.
 
     Scale shape: this is the whole point of SemDeDup — the quadratic
     pair generation is fenced inside clusters. The self-join is an
@@ -787,8 +788,23 @@ def semantic_dedup(
     bounded. Assignment itself is a broadcast of k centroids. At 100 TB
     you raise k (paper uses 50k clusters) — the plan shape is constant.
 
+    ``cluster_cap`` makes the bound STRUCTURAL rather than a manual
+    lever (VERDICT r2 #3): a cluster larger than the cap is split into
+    ceil(size/cap) deterministic sub-fences by an md5 draw over the
+    vector id, and pairs are generated only within (cluster, fence) —
+    so one degenerate near-identical embedding cluster (a duplicate-
+    heavy crawl) can never produce a quadratic task; per-fence pair
+    volume is O(cap^2) in expectation regardless of the data. The
+    trade is documented recall: an oversized cluster keeps ~one
+    representative PER FENCE instead of exactly one. The fence draw is
+    md5-derived, so the SQL oracle replicates it bit-for-bit;
+    ``cluster_cap=None`` disables fencing. Clusters at or under the
+    cap get one fence — behavior identical to unfenced.
+
     Returns one row per input vector: (vec_id, centroid_id, is_kept).
     """
+    if cluster_cap is not None and cluster_cap < 1:
+        raise ValueError("semantic_dedup: cluster_cap must be >= 1 or None")
     _, final = _kmeans_loop(df, k, iters, id_col, vec_col, cluster_scale)
 
     # one materialization feeds all three consumers (both sides of the
@@ -804,14 +820,45 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
 
-    a = qv.select(
-        F.col("cid"), F.col("id").alias("id_a"), F.col("q").alias("qa")
+    if cluster_cap is not None:
+        # fence draw: ceil(size/cap) buckets per cluster, bucket chosen
+        # by the first 8 md5 hex chars of the id — deterministic and
+        # reproducible in SQL ('0x'||substr(md5(id),1,8) % n_fences).
+        # Integer `div` keeps the ceil exact at any cluster size.
+        sizes = qv.groupBy("cid").agg(F.count(F.lit(1)).alias("__csz"))
+        n_fences = F.expr(
+            f"(__csz + {int(cluster_cap) - 1}) div {int(cluster_cap)}"
+        )
+        fenced = (
+            qv.join(F.broadcast(sizes), "cid")
+            .withColumn(
+                "__fence",
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % n_fences,
+            )
+            .drop("__csz")
+        )
+    else:
+        fenced = qv.withColumn("__fence", F.lit(0).cast("long"))
+
+    a = fenced.select(
+        F.col("cid"),
+        F.col("__fence"),
+        F.col("id").alias("id_a"),
+        F.col("q").alias("qa"),
     )
-    b = qv.select(
-        F.col("cid"), F.col("id").alias("id_b"), F.col("q").alias("qb")
+    b = fenced.select(
+        F.col("cid"),
+        F.col("__fence"),
+        F.col("id").alias("id_b"),
+        F.col("q").alias("qb"),
     )
     pairs = (
-        a.join(b, ["cid"])
+        a.join(b, ["cid", "__fence"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",

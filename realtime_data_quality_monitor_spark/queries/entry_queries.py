@@ -5030,9 +5030,22 @@ def q_s10_semantic_dedup_embeddings(spark, sf_dir):
 
 SQL_S10 = f"""
     WITH {{ctes}},
+    -- structural cluster cap (default 4096): clusters above the cap
+    -- split into ceil(size/cap) md5-drawn fences; pairs only within
+    -- (cid, fence).  At this fixture every cluster is under the cap,
+    -- so n_fences = 1 and the fence is identically 0 — the CTEs mirror
+    -- the operator's algebra at any scale.
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS csz FROM afinal GROUP BY cid),
+    fenced AS (
+      SELECT f.id, f.cid,
+             CAST('0x' || substr(md5(CAST(f.id AS VARCHAR)), 1, 8) AS BIGINT)
+               % ((s.csz + 4095) // 4096) AS fence
+      FROM afinal f JOIN sizes s USING (cid)),
     pairs0 AS (
       SELECT a.id AS id_a, b.id AS id_b
-      FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.id < b.id),
+      FROM fenced a JOIN fenced b
+        ON a.cid = b.cid AND a.fence = b.fence AND a.id < b.id),
     terms AS (
       SELECT p.id_a, p.id_b,
         CAST(floor(UNNEST(ea.embedding)::DOUBLE * 10000000.0e0) AS BIGINT)
