@@ -20,6 +20,14 @@ import os
 import sys
 import time
 
+# Sandbox pin (must precede package import AND SparkSession creation so
+# local-mode Python workers inherit it): this host's snapshot-restored RAM
+# lazily re-faults big fresh numpy allocations at ~5-30 MB/s, making the
+# numpy-batch UDF interior 2x SLOWER end-to-end here — the per-string
+# interior is the measured fast path (CLAUDE.md "Lazy-faulted RAM";
+# config.UDF_INTERIOR docs). On real hardware leave the default "batch".
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402

@@ -17,6 +17,30 @@ non-deterministic (see SURVEY.md §7.4 "parity contract"):
 from __future__ import annotations
 
 import datetime
+import os
+
+# ---------------------------------------------------------------------------
+# UDF interior selection (functions/udfs.py) — VERDICT r2 #4.
+# "batch": numpy-vectorized Arrow-batch interiors (detect_language_batch /
+#   avg_neg_logprob_batch / repetition_ratio_batch) — the correct DEFAULT on
+#   hardware with normal first-touch memory cost (10-100x less interpreter
+#   work per batch).
+# "per_string": per-string contract functions in recycled small-object
+#   arena memory — measured 2x faster END-TO-END on this sandbox, whose
+#   snapshot-restored RAM lazily re-faults the big fresh numpy allocations
+#   the batch path makes per Arrow batch at ~5-30 MB/s (see CLAUDE.md
+#   "Lazy-faulted RAM"). bench.py pins this for sandbox runs.
+# Both interiors are parity-pinned bit-identical (tests/test_text_functions
+# .py); the env var must be set BEFORE SparkSession creation so local-mode
+# Python workers inherit it (get_spark also forwards it via executorEnv
+# for real clusters).
+# ---------------------------------------------------------------------------
+UDF_INTERIOR = os.environ.get("SPARK_GRAFT_UDF_INTERIOR", "batch")
+if UDF_INTERIOR not in ("batch", "per_string"):
+    raise ValueError(
+        f"SPARK_GRAFT_UDF_INTERIOR={UDF_INTERIOR!r}: "
+        "expected 'batch' or 'per_string'"
+    )
 
 # ---------------------------------------------------------------------------
 # Job clock (reference: datetime.utcnow() per record — irreproducible).

@@ -13,12 +13,21 @@ backtracking features like lookbehind that Spark's regexp_replace lacks).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+from ..config import UDF_INTERIOR
 from .scrub import scrub_text
-from .text_quality import avg_neg_logprob, detect_language, repetition_ratio
+from .text_quality import (
+    avg_neg_logprob,
+    avg_neg_logprob_batch,
+    detect_language,
+    detect_language_batch,
+    repetition_ratio,
+    repetition_ratio_batch,
+)
 
 _FEATURES_TYPE = StructType(
     [
@@ -29,22 +38,9 @@ _FEATURES_TYPE = StructType(
 )
 
 
-@pandas_udf(_FEATURES_TYPE)
-def text_features_udf(texts: pd.Series) -> pd.DataFrame:
-    """Per-turn language ID + char-bigram NLL + word-bigram repetition
-    ratio in ONE Arrow stage (the text crosses the JVM<->Python boundary
-    once); null in -> nulls out.
-
-    Interior is the per-string contract functions, NOT the *_batch
-    numpy variants (functions/text_quality.py keeps both, parity-pinned
-    by tests/test_text_quality.py). Measured on this sandbox the batch
-    variants are 2x SLOWER end-to-end: the VM's RAM is lazily faulted
-    (snapshot restore + free-page reporting), so the large fresh numpy
-    arrays the batch path allocates per Arrow batch are mmap'd, returned
-    to the OS on free, and re-fault at ~5-30 MB/s on every batch, while
-    the per-string loop works in recycled small-object arena memory at
-    full speed. On hardware with normal first-touch cost the batch
-    variants win; switch the interior back if this ever runs there."""
+def _features_per_string(texts: pd.Series) -> pd.DataFrame:
+    """Per-string interior: contract functions in recycled arena memory
+    (the sandbox fast path — see config.UDF_INTERIOR)."""
     langs = []
     nlls = []
     reps = []
@@ -58,6 +54,45 @@ def text_features_udf(texts: pd.Series) -> pd.DataFrame:
             nlls.append(avg_neg_logprob(t))
             reps.append(repetition_ratio(t))
     return pd.DataFrame({"lang": langs, "nll": nlls, "rep": reps})
+
+
+def _features_batch(texts: pd.Series) -> pd.DataFrame:
+    """Numpy-vectorized interior (the default): the *_batch variants
+    take null-free lists, so nulls are sliced out and scattered back."""
+    vals = texts.to_numpy(dtype=object)
+    ok = np.array([t is not None for t in vals], dtype=bool)
+    n = len(vals)
+    langs = np.full(n, None, dtype=object)
+    nlls = np.full(n, None, dtype=object)
+    reps = np.full(n, None, dtype=object)
+    if ok.any():
+        present = [t for t in vals if t is not None]
+        langs[ok] = detect_language_batch(present)
+        nlls[ok] = avg_neg_logprob_batch(present).astype(object)
+        reps[ok] = repetition_ratio_batch(present).astype(object)
+    return pd.DataFrame({"lang": langs, "nll": nlls, "rep": reps})
+
+
+_FEATURES_INTERIOR = (
+    _features_batch if UDF_INTERIOR == "batch" else _features_per_string
+)
+
+
+@pandas_udf(_FEATURES_TYPE)
+def text_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-turn language ID + char-bigram NLL + word-bigram repetition
+    ratio in ONE Arrow stage (the text crosses the JVM<->Python boundary
+    once); null in -> nulls out.
+
+    The interior is selected by config.UDF_INTERIOR (env
+    SPARK_GRAFT_UDF_INTERIOR): "batch" = the numpy-vectorized *_batch
+    variants (default — correct for real hardware), "per_string" = the
+    per-string contract functions (2x faster end-to-end on this
+    sandbox's lazily-faulted RAM, where the batch path's big fresh
+    numpy allocations re-fault at ~5-30 MB/s per Arrow batch). Both
+    interiors are bit-identical, pinned by tests/test_text_functions.py
+    — the flag is a performance choice, never a semantics choice."""
+    return _FEATURES_INTERIOR(texts)
 
 
 @pandas_udf(StringType())

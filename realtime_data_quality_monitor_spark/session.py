@@ -72,6 +72,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # forward the UDF-interior choice to executor Python workers (local
+    # mode inherits the driver env, but a real cluster needs executorEnv)
+    if "SPARK_GRAFT_UDF_INTERIOR" in os.environ:
+        builder = builder.config(
+            "spark.executorEnv.SPARK_GRAFT_UDF_INTERIOR",
+            os.environ["SPARK_GRAFT_UDF_INTERIOR"],
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

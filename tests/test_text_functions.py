@@ -483,3 +483,49 @@ def test_bpe_ish_matches_duckdb_on_corpus(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_udf_interior_flag_both_paths_identical():
+    """config.UDF_INTERIOR flips the text_features_udf interior
+    (VERDICT r2 #4): both interiors must be bit-identical INCLUDING
+    null scatter/gather, and the env validation must reject junk."""
+    import importlib
+    import os
+
+    import pandas as pd
+
+    from realtime_data_quality_monitor_spark.functions import udfs
+
+    texts = pd.Series(
+        [None, "", "the cat sat on the mat the cat sat", "héllo wörld",
+         None, "a", "x " * 500, "the the the the"],
+        dtype=object,
+    )
+    a = udfs._features_per_string(texts)
+    b = udfs._features_batch(texts)
+    pd.testing.assert_frame_equal(
+        a.astype(object), b.astype(object), check_dtype=False
+    )
+
+    # the flag actually selects the interior at import time
+    old = os.environ.get("SPARK_GRAFT_UDF_INTERIOR")
+    try:
+        os.environ["SPARK_GRAFT_UDF_INTERIOR"] = "per_string"
+        from realtime_data_quality_monitor_spark import config as cfg
+        importlib.reload(cfg)
+        assert cfg.UDF_INTERIOR == "per_string"
+        os.environ["SPARK_GRAFT_UDF_INTERIOR"] = "batch"
+        importlib.reload(cfg)
+        assert cfg.UDF_INTERIOR == "batch"
+        os.environ["SPARK_GRAFT_UDF_INTERIOR"] = "junk"
+        try:
+            importlib.reload(cfg)
+            raise AssertionError("junk interior value must be rejected")
+        except ValueError:
+            pass
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_UDF_INTERIOR", None)
+        else:
+            os.environ["SPARK_GRAFT_UDF_INTERIOR"] = old
+        importlib.reload(cfg)
