@@ -155,23 +155,73 @@ def _jaccard_from_inverted(
     return out.select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1: (a*h + b) stays under 2^62
+
+
+def minhash_params(num_hashes: int) -> list:
+    """Deterministic (a_i, b_i) pairs for the classic universal-hash
+    MinHash family h_i = (a_i * h + b_i) mod P — one shared table so
+    the Spark operator and the SQL oracle inline identical constants.
+    Derived from a fixed 63-bit LCG walk (no RNG state, no seed knob:
+    the family IS the contract, like the repo's keyed-md5 seeds)."""
+    params = []
+    x = 0x2545F4914F6CDD1D
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**63
+        a = (x % (MINHASH_PRIME - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**63
+        b = x % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def md5_token_hash60(token) -> F.Column:
+    """Uniform nonneg BIGINT (60 bits) from the first 15 md5 hex chars
+    of the token — the engine-portable base hash (DuckDB:
+    CAST('0x'||substr(md5(token),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per document: h_i = min over tokens of
-    xxhash64(token, seed=i). Pure column algebra: one aggregate over the
-    exploded token set, no UDF."""
+    """MinHash signature per document. Pure column algebra: one
+    aggregate over the exploded distinct-token set, no UDF.
+
+    ``hash_family="md5"`` (default): h_i = min over tokens of
+    (a_i * (md5_60(token) mod P) + b_i) mod P — the universal-hash
+    family over an md5-derived base hash, replicable bit-for-bit in
+    ANSI SQL so d3 gets a cell-exact DuckDB oracle (VERDICT r2 #5; the
+    t6/e6 keyed-md5 pattern). ONE md5 per token; the per-i hashes are
+    two integer ops each.
+    ``hash_family="xxhash64"``: the previous engine-native signatures
+    (h_i = xxhash64(i, token)) — faster JVM hash, not portable SQL;
+    kept for the family-equivalence tests."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"minhash: unknown hash_family {hash_family!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        toks = toks.withColumn(
+            "__h", md5_token_hash60(F.col("token")) % F.lit(MINHASH_PRIME)
+        )
+        mins = [
+            F.min(
+                (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     sig = toks.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -183,22 +233,34 @@ def minhash_lsh_candidates(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, equi-join on
     (band_idx, band_hash) to get candidates, then verify with the exact
-    token Jaccard of the candidate pair only."""
+    token Jaccard of the candidate pair only.
+
+    The md5 family's band key is the '|'-joined band slice itself
+    (band equality IS tuple equality; integers can't contain '|'), so
+    the whole candidate pipeline — signatures, banding, verification —
+    is cell-exact ANSI SQL. The xxhash64 family keeps its hashed band
+    key."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col)
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
+
+    def band_key(bi):
+        cols = [
+            F.col("signature")[bi * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if hash_family == "md5":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col("signature")[bi * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
+                band_key(bi).alias("band_hash"),
             )
             for bi in range(bands)
         ]
@@ -252,21 +314,25 @@ def _simhash_from_hashes(hashes, bits: int = 64):
     return out
 
 
-def token_hashes_col(text_col):
-    """xxhash64 of each token — the staged input for SimHash."""
+def token_hashes_col(text_col, hash_family: str = "md5"):
+    """Per-token hash array — the staged input for SimHash. "md5":
+    60-bit md5-derived integers (cell-exact in SQL, VERDICT r2 #5);
+    "xxhash64": the engine-native 64-bit family."""
+    if hash_family == "md5":
+        return F.transform(tokens_col(text_col), md5_token_hash60)
     return F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash of the token multiset: per-token xxhash64, sum the
-    per-bit +1/-1 votes with bitwise column algebra (no UDF).
+def simhash_col(text_col, bits: int = 64, hash_family: str = "xxhash64"):
+    """SimHash of the token multiset: per-token hash, sum the per-bit
+    +1/-1 votes with bitwise column algebra (no UDF).
 
     NOTE: as a single Column this re-tokenizes AND re-hashes the token
     array once per bit (64x per row) — no CSE across lambdas. Prefer
     staging ``token_hashes_col`` as its own column and calling
     ``_simhash_from_hashes`` on the attribute (see
     simhash_near_duplicates)."""
-    return _simhash_from_hashes(token_hashes_col(text_col), bits)
+    return _simhash_from_hashes(token_hashes_col(text_col, hash_family), bits)
 
 
 def simhash_near_duplicates(
@@ -274,13 +340,25 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """SimHash near-dups: candidates share one of 4 16-bit sub-keys
     (pigeonhole guarantees recall for Hamming distance <= 3), then exact
-    Hamming verification via bit_count(xor)."""
-    sh = df.withColumn("__sh_hashes", token_hashes_col(F.col(text_col))).select(
+    Hamming verification via bit_count(xor).
+
+    The md5 family votes over 60 bits (15 md5 hex chars -> nonneg
+    BIGINT; bits 60-63 are identically 0 and the 4x16-bit sub-key
+    scheme is unchanged) so signatures, sub-keys, and Hamming distances
+    are replicable in ANSI SQL — d4's cell-exact oracle. The xxhash64
+    family keeps the full 64-bit vote."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"simhash: unknown hash_family {hash_family!r}")
+    bits = 60 if hash_family == "md5" else 64
+    sh = df.withColumn(
+        "__sh_hashes", token_hashes_col(F.col(text_col), hash_family)
+    ).select(
         F.col(id_col).alias("id"),
-        _simhash_from_hashes(F.col("__sh_hashes")).alias("simhash"),
+        _simhash_from_hashes(F.col("__sh_hashes"), bits).alias("simhash"),
     )
     pieces = F.array(
         *[
