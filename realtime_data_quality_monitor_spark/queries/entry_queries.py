@@ -5074,6 +5074,24 @@ SQL_G6 = """
 """
 
 
+def q_g8_clf_table_weights_documents(spark, sf_dir):
+    """The trained-weights classifier path (quality_filters.
+    hashed_linear_score_from_table): a (bucket, weight) table — here
+    the closed-form weights materialized as a DataFrame, standing in
+    for a real fastText-style model export — folds into one broadcast
+    map and scores row-locally with ZERO corpus-side exchanges. Scores
+    must equal the closed-form g6 entry cell-for-cell, so the oracle
+    is SQL_G6 verbatim (the equality IS the check)."""
+    d = quality_filters.hashed_linear_score_from_table(
+        _t(spark, sf_dir, "documents"),
+        quality_filters.closed_form_weights(spark),
+    )
+    return d.select("doc_id", "clf_score", "clf_keep")
+
+
+SQL_G8 = SQL_G6  # table weights must reproduce the closed form exactly
+
+
 TFIDF_QUERY_TERMS = ["hash", "join", "stream", "vector"]
 
 
@@ -5951,6 +5969,10 @@ ENTRY_QUERIES = {
     "sk7_hist_drift_events": (q_sk7_hist_drift_events, SQL_SK7),
     # -- session 7: classifier / retrieval / semantic dedup / linalg -----
     "g6_clf_score_documents": (q_g6_clf_score_documents, SQL_G6),
+    "g8_clf_table_weights_documents": (
+        q_g8_clf_table_weights_documents,
+        SQL_G8,
+    ),
     "t12_tfidf_topk_documents": (q_t12_tfidf_topk_documents, SQL_T12),
     "s10_semantic_dedup_embeddings": (
         q_s10_semantic_dedup_embeddings,
@@ -6023,7 +6045,10 @@ _ROUND3_WINDOW = [
     "sk6_hist_quantiles_events",
     "sk7_hist_drift_events",
     # session 7: classifier, tf-idf, SemDeDup, Gram, link graph
+    # (g8 is the round-3 trained-weights classifier path — new, needs
+    # its first driver verdict alongside g6)
     "g6_clf_score_documents",
+    "g8_clf_table_weights_documents",
     "t12_tfidf_topk_documents",
     "s10_semantic_dedup_embeddings",
     "s11_gram_matrix_embeddings",
@@ -6045,10 +6070,11 @@ _ROUND3_WINDOW = [
     # d9-d14)
     "d3_minhash_lsh_documents",
     "d4_simhash_documents",
-    # round-2 driver-green regression sentinels (VERDICT.md's pick)
+    # round-2 driver-green regression sentinels (VERDICT.md's pick;
+    # m9/d0/e1 yielded slots to d3/d4/g8 — anomaly, exact-dedup and
+    # export stay guarded by check_entry's full-catalog run)
     "p7_overall_quality_events",
     "a1_window_stats_daily",
-    "m9_forecast_anomalies_daily",
     "g1_gopher_stats_documents",
 ]
 assert len(_ROUND3_WINDOW) == 50 and len(set(_ROUND3_WINDOW)) == 50

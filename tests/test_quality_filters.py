@@ -221,3 +221,35 @@ def test_simpson_diversity_matches_counter(spark):
 
     assert got == {d: py(t) for d, t in texts}
     assert got[0] == M - 250000 and got[1] == 0 and got[4] == 0
+
+
+def test_clf_table_weights_equal_closed_form_and_plan(spark):
+    """VERDICT r2 #6: the trained-weights path (broadcast (bucket,
+    weight) table) must score cell-identically to the closed-form
+    expression, with the corpus side shuffle-free — exactly one
+    broadcast join added, zero Exchange hashpartitioning anywhere (the
+    single Exchange is the n_buckets-row weight fold)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = qf.closed_form_weights(spark)
+    a = qf.hashed_linear_score(docs).select(
+        "doc_id", "clf_score", "clf_keep"
+    )
+    b = qf.hashed_linear_score_from_table(docs, w).select(
+        "doc_id", "clf_score", "clf_keep"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    import re
+
+    # AQE's final plan string repeats the initial plan below it — keep
+    # only the final section so node counts aren't double-counted
+    p = b._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"BroadcastNestedLoopJoin|BroadcastHashJoin", p)) == 1
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Exchange") <= 2  # the tiny weight fold only
+
+    # sparse tables: missing buckets weigh 0 -> empty table scores 0
+    empty = w.where("bucket < 0")
+    z = qf.hashed_linear_score_from_table(docs, empty)
+    assert z.where("clf_score != 0").count() == 0
