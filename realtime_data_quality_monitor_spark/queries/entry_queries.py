@@ -3285,6 +3285,423 @@ SQL_Q22 = """
 """
 
 
+# ---------------------------------------------------------------------------
+# derived partsupp: the 6 remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20/Q21)
+# need a partsupp table / commit-receipt dates absent from the testdata.
+# partsupp derives from the (l_partkey, l_suppkey) pairs that actually
+# occur in lineitem, with closed-form md5 availqty / supplycost-cents —
+# both engines build the identical table (the m1-m3 derived-fixture
+# pattern), so all six get cell-exact oracles (VERDICT r2 #8).
+# ---------------------------------------------------------------------------
+
+
+def _h8(*cols):
+    """First 8 md5 hex chars of 'a|b|...' as BIGINT (SQL:
+    CAST('0x'||substr(md5(a||'|'||b||...),1,8) AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _partsupp(spark, sf_dir):
+    """(ps_partkey, ps_suppkey, ps_availqty INT, ps_supplycost_c BIGINT
+    cents in [100, 100000]) over the distinct lineitem part-supplier
+    pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    pk = F.col("ps_partkey").cast("string")
+    sk = F.col("ps_suppkey").cast("string")
+    return ps.withColumns(
+        {
+            "ps_availqty": (_h8(pk, sk, F.lit("aq")) % 9999 + 1).cast("int"),
+            "ps_supplycost_c": _h8(pk, sk, F.lit("sc")) % 99901 + 100,
+        }
+    )
+
+
+_SQL_PS = """
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST(CAST('0x' || substr(md5(ps_partkey || '|' || ps_suppkey
+                 || '|aq'), 1, 8) AS BIGINT) % 9999 + 1 AS INT)
+               AS ps_availqty,
+             CAST('0x' || substr(md5(ps_partkey || '|' || ps_suppkey
+                 || '|sc'), 1, 8) AS BIGINT) % 99901 + 100
+               AS ps_supplycost_c
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey FROM lineitem))
+"""
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape over the derived partsupp: for LARGE parts of
+    size <= 10, the supplier(s) in EUROPE offering the minimum supply
+    cost — the correlated-min-subquery pattern (decorrelated here as a
+    per-part min over the region-restricted partsupp, then an equi-join
+    back; supply costs are integer cents so the min is exact). Dims
+    broadcast; the only corpus-sized shuffle is the per-part min."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    sup_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(sup_eu), ps.ps_suppkey == sup_eu.s_suppkey)
+    mins = ps_eu.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_c").alias("__minc")
+    )
+    return (
+        ps_eu.join(
+            mins,
+            (ps_eu.ps_partkey == mins.ps_partkey)
+            & (ps_eu.ps_supplycost_c == mins.__minc),
+        )
+        .drop(mins.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost_c").alias("supplycost_c"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+SQL_Q2 = f"""
+    WITH {_SQL_PS},
+    sup_eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+    ps_eu AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, s.n_name
+      FROM partsupp ps JOIN sup_eu s ON ps.ps_suppkey = s.s_suppkey),
+    mins AS (
+      SELECT ps_partkey, MIN(ps_supplycost_c) AS minc
+      FROM ps_eu GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost_c AS supplycost_c
+    FROM ps_eu
+    JOIN mins USING (ps_partkey)
+    JOIN part ON ps_partkey = p_partkey
+    WHERE ps_supplycost_c = minc
+      AND p_type = 'LARGE' AND p_size <= 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (nation, order year) over parts whose
+    name contains 'red'. The revenue sums as exact DECIMAL(18,6), the
+    supply cost as exact BIGINT cents (cents * integral qty), and the
+    two exact sums combine in ONE final double expression
+    rev - cost/100.0 — three IEEE ops on identical exact inputs, so
+    the result is engine-exact without a decimal division (whose
+    rounding rules differ across engines). Part filter prunes the
+    probe side before the partsupp join; dims broadcast, one shuffle
+    per join key + the final rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ps = _partsupp(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cost_c = F.col("ps_supplycost_c") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.sum(cost_c).cast("long").cast("double") / F.lit(100.0)
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_Q9 = f"""
+    WITH {_SQL_PS}
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             - CAST(CAST(SUM(ps_supplycost_c * CAST(l_quantity AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose stock value held by NATION_3
+    suppliers exceeds 0.1% of that nation's total. value =
+    availqty * supplycost_c — pure BIGINT, and the HAVING threshold is
+    the integer cross-multiply sum*1000 > total (one broadcast of the
+    1-row total), so the cut is exact on any engine."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("ps_availqty").cast("long") * F.col("ps_supplycost_c"))
+    ps_n = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", val.alias("__v"))
+    )
+    by_part = ps_n.groupBy("ps_partkey").agg(
+        F.sum("__v").cast("long").alias("value_c")
+    )
+    total = ps_n.agg(F.sum("__v").cast("long").alias("__t"))
+    return (
+        by_part.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("value_c") * 1000 > F.col("__t"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "ps_partkey")
+    )
+
+
+SQL_Q11 = f"""
+    WITH {_SQL_PS},
+    ps_n AS (
+      SELECT ps_partkey,
+             CAST(ps_availqty AS BIGINT) * ps_supplycost_c AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3')
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+    FROM ps_n
+    GROUP BY 1
+    HAVING CAST(SUM(v) AS BIGINT) * 1000 > (SELECT CAST(SUM(v) AS BIGINT)
+                                            FROM ps_n)
+    ORDER BY value_c DESC, ps_partkey
+"""
+
+
+def q_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for parts NOT of Brand#13 / PROMO type, excluding
+    audit-flagged suppliers (s_suppkey % 7 = 0 — the reshape of the
+    reference query's complaint-comment scan onto the test schema).
+    The anti-join side is tiny (broadcast); the distinct-count is one
+    hash aggregate."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    ).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(flagged),
+            ps.ps_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = f"""
+    WITH {_SQL_PS}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_suppkey % 7 = 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: NATION_7 suppliers holding more than half a
+    year's shipped quantity of some 'small'-named part. Quantities are
+    integral doubles, so the comparison is the exact integer
+    cross-multiply availqty * 2 > sum(qty). The 1996 ship-year filter
+    prunes lineitem at the scan; part names broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__qty"))
+    )
+    excess = ps.join(
+        shipped,
+        (ps.ps_partkey == shipped.l_partkey)
+        & (ps.ps_suppkey == shipped.l_suppkey),
+    ).filter(F.col("ps_availqty").cast("long") * 2 > F.col("__qty"))
+    return (
+        s.join(
+            excess.select("ps_suppkey").distinct(),
+            s.s_suppkey == F.col("ps_suppkey"),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_Q20 = f"""
+    WITH {_SQL_PS},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE CAST(ps_availqty AS BIGINT) * 2 > qty)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN excess ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    ORDER BY s_name
+"""
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order. The testdata has no commit/receipt
+    dates; both derive as closed-form md5 day-offsets of the line key
+    and Q21 only ever compares them, so 'late' = receipt_off >
+    commit_off is the identical predicate on both engines. Shape:
+    one exists semi-join + one not-exists anti-join on l_orderkey —
+    never a self cross product."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            _h8(
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.lit("rd"),
+            )
+            % 30
+            > _h8(
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.lit("cd"),
+            )
+            % 30
+        ).alias("__late"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+
+    l1 = li.filter(F.col("__late")).alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("__late")).alias("l3")
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                  || '|rd'), 1, 8) AS BIGINT) % 30
+              > CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                  || '|cd'), 1, 8) AS BIGINT) % 30) AS late
+      FROM lineitem)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def q_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-table join (broadcast customer dim into the
     orders-lineitem shuffle join), date-range filters pushed to both fact
@@ -5955,6 +6372,13 @@ ENTRY_QUERIES = {
     "q17_small_qty_revenue": (q_q17_small_qty_revenue, SQL_Q17),
     "q19_disjunct_revenue": (q_q19_disjunct_revenue, SQL_Q19),
     "q22_idle_customer_balance": (q_q22_idle_customer_balance, SQL_Q22),
+    # round-3: the 6 shapes unblocked by the derived partsupp table
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2),
+    "q9_product_type_profit": (q_q9_product_type_profit, SQL_Q9),
+    "q11_important_stock": (q_q11_important_stock, SQL_Q11),
+    "q16_supplier_part_counts": (q_q16_supplier_part_counts, SQL_Q16),
+    "q20_excess_stock_suppliers": (q_q20_excess_stock_suppliers, SQL_Q20),
+    "q21_waiting_suppliers": (q_q21_waiting_suppliers, SQL_Q21),
     "s7_pq_codes_embeddings": (q_s7_pq_codes_embeddings, SQL_S7),
     "s8_pq_adc_topk_embeddings": (q_s8_pq_adc_topk_embeddings, SQL_S8),
     "s9_ivfpq_topk_embeddings": (q_s9_ivfpq_topk_embeddings, SQL_S9),
