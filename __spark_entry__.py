@@ -8,11 +8,10 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 The catalog lives in
 realtime_data_quality_monitor_spark/queries/entry_queries.py; keys are
 prefixed with the SURVEY.md §2 operator ids they exercise. Entries with a
-None oracle get the weaker rows-only check by design — they are exactly
-the engine-specific-randomness ops (d3/d4 minhash/simhash xxhash64
-signatures, d6/s3/s5 hyperplane-bucket LSH where double summation order
-decides a sign, m8 seeded isolation forest), each pinned instead by
-property/equivalence tests in tests/.
+None oracle get the weaker rows-only check by design — as of round 3 that
+is only m8 (seeded isolation forest), pinned instead by a determinism
+test. d3/d4 (md5-family MinHash/SimHash signatures) and d6/s3/s5
+(integer-quantized hyperplane LSH) graduated to cell-exact oracles.
 """
 
 from __future__ import annotations

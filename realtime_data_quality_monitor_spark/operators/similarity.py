@@ -15,6 +15,7 @@ in float64 with a fixed left-to-right accumulation order.
 
 from __future__ import annotations
 
+import math
 import struct as _struct
 
 from pyspark.sql import Column, DataFrame, Window
@@ -90,17 +91,44 @@ def _deterministic_hyperplanes(n_planes: int, dim: int, plane_offset: int = 0) -
     return planes
 
 
+def quantized_hyperplanes(
+    n_planes: int, dim: int, plane_offset: int = 0
+) -> list[list[int]]:
+    """The hyperplane family as floor(w * 1e7) BIGINTs — exact Python ints
+    that both the Spark bucket expression and a SQL oracle can embed as
+    literals, so bucket membership is integer arithmetic on every engine."""
+    return [
+        [int(math.floor(w * 1e7)) for w in row]
+        for row in _deterministic_hyperplanes(n_planes, dim, plane_offset)
+    ]
+
+
 def lsh_bucket_col(
     vec: Column, n_planes: int, dim: int, plane_offset: int = 0
 ) -> Column:
     """Sign-random-projection bucket id (0 .. 2^n_planes-1).
     ``plane_offset`` selects an independent plane family (offset 0 is the
-    original single-table family, so existing buckets are unchanged)."""
-    planes = _deterministic_hyperplanes(n_planes, dim, plane_offset)
+    original single-table family).
+
+    The sign test runs on integer-quantized inputs — floor(x*1e7) for the
+    vector, floor(w*1e7) for the plane — so the bucket is a BIGINT dot
+    whose value is identical on any engine (no float-summation-order
+    sensitivity), which is what makes the LSH entries (s3/s5/d6)
+    cell-exact against a DuckDB oracle. |q| <= 1e7-scale entries bound the
+    64-term sum far below 2^63. Sign flips vs the float dot only occur
+    when |dot| ~ 1e-5 (measure-zero on real embeddings); recall
+    characteristics are unchanged."""
+    planes = quantized_hyperplanes(n_planes, dim, plane_offset)
+    qv = _quantize(vec, 10_000_000)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        sign = (dot(vec, plane) >= 0).cast("int")
+        plane = F.array(*[F.lit(w).cast("long") for w in row])
+        qdot = F.aggregate(
+            F.zip_with(qv, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sign = (qdot >= 0).cast("int")
         bucket = bucket + sign * (1 << p)
     return bucket
 
@@ -113,10 +141,14 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cos_fn=None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the LSH bucket, then
     exact cosine rescoring within the bucket. Recall < 1 by design; the
-    equi-join on bucket replaces the full cross product."""
+    equi-join on bucket replaces the full cross product. ``cos_fn``
+    overrides the rescoring metric (e.g. a quantized cosine for
+    cell-exact oracles)."""
+    cos_fn = cos_fn or cosine
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -130,7 +162,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", cos_fn(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -147,9 +179,11 @@ def embedding_near_duplicates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cos_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
     cosine verification (the embedding analog of MinHash-LSH dedup)."""
+    cos_fn = cos_fn or cosine
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -159,7 +193,7 @@ def embedding_near_duplicates(
         keyed.alias("x")
         .join(keyed.alias("y"), "bucket")
         .filter(F.col("x.id") < F.col("y.id"))
-        .withColumn("cos", cosine(F.col("x.vec"), F.col("y.vec")))
+        .withColumn("cos", cos_fn(F.col("x.vec"), F.col("y.vec")))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("x.id").alias("id_a"),
@@ -282,6 +316,7 @@ def lsh_topk_multi(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cos_fn=None,
 ) -> DataFrame:
     """Multi-table (OR-amplified) LSH top-k: ``n_tables`` independent
     sign-projection tables; a candidate qualifies if it collides with the
@@ -298,6 +333,7 @@ def lsh_topk_multi(
     on the composite key (queries broadcast), dedup on (query, neighbor),
     rescore, per-query top-k window. The corpus is never self-joined.
     """
+    cos_fn = cos_fn or cosine
     def _keyed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         tb = F.array(
             *[
@@ -325,7 +361,7 @@ def lsh_topk_multi(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        cand.withColumn("cos", cos_fn(F.col("qvec"), F.col("cvec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")

@@ -1195,14 +1195,85 @@ SQL_S2 = """
 """
 
 
+def _lsh_plane_values(n_planes, n_tables=1, planes_per_table=None):
+    """VALUES rows '(t, p, i, w)' for the quantized hyperplane family
+    (similarity.quantized_hyperplanes) — the same Python ints the Spark
+    bucket expression embeds, so bucket membership is engine-exact
+    integer arithmetic on both sides."""
+    planes_per_table = planes_per_table or n_planes
+    rows = []
+    for t in range(n_tables):
+        fam = similarity.quantized_hyperplanes(
+            planes_per_table, 64, plane_offset=t * planes_per_table
+        )
+        for p, row in enumerate(fam):
+            rows.extend(
+                f"({t},{p},{i},{w})" for i, w in enumerate(row)
+            )
+    return ",".join(rows)
+
+
+# shared oracle CTE prologue: quantized vectors, per-(vec, table) integer
+# bucket ids from the literal plane family, and integer self-dots
+_SQL_LSH_PROLOGUE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000000.0e0) AS BIGINT)) AS ql
+      FROM embeddings),
+    planes(t, p, i, w) AS (VALUES {values}),
+    pdots AS (
+      SELECT v.vec_id, pl.t, pl.p, SUM(v.ql[pl.i + 1] * pl.w) AS d
+      FROM v, planes pl GROUP BY v.vec_id, pl.t, pl.p),
+    buck AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS INT)
+               AS bucket
+      FROM pdots GROUP BY vec_id, t),
+    selfd AS (
+      SELECT vec_id, CAST(SUM(ql[g.i] * ql[g.i]) AS DOUBLE) AS selfdot
+      FROM v JOIN generate_series(1, 10000) g(i) ON g.i <= len(ql)
+      GROUP BY vec_id),
+"""
+
+
 def q_s3_lsh_ann_embeddings(spark, sf_dir):
-    """LSH-bucketed approximate neighbors (deterministic literal
-    hyperplanes); xxhash-free but the bucket SQL is impractically large ->
-    rows-only check; exactness of the shared bucket logic is covered by
-    the s1 overlap test in tests/."""
+    """LSH-bucketed approximate neighbors. Buckets are integer dots of the
+    1e-7-quantized vectors against the literal quantized hyperplane family
+    (similarity.lsh_bucket_col), and the rescoring cosine is the quantized
+    _qcos — both engine-exact, so the entry is cell-exact against the
+    DuckDB oracle (graduated from rows-only in round 3)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+    return similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64, cos_fn=_qcos)
+
+
+SQL_S3 = (
+    _SQL_LSH_PROLOGUE.format(values=_lsh_plane_values(4))
+    + """
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket
+      FROM buck q JOIN buck c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.bucket,
+             CAST(SUM(vq.ql[g.i] * vn.ql[g.i]) AS DOUBLE)
+               / (sqrt(sq.selfdot) * sqrt(sn.selfdot)) AS cos
+      FROM cand
+      JOIN v vq ON vq.vec_id = cand.query_id
+      JOIN v vn ON vn.vec_id = cand.neighbor_id
+      JOIN selfd sq ON sq.vec_id = cand.query_id
+      JOIN selfd sn ON sn.vec_id = cand.neighbor_id
+      JOIN generate_series(1, 10000) g(i) ON g.i <= len(vq.ql)
+      GROUP BY cand.query_id, cand.neighbor_id, cand.bucket,
+               sq.selfdot, sn.selfdot),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, bucket, rank, cos
+    FROM ranked WHERE rank <= 5
+"""
+)
 
 
 def q_d7_ngram_jaccard_documents(spark, sf_dir):
@@ -1238,17 +1309,44 @@ SQL_D7 = """
 def q_s5_lsh_multi_ann_embeddings(spark, sf_dir):
     """Multi-table (OR-amplified) LSH ANN
     (operators/similarity.py::lsh_topk_multi): 8 independent 4-plane
-    sign-projection tables, candidates = any-table collision, exact
-    cosine rescore. Bucket membership hinges on the sign of a double dot
-    product whose summation order differs between engines -> rows-only
-    check (same reason as s3); recall vs exact is measured in
-    BASELINE.md and floor-tested in tests/."""
+    sign-projection tables, candidates = any-table collision, quantized
+    cosine rescore. Integer buckets + _qcos make it cell-exact
+    (graduated from rows-only in round 3); recall vs exact is measured
+    in BASELINE.md and floor-tested in tests/."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk_multi(
-        emb, q, k=5, n_planes=4, n_tables=8, dim=dim
+        emb, q, k=5, n_planes=4, n_tables=8, dim=dim, cos_fn=_qcos
     )
+
+
+SQL_S5 = (
+    _SQL_LSH_PROLOGUE.format(values=_lsh_plane_values(4, n_tables=8))
+    + """
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buck q JOIN buck c ON c.t = q.t AND c.bucket = q.bucket
+                             AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(SUM(vq.ql[g.i] * vn.ql[g.i]) AS DOUBLE)
+               / (sqrt(sq.selfdot) * sqrt(sn.selfdot)) AS cos
+      FROM cand
+      JOIN v vq ON vq.vec_id = cand.query_id
+      JOIN v vn ON vn.vec_id = cand.neighbor_id
+      JOIN selfd sq ON sq.vec_id = cand.query_id
+      JOIN selfd sn ON sn.vec_id = cand.neighbor_id
+      JOIN generate_series(1, 10000) g(i) ON g.i <= len(vq.ql)
+      GROUP BY cand.query_id, cand.neighbor_id, sq.selfdot, sn.selfdot),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+"""
+)
 
 
 def q_d5_embedding_cosine_dups(spark, sf_dir):
@@ -1291,15 +1389,39 @@ SQL_D5 = """
 
 def q_d6_embedding_lsh_dups(spark, sf_dir):
     """LSH-bucketed embedding near-dups (scale path: join only within
-    hyperplane-sign buckets). Deterministic literal hyperplanes are not
-    practical SQL -> rows-only check; exact-cosine parity of the shared
-    dot/norm algebra is covered by d5/s1."""
+    hyperplane-sign buckets). Integer buckets + quantized cosine make the
+    entry cell-exact against the DuckDB oracle (graduated from rows-only
+    in round 3)."""
     emb = _t(spark, sf_dir, "embeddings")
     # threshold tuned to the synthetic fixture (random vectors, max pair
     # cosine ~0.51): 0.3/2-plane yields a few hundred pairs at sf0.01
     return similarity.embedding_near_duplicates(
-        emb, threshold=0.3, n_planes=2, dim=64
+        emb, threshold=0.3, n_planes=2, dim=64, cos_fn=_qcos
     )
+
+
+SQL_D6 = (
+    _SQL_LSH_PROLOGUE.format(values=_lsh_plane_values(2))
+    + """
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+      FROM buck a JOIN buck b ON b.bucket = a.bucket
+                             AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT pairs.id_a, pairs.id_b, pairs.bucket,
+             CAST(SUM(va.ql[g.i] * vb.ql[g.i]) AS DOUBLE)
+               / (sqrt(sa.selfdot) * sqrt(sb.selfdot)) AS cos
+      FROM pairs
+      JOIN v va ON va.vec_id = pairs.id_a
+      JOIN v vb ON vb.vec_id = pairs.id_b
+      JOIN selfd sa ON sa.vec_id = pairs.id_a
+      JOIN selfd sb ON sb.vec_id = pairs.id_b
+      JOIN generate_series(1, 10000) g(i) ON g.i <= len(va.ql)
+      GROUP BY pairs.id_a, pairs.id_b, pairs.bucket,
+               sa.selfdot, sb.selfdot)
+    SELECT id_a, id_b, bucket, cos FROM scored WHERE cos >= 0.3e0
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -6252,11 +6374,11 @@ ENTRY_QUERIES = {
     ),
     "s1_ann_cosine_topk": (q_s1_ann_cosine_topk, SQL_S1),
     "s2_embedding_centroid_norms": (q_s2_embedding_centroid_norms, SQL_S2),
-    "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, None),
+    "s3_lsh_ann_embeddings": (q_s3_lsh_ann_embeddings, SQL_S3),
     "s4_ivf_ann_embeddings": (q_s4_ivf_ann_embeddings, SQL_S4),
-    "s5_lsh_multi_ann_embeddings": (q_s5_lsh_multi_ann_embeddings, None),
+    "s5_lsh_multi_ann_embeddings": (q_s5_lsh_multi_ann_embeddings, SQL_S5),
     "d5_embedding_cosine_dups": (q_d5_embedding_cosine_dups, SQL_D5),
-    "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, None),
+    "d6_embedding_lsh_dups": (q_d6_embedding_lsh_dups, SQL_D6),
     "d7_ngram_jaccard_documents": (q_d7_ngram_jaccard_documents, SQL_D7),
     "d8_neardup_clusters_documents": (q_d8_neardup_clusters_documents, SQL_D8),
     "m1_image_decode_documents": (q_m1_image_decode_documents, SQL_M1),
@@ -6494,12 +6616,15 @@ _ROUND3_WINDOW = [
     # d9-d14)
     "d3_minhash_lsh_documents",
     "d4_simhash_documents",
-    # round-2 driver-green regression sentinels (VERDICT.md's pick;
-    # m9/d0/e1 yielded slots to d3/d4/g8 — anomaly, exact-dedup and
-    # export stay guarded by check_entry's full-catalog run)
+    # s3/d6 graduated to cell-exact integer-LSH oracles this round and
+    # need a driver HASH verdict (s5, the same bucket/cos machinery
+    # OR-amplified, waits for the round-4 window)
+    "s3_lsh_ann_embeddings",
+    "d6_embedding_lsh_dups",
+    # round-2 driver-green regression sentinel (a1/g1 yielded slots to
+    # s3/d6 — windows and corpus filters stay guarded by check_entry's
+    # full-catalog run)
     "p7_overall_quality_events",
-    "a1_window_stats_daily",
-    "g1_gopher_stats_documents",
 ]
 assert len(_ROUND3_WINDOW) == 50 and len(set(_ROUND3_WINDOW)) == 50
 ENTRY_QUERIES = {

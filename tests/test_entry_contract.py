@@ -55,11 +55,9 @@ def test_every_oracle_key_has_a_query():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 65
     # rows-only set is exactly the documented randomness-bearing ops
-    # (d3/d4 graduated to cell-exact md5-family oracles in round 3)
-    assert set(qs) - set(oracles) == {
-        "d6_embedding_lsh_dups", "m8_iforest_window_scores",
-        "s3_lsh_ann_embeddings", "s5_lsh_multi_ann_embeddings",
-    }
+    # (d3/d4 graduated to cell-exact md5-family oracles in round 3;
+    # s3/s5/d6 to integer-quantized hyperplane LSH oracles)
+    assert set(qs) - set(oracles) == {"m8_iforest_window_scores"}
 
 
 def test_every_oracle_parses_in_duckdb():
