@@ -37,6 +37,11 @@ from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
 
 SF_NAME = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
 EMB_DIM = 64
+REPS = int(os.environ.get("SPARK_GRAFT_TAIL_REPS", "2"))
+# Crash-resumable partial results: a full tail run is ~30+ min on a
+# degraded host epoch, and a died session previously lost 2 measured
+# operators — flush after every op and skip already-measured ones.
+PARTIAL_PATH = f"/tmp/rdqm_tail_partial_{SF_NAME}.json"
 
 
 def build_docs(spark, sf_name: str):
@@ -108,7 +113,11 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed(name, thunk, results, reps=2):
+def timed(name, thunk, results, reps=REPS):
+    if name in results:
+        print(f"{name:28s} skip (resumed: {results[name]} s)",
+              file=sys.stderr)
+        return
     walls = []
     thunk()  # full-size warmup (JIT + lazy-fault absorption)
     for _ in range(reps):
@@ -118,6 +127,8 @@ def timed(name, thunk, results, reps=2):
     results[name] = min(walls)
     print(f"{name:28s} best {min(walls):7.2f} s  (runs: {walls})",
           file=sys.stderr)
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(results, f)
 
 
 def main():
@@ -132,6 +143,11 @@ def main():
     # (doc ids from CONV-%08X are already contiguous 0..n-1 — the
     # gr1 shift-trick edge derivation below relies on that)
     results: dict = {}
+    if os.path.exists(PARTIAL_PATH):
+        with open(PARTIAL_PATH) as f:
+            results.update(json.load(f))
+        print(f"resuming with {sorted(results)} from {PARTIAL_PATH}",
+              file=sys.stderr)
 
     # d12: corpus duplicate-line removal (lines = turns)
     timed("d12_dup_line_removal", lambda: _noop(
