@@ -47,6 +47,21 @@ from realtime_data_quality_monitor_spark.sources.transcripts import (  # noqa: E
 SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
 
+def host_epoch_sec() -> float:
+    """Single-thread CPU sanity probe (CLAUDE.md "Environment facts"):
+    20M-iteration integer loop, ~1.2 s on a quiet host epoch. Neighbor
+    VMs on SMT siblings can more than double this with zero visible
+    steal%/load-avg, inflating every absolute wall in this report —
+    recording the probe alongside the timings makes cross-round
+    comparisons interpretable (numbers are only comparable within one
+    host epoch)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 2)
+
+
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -124,6 +139,7 @@ def main() -> None:
         timings[name] = timed(lambda fn=fn: fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    spark.stop()  # before the epoch probe so JVM threads don't contend
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -133,8 +149,11 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / timings["pipeline_rules"], 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # ~1.2 s on a quiet host; >2x that means every wall above is
+        # inflated by neighbor-VM SMT pressure (see host_epoch_sec).
+        "host_epoch_sec": host_epoch_sec(),
+        "host_epoch_clean_ref_sec": 1.2,
     }
-    spark.stop()
     print(json.dumps(result))
 
 

@@ -59,7 +59,17 @@ def token_jaccard_pairs(
     that makes the operator survive scale: a token appearing in k docs
     contributes k^2/2 join rows, so ubiquitous tokens (stopwords, markup)
     turn the inverted index quadratic in corpus size while carrying no
-    near-dup signal. Measured at sf0.1 (5k docs): 90s -> 3s."""
+    near-dup signal. Measured at sf0.1 (5k docs): 90s -> 3s.
+
+    SCALE WARNING — the FRACTIONAL cap does not bound fan-out as the
+    corpus grows: frac * n_docs join rows per surviving token is itself
+    quadratic in n_docs (measured: frac=0.25 at 561k docs spilled >79 GB
+    of shuffle and filled the disk). At corpus scale either pass an
+    ABSOLUTE ``max_token_df`` (bounding every token's fan-out at
+    max_token_df^2/2 rows regardless of corpus size) or — the intended
+    composition — generate candidates with ``minhash_lsh_candidates``
+    (band-bucket-bounded) and reserve exact Jaccard for the verify
+    stage over candidates only."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),

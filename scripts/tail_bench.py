@@ -157,14 +157,20 @@ def main():
     timed("d13_repeated_spans", lambda: _noop(
         dedup.drop_repeated_spans(docs, n=4, min_count=2)), results)
 
-    # d9: quality-aware canonical keep (DF-pruned pairs -> components
-    # -> per-cluster argmax)
+    # d9: quality-aware canonical keep. Candidate generation MUST be
+    # MinHash-LSH at corpus scale: the fixture-scale composition
+    # (token_jaccard_pairs with max_token_df_frac=0.25) has per-token
+    # pair fan-out that grows quadratically with corpus size — at 561k
+    # docs it exploded >79 GB of shuffle spill and filled the disk
+    # (measured 2026-08-19; see token_jaccard_pairs docstring). The LSH
+    # band join's fan-out is bounded by band-bucket collision counts,
+    # independent of corpus size.
     def d9():
         q = textstats.with_quality_score(
             docs.withColumn("n_chars", F.length("text"))
         )
-        pairs = dedup.token_jaccard_pairs(
-            docs, threshold=0.82, max_token_df_frac=0.25
+        pairs = dedup.minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, threshold=0.82
         )
         clusters = dedup.connected_components(pairs, "id_a", "id_b")
         _noop(dedup.canonical_representatives(q, clusters, "quality"))
