@@ -1,6 +1,6 @@
 """Transcript-scale bench for the LLM-pipeline tail operators
 (VERDICT r2 #7): d9 / d12 / d13 / s10 / t12 / gr1 were measured on the
-5k-doc documents fixture; this runs them once at a ~480k-document
+5k-doc documents fixture; this runs them once at a 561k-document
 conversation-level corpus derived from the sf0.1 bench transcript table
 (4.9M turns -> one document per conversation, turn texts joined with
 '\\n'), plus closed-form 64-dim embeddings and a 3-out-link graph at the
@@ -157,20 +157,24 @@ def main():
     timed("d13_repeated_spans", lambda: _noop(
         dedup.drop_repeated_spans(docs, n=4, min_count=2)), results)
 
-    # d9: quality-aware canonical keep. Candidate generation MUST be
-    # MinHash-LSH at corpus scale: the fixture-scale composition
-    # (token_jaccard_pairs with max_token_df_frac=0.25) has per-token
-    # pair fan-out that grows quadratically with corpus size — at 561k
-    # docs it exploded >79 GB of shuffle spill and filled the disk
-    # (measured 2026-08-19; see token_jaccard_pairs docstring). The LSH
-    # band join's fan-out is bounded by band-bucket collision counts,
-    # independent of corpus size.
+    # d9: quality-aware canonical keep. Two measured failure modes shaped
+    # this composition (both 2026-08-19, this corpus):
+    #   * token_jaccard_pairs(max_token_df_frac=0.25): per-token pair
+    #     fan-out quadratic in corpus size — >79 GB spill, disk full;
+    #   * minhash_lsh_candidates(ngram=1): this corpus's 94-word
+    #     generator vocabulary saturates every long doc's TOKEN set
+    #     (unigram Jaccard -> 1 corpus-wide), so band buckets went
+    #     corpus-sized and the join quadratic — >44 GB spill, killed.
+    # Production shape: 4-gram shingles (sparse, passage-level
+    # similarity) + the structural band-bucket cap (star-links
+    # degenerate buckets; linear fan-out by construction).
     def d9():
         q = textstats.with_quality_score(
             docs.withColumn("n_chars", F.length("text"))
         )
         pairs = dedup.minhash_lsh_candidates(
-            docs, num_hashes=32, bands=8, threshold=0.82
+            docs, num_hashes=32, bands=8, threshold=0.82,
+            ngram=4, max_bucket_size=256,
         )
         clusters = dedup.connected_components(pairs, "id_a", "id_b")
         _noop(dedup.canonical_representatives(q, clusters, "quality"))

@@ -758,3 +758,80 @@ def test_simhash_md5_family_matches_hashlib(spark):
     import pytest
     with pytest.raises(ValueError, match="hash_family"):
         dedup.simhash_near_duplicates(df, hash_family="sha9000")
+
+
+def test_minhash_shingles_separate_passage_overlap_from_vocab_overlap(spark):
+    """The unigram-vs-shingle degeneracy that bit the 561k-conversation
+    tail bench (94-word generator vocabulary): a word-shuffled copy has
+    token-set Jaccard 1.0 while sharing no passage. ngram=1 must flag
+    it; ngram=3 must flag only the genuinely-overlapping edit and its
+    signatures must match a pure-hashlib shingle replica."""
+    import hashlib
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa quebec romeo"
+    )
+    edited = base.replace("kilo", "KILO")  # one token changed in place
+    shuffled = " ".join(reversed(base.split(" ")))  # same token SET
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, shuffled)], "doc_id long, text string"
+    )
+    uni = _pairs(dedup.minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, threshold=0.9, ngram=1))
+    assert (0, 2) in uni  # unigram sets identical -> jaccard 1.0
+    tri = _pairs(dedup.minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, threshold=0.5, ngram=3))
+    assert (0, 1) in tri  # 13/19 shared 3-shingles ~ 0.52
+    assert (0, 2) not in tri and (1, 2) not in tri  # no shared passage
+
+    # signature parity vs a pure-Python shingle replica
+    sig = {r.id: r.signature for r in
+           dedup.minhash_signatures(docs, num_hashes=8, ngram=3).collect()}
+    P = dedup.MINHASH_PRIME
+    params = dedup.minhash_params(8)
+    for did, text in [(0, base), (1, edited), (2, shuffled)]:
+        toks = [t for t in text.split(" ") if t]
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+              for s in shingles]
+        want = [min((a * h + b) % P for h in hs) for a, b in params]
+        assert sig[did] == want
+
+    # docs shorter than ngram tokens have no shingles -> no signature row
+    tiny = spark.createDataFrame([(9, "one two")], "doc_id long, text string")
+    assert dedup.minhash_signatures(tiny, num_hashes=8, ngram=3).count() == 0
+
+
+def test_minhash_bucket_cap_star_links_degenerate_buckets(spark):
+    """max_bucket_size bounds band-bucket fan-out: 30 identical docs form
+    one degenerate bucket per band. Uncapped -> 435 all-pairs rows;
+    capped at 8 -> 29 star edges to the min-id representative. The
+    downstream connected components must be IDENTICAL (the cap is a
+    fan-out bound, not a semantics change, when bucket members are
+    mutually near-dups), and buckets under the cap keep exact all-pairs
+    behavior."""
+    rows = [(i, "the same boilerplate navigation footer text") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]  # small bucket pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4,
+                                        threshold=0.5)
+    capped = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4,
+                                          threshold=0.5, max_bucket_size=8)
+    full_pairs, capped_pairs = _pairs(full), _pairs(capped)
+    assert {(a, b) for a, b in full_pairs if a < 100} == {
+        (a, b) for a in range(30) for b in range(30) if a < b
+    }
+    assert {(a, b) for a, b in capped_pairs if a < 100} == {
+        (0, b) for b in range(1, 30)
+    }
+    # the under-cap bucket keeps exact all-pairs candidates
+    assert ((100, 101) in full_pairs) == ((100, 101) in capped_pairs)
+
+    def comps(pairs_df):
+        c = dedup.connected_components(pairs_df, "id_a", "id_b")
+        return {r[0]: r[1] for r in c.collect()}
+
+    assert comps(full) == comps(capped)
