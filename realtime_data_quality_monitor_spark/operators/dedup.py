@@ -192,13 +192,22 @@ def md5_token_hash60(token) -> F.Column:
     return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
 
 
-def shingle_set_col(text, ngram: int = 1) -> F.Column:
-    """Distinct token-shingle set of a text column: ``ngram=1`` is the
-    plain distinct-token set; ``ngram>1`` is the set of space-joined
-    n-token windows (w-shingling). Docs shorter than ``ngram`` tokens
-    yield the empty set. Row-local (one slice+join per window), no
-    shuffle."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks, ngram: int = 1) -> F.Column:
+    """Distinct token-shingle set from a token-ARRAY column: ``ngram=1``
+    is the plain distinct-token set; ``ngram>1`` is the set of
+    space-joined n-token windows (w-shingling). Docs shorter than
+    ``ngram`` tokens yield the empty set. Row-local, no shuffle.
+
+    ``toks`` MUST be a projected ATTRIBUTE (a column materialized by a
+    prior select), never an inline expression like tokens_col(text):
+    the expression would be duplicated into the size check, the
+    sequence bounds, AND every slice inside the transform lambda —
+    Catalyst cannot CSE across lambda functions (the
+    _simhash_from_hashes pitfall), so each of a doc's k shingles would
+    re-split the whole text: O(k * |text|) per row. Measured: a
+    2000-turn hot conversation (~24k tokens) made one task re-split a
+    ~170 KB string 24k times — a 20+ minute straggler where the
+    attribute form is sub-second."""
     if ngram == 1:
         return F.array_distinct(toks)
     n_starts = F.size(toks) - F.lit(ngram - 1)
@@ -246,9 +255,12 @@ def minhash_signatures(
     is nothing to compare)."""
     if hash_family not in ("md5", "xxhash64"):
         raise ValueError(f"minhash: unknown hash_family {hash_family!r}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_set_col(F.col(text_col), ngram)).alias("token"),
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    toks = staged.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("__toks"), ngram)).alias("token"),
     )
     if hash_family == "md5":
         toks = toks.withColumn(
@@ -363,8 +375,9 @@ def minhash_lsh_candidates(
         cand = cand_small.unionByName(cand_star).distinct()
     # verify candidates with exact Jaccard (join back to shingle sets)
     toks = df.select(
-        F.col(id_col).alias("id"),
-        shingle_set_col(F.col(text_col), ngram).alias("tokset"),
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
+        "id", shingles_from_tokens(F.col("__toks"), ngram).alias("tokset")
     )
     verified = (
         cand.join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("tokset", "set_a"), "id_a")
