@@ -225,11 +225,26 @@ def ivf_assign(
     scored = v.join(F.broadcast(c)).withColumn(
         "sim", cos_fn(F.col("vec"), F.col("cvec"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    # argmax(sim, tie -> smaller cid) as min(struct(-sim, cid, vec)):
+    # same map-side-collapse shape as _kmeans_loop._assign — the
+    # exchange carries one row per vector instead of the n*k candidate
+    # fan-out. A NULL sim (possible only with an injected cos_fn that
+    # returns NULL) is pinned to +inf so it sorts LAST under the min,
+    # matching the window version's DESC-nulls-last ordering (a bare
+    # NULL struct field would sort FIRST in Spark's struct comparison
+    # and wrongly win); cid is unique, so vec is never compared.
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("id", "vec", F.col("cid").alias("centroid_id"))
+        scored.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(-F.col("sim"), F.lit(float("inf"))).alias("nsim"),
+                    F.col("cid").alias("cid"),
+                    F.col("vec").alias("vec"),
+                )
+            ).alias("b")
+        )
+        .select("id", F.col("b.vec").alias("vec"), F.col("b.cid").alias("centroid_id"))
     )
 
 
@@ -411,14 +426,25 @@ def _kmeans_loop(
         cdf = spark.createDataFrame(
             [(cid, c) for cid, c in sorted(cent.items())], ["cid", "c"]
         )
-        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cid"))
+        # argmin(dist, tie -> smaller cid) as min(struct(dist, cid, xq)):
+        # the broadcast fan-out emits all k candidates of a vector in ONE
+        # task, so the map-side partial aggregate collapses them locally
+        # and the exchange carries one row per VECTOR — not the k*n
+        # candidate rows (with their d-long arrays) a row_number window
+        # would shuffle. dist is integer and cid unique per id, so the
+        # xq field is never reached by the struct comparison.
         return (
             vecs.crossJoin(F.broadcast(cdf))  # k rows — a broadcast fan-out,
             # not a corpus x corpus product
             .withColumn("dist", _sq_dist(F.col("xq"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "xq", "cid", "dist")
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cid", "xq")).alias("b"))
+            .select(
+                "id",
+                F.col("b.xq").alias("xq"),
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+            )
         )
 
     for _ in range(iters):
@@ -847,11 +873,18 @@ def semantic_dedup(
     # pair join and the output frame) — without it Catalyst replays the
     # assignment lineage (broadcast join + per-id window over the
     # corpus) per consumer.
+    # nrm is precomputed ONCE per vector (sqrt of the exact BIGINT
+    # self-dot) and carried into the pair join: the join then evaluates
+    # one interpreted qdot per PAIR instead of three — at tail scale
+    # (~300M fenced pairs) the per-pair norm recomputation was ~2/3 of
+    # the operator's wall. sqrt(na)*sqrt(nb) is bitwise the same IEEE
+    # product the inline form produced, so cell-exactness is unchanged.
     qv = (
         df.select(
             F.col(id_col).alias("id"),
             _quantize(F.col(vec_col), dot_scale).alias("q"),
         )
+        .withColumn("nrm", F.sqrt(_qdot(F.col("q"), F.col("q"))))
         .join(final.select("id", "cid"), "id")
         .localCheckpoint(eager=True)
     )
@@ -886,12 +919,14 @@ def semantic_dedup(
         F.col("__fence"),
         F.col("id").alias("id_a"),
         F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
     )
     b = fenced.select(
         F.col("cid"),
         F.col("__fence"),
         F.col("id").alias("id_b"),
         F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, ["cid", "__fence"])
@@ -905,8 +940,7 @@ def semantic_dedup(
             # DIVIDE_BY_ZERO abort
             F.try_divide(
                 _qdot(F.col("qa"), F.col("qb")),
-                F.sqrt(_qdot(F.col("qa"), F.col("qa")))
-                * F.sqrt(_qdot(F.col("qb"), F.col("qb"))),
+                F.col("na") * F.col("nb"),
             ),
         )
         .where(F.col("cos") >= F.lit(float(threshold)))
