@@ -819,6 +819,64 @@ def _qdot(a: Column, b: Column) -> Column:
     )
 
 
+def _semantic_dropped_arrow(fenced: DataFrame, threshold: float) -> DataFrame:
+    """Arrow pair backend for ``semantic_dedup``: per (cluster, fence)
+    group, score all id_a < id_b pairs with one float64 matmul and emit
+    the dropped ids (every id_b of a pair at/above the threshold).
+
+    Exactness contract (why this matches the SQL form bit-for-bit):
+    quantized components are integers |q| <= dot_scale = 1e7, so pair
+    products (<= 1e14) and d<=64-term dot sums (<= 6.4e15) are exactly
+    representable doubles below 2^53 — float64 matmul yields the exact
+    integer dot regardless of BLAS accumulation order — and
+    cos = dot / (nrm_a * nrm_b) is the identical IEEE divide of the
+    identical operands (nrm comes in precomputed from the Spark side).
+    Null-component vectors are pre-filtered: in the SQL form their
+    pairs have NULL cosines and can neither drop nor be dropped, which
+    filtering reproduces exactly.
+
+    Memory: row-blocked matmul (1024 x g per step), so a full-cap fence
+    (g ~ cluster_cap) peaks around 1024*g*8*3 bytes per task.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    thr = float(threshold)
+
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"id": pdf["id"].iloc[:0]})
+        order = np.argsort(pdf["id"].values, kind="stable")
+        ids = pdf["id"].values[order]
+        q = np.array(pdf["q"].tolist(), dtype=np.float64)[order]
+        nrm = pdf["nrm"].values[order].astype(np.float64)
+        drop = np.zeros(g, dtype=bool)
+        for s in range(0, g, 1024):
+            e = min(s + 1024, g)
+            dots = q[s:e] @ q.T
+            denom = np.outer(nrm[s:e], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            m = (denom > 0) & (cos >= thr) & (ids[s:e, None] < ids[None, :])
+            drop |= m.any(axis=0)
+        return pd.DataFrame({"id": ids[drop]})
+
+    out_schema = StructType([StructField("id", fenced.schema["id"].dataType)])
+    return (
+        fenced.where(F.col("q").isNotNull() & ~F.array_contains(
+            F.transform(F.col("q"), lambda x: x.isNull()), F.lit(True)
+        ))
+        .select("cid", "__fence", "id", "q", "nrm")
+        .groupBy("cid", "__fence")
+        .applyInPandas(_dropped, out_schema)
+        # duplicate input ids (two rows, same id, one fence) can both be
+        # flagged — the SQL form's DISTINCT collapses them; mirror it
+        .distinct()
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 4,
@@ -829,6 +887,7 @@ def semantic_dedup(
     cluster_scale: int = 1000,
     dot_scale: int = 10_000_000,
     cluster_cap: int | None = 4096,
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
@@ -863,8 +922,30 @@ def semantic_dedup(
     ``cluster_cap=None`` disables fencing. Clusters at or under the
     cap get one fence — behavior identical to unfenced.
 
+    ``pair_backend`` selects how the within-fence pair cosines are
+    evaluated; both produce bit-identical results:
+
+      * ``"arrow"`` (default, the 100 TB path): one ``applyInPandas``
+        per (cluster, fence) — each vector crosses the Arrow boundary
+        ONCE (corpus-sized transfer, never pair-sized) and the fence's
+        pair dots are a float64 matmul. Exactness is preserved because
+        every quantized component is <= dot_scale, so products
+        (<= 1e14) and 64-term sums (<= 6.4e15) stay below 2^53 — BLAS
+        reordering cannot round — and the final cos division is the
+        same IEEE double op the SQL form evaluates. Row-blocked so a
+        full-cap fence peaks at ~100 MB, and null-component vectors
+        (which the SQL form excludes via NULL cosines) are pre-filtered
+        to the same effect.
+      * ``"sql"``: the pair self-join with interpreted
+        ``aggregate(zip_with(...))`` dots — pure Catalyst, kept as the
+        cross-engine parity pin (tests assert backend equality); ~20x
+        slower at tail scale because each of the ~n*cap/2 pairs pays an
+        interpreted 64-element fold.
+
     Returns one row per input vector: (vec_id, centroid_id, is_kept).
     """
+    if pair_backend not in ("arrow", "sql"):
+        raise ValueError("semantic_dedup: pair_backend must be 'arrow' or 'sql'")
     if cluster_cap is not None and cluster_cap < 1:
         raise ValueError("semantic_dedup: cluster_cap must be >= 1 or None")
     _, final = _kmeans_loop(df, k, iters, id_col, vec_col, cluster_scale)
@@ -914,38 +995,41 @@ def semantic_dedup(
     else:
         fenced = qv.withColumn("__fence", F.lit(0).cast("long"))
 
-    a = fenced.select(
-        F.col("cid"),
-        F.col("__fence"),
-        F.col("id").alias("id_a"),
-        F.col("q").alias("qa"),
-        F.col("nrm").alias("na"),
-    )
-    b = fenced.select(
-        F.col("cid"),
-        F.col("__fence"),
-        F.col("id").alias("id_b"),
-        F.col("q").alias("qb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, ["cid", "__fence"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            # try_divide: an all-zero quantized vector has norm 0 — the
-            # pair yields NULL (filtered below), matching the oracle's
-            # NULLIF-pinned SQL NULL division (stable across DuckDB's
-            # ieee_floating_point_ops settings) instead of an ANSI
-            # DIVIDE_BY_ZERO abort
-            F.try_divide(
-                _qdot(F.col("qa"), F.col("qb")),
-                F.col("na") * F.col("nb"),
-            ),
+    if pair_backend == "arrow":
+        dropped = _semantic_dropped_arrow(fenced, float(threshold))
+    else:
+        a = fenced.select(
+            F.col("cid"),
+            F.col("__fence"),
+            F.col("id").alias("id_a"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
         )
-        .where(F.col("cos") >= F.lit(float(threshold)))
-    )
-    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+        b = fenced.select(
+            F.col("cid"),
+            F.col("__fence"),
+            F.col("id").alias("id_b"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+        )
+        pairs = (
+            a.join(b, ["cid", "__fence"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos",
+                # try_divide: an all-zero quantized vector has norm 0 —
+                # the pair yields NULL (filtered below), matching the
+                # oracle's NULLIF-pinned SQL NULL division (stable
+                # across DuckDB's ieee_floating_point_ops settings)
+                # instead of an ANSI DIVIDE_BY_ZERO abort
+                F.try_divide(
+                    _qdot(F.col("qa"), F.col("qb")),
+                    F.col("na") * F.col("nb"),
+                ),
+            )
+            .where(F.col("cos") >= F.lit(float(threshold)))
+        )
+        dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return (
         qv.select("id", "cid")
         .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")

@@ -165,6 +165,34 @@ def test_semantic_dedup_zero_vector_survives(spark):
     assert out == {0: 1, 1: 0, 2: 1}
 
 
+def test_semantic_dedup_pair_backends_equal(spark):
+    """The Arrow matmul pair backend must be bit-identical to the SQL
+    self-join form on every edge the SQL semantics define: planted
+    near-dups, a zero-norm vector (NULL cosine -> never dropped), a
+    null-component vector (NULL cosine -> never dropped, pre-filtered
+    on the arrow side), and a duplicated input id (strict id_a < id_b
+    excludes the self-pair; DISTINCT collapses double drops)."""
+    v = _rand_vecs(60, 8, seed=11)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(60)]
+    rows.append((60, [1e-9] * 8))  # quantizes to all zeros: norm 0
+    rows.append((13, [float(x) for x in v[13]]))  # duplicate id
+    rows.append((61, [None] + [1.0] * 7))  # null component
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(k=3, iters=2, threshold=0.9, cluster_cap=16)
+    a = similarity.semantic_dedup(df, pair_backend="arrow", **kw)
+    s = similarity.semantic_dedup(df, pair_backend="sql", **kw)
+    pa = sorted(map(tuple, a.collect()))
+    ps = sorted(map(tuple, s.collect()))
+    assert pa == ps
+    assert len(pa) == len(rows)  # one row per input row, dup id included
+    kept = {r[0] for r in pa if r[2] == 1}
+    assert {60, 61} <= kept  # NULL-cosine vectors always survive
+    assert len(kept) < len(rows)  # the planted dups actually dropped rows
+
+    with pytest.raises(ValueError, match="pair_backend"):
+        similarity.semantic_dedup(df, pair_backend="numpy")
+
+
 def test_gram_matrix_matches_numpy(emb_df):
     rows = similarity.gram_matrix(emb_df, scale=1000).collect()
     v = _rand_vecs()
