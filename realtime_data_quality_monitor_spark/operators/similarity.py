@@ -408,11 +408,31 @@ def _kmeans_loop(
     id_col: str,
     vec_col: str,
     scale: int,
+    assign_backend: str = "arrow",
 ) -> tuple[dict, DataFrame]:
     """Shared Lloyd's loop (see ``kmeans_fit`` for the determinism and
     scale contract): returns (final centroids dict, final assignment
     frame (id, xq, cid, dist)). ``semantic_dedup`` consumes the
-    assignment; ``kmeans_fit`` the centroid stats."""
+    assignment; ``kmeans_fit`` the centroid stats.
+
+    ``assign_backend`` picks the argmin evaluation; both are exact and
+    bit-identical (pinned by tests):
+
+      * ``"arrow"`` (default): ``mapInPandas`` — each Arrow batch
+        scores all k centroids with one float64 matmul
+        (||x||^2 - 2 x.c + ||c||^2). Components are integers, so every
+        product and partial sum is an exactly-representable double as
+        long as d * max|q| * max|c| < 2^53 — checked per batch, with an
+        exact (slower) numpy int64 matmul fallback beyond the bound.
+        No join, no shuffle, no per-candidate row materialization: the
+        corpus crosses the Arrow boundary once per iteration.
+      * ``"sql"``: broadcast fan-out against the k-row centroid frame +
+        map-side-collapsed min(struct(dist, cid, xq)) — pure Catalyst,
+        ~k*64 interpreted higher-order-function evals per vector (the
+        pre-round-3 shape, kept as the cross-engine parity pin).
+    """
+    if assign_backend not in ("arrow", "sql"):
+        raise ValueError("_kmeans_loop: assign_backend must be 'arrow' or 'sql'")
     spark = df.sparkSession
     vecs = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
@@ -422,7 +442,7 @@ def _kmeans_loop(
         i: list(r["xq"]) for i, r in enumerate(seed_rows)
     }
 
-    def _assign(cent: dict[int, list[int]]) -> DataFrame:
+    def _assign_sql(cent: dict[int, list[int]]) -> DataFrame:
         cdf = spark.createDataFrame(
             [(cid, c) for cid, c in sorted(cent.items())], ["cid", "c"]
         )
@@ -446,6 +466,88 @@ def _kmeans_loop(
                 F.col("b.dist").alias("dist"),
             )
         )
+
+    def _assign_arrow(cent: dict[int, list[int]]) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        ordered = sorted(cent.items())
+        cmat = np.array([c for _, c in ordered], dtype=np.float64)
+        cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)
+        dim = cmat.shape[1]
+        cmax = float(np.abs(cmat).max()) if cmat.size else 0.0
+        # exactness bound for the float64 path: every |x*c| product term
+        # and every <= d-term partial sum must stay below 2^53
+        xmax_exact = (2.0**53) / (dim * max(cmax, 1.0))
+
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                xs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["xq"]]
+                )
+                nan_rows = np.isnan(xs).any(axis=1)
+                if float(np.nanmax(np.abs(xs), initial=0.0)) <= xmax_exact:
+                    xnorm = (xs * xs).sum(axis=1)
+                    d = xnorm[:, None] - 2.0 * (xs @ cmat.T) + cnorm[None, :]
+                else:  # beyond the float64-exact bound: exact int64 matmul
+                    xi = np.where(nan_rows[:, None], 0, xs).astype(np.int64)
+                    xnorm = (xi * xi).sum(axis=1)
+                    d = (
+                        xnorm[:, None]
+                        - 2 * (xi @ cmat.astype(np.int64).T)
+                        + (cmat.astype(np.int64) ** 2).sum(axis=1)[None, :]
+                    ).astype(np.float64)
+                    d[nan_rows] = np.nan
+                # argmin returns the FIRST index on ties -> smallest cid
+                # (cids is sorted); an all-NaN row (null component, so
+                # every distance is NULL in the SQL form) also lands on
+                # index 0 = the smallest cid, with a NULL dist — exactly
+                # the sql backend's nulls-first struct-min outcome.
+                j = d.argmin(axis=1)
+                best = d[np.arange(len(j)), j]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "xq": pdf["xq"],
+                        "cid": cids[j],
+                        "dist": pd.Series(
+                            np.where(nan_rows, np.nan, best)
+                        ).astype("Int64"),
+                    }
+                )
+
+        out_schema = StructType(
+            [
+                vecs.schema["id"],
+                vecs.schema["xq"],
+                StructField("cid", LongType()),
+                StructField("dist", LongType()),
+            ]
+        )
+        # the declarative form's groupBy(id) collapses DUPLICATE input
+        # ids to one row via min(struct(dist, cid, xq)) — dirty corpora
+        # do carry id collisions (the 561k-doc tail corpus has 480k
+        # distinct doc_ids), and the centroid update must see each id
+        # once or the means drift. Same operator here, bit-for-bit: one
+        # narrow-row exchange per iteration, identical to the sql
+        # backend's post-collapse exchange.
+        return (
+            vecs.mapInPandas(fn, out_schema)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cid", "xq")).alias("b"))
+            .select(
+                "id",
+                F.col("b.xq").alias("xq"),
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+            )
+        )
+
+    _assign = _assign_arrow if assign_backend == "arrow" else _assign_sql
 
     for _ in range(iters):
         assigned = _assign(centroids)
@@ -477,6 +579,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    assign_backend: str = "arrow",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means on quantized embeddings — the IVF
     coarse-quantizer trainer (``ivf_topk`` consumes arbitrary centroid
@@ -501,7 +604,9 @@ def kmeans_fit(
     aggregate-grain, so it is collect()ed to the driver and
     re-broadcast as a literal frame (the MLlib pattern; this also
     truncates the lineage so iterations don't stack a growing plan).
-    Assignment is a broadcast cross join against k rows; the update is
+    Assignment is one Arrow pass scoring all k centroids per batch with
+    an exact float64 matmul (``assign_backend='arrow'``; ``'sql'`` is
+    the declarative parity pin — see ``_kmeans_loop``); the update is
     ONE shuffle keyed (centroid, dim) with map-side partial sums.
     Nothing corpus-sized ever reaches the driver.
 
@@ -513,7 +618,9 @@ def kmeans_fit(
     centroid itself.
     """
     spark = df.sparkSession
-    centroids, final = _kmeans_loop(df, k, iters, id_col, vec_col, scale)
+    centroids, final = _kmeans_loop(
+        df, k, iters, id_col, vec_col, scale, assign_backend
+    )
     stats = final.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("dist").alias("inertia_q"),
@@ -888,6 +995,7 @@ def semantic_dedup(
     dot_scale: int = 10_000_000,
     cluster_cap: int | None = 4096,
     pair_backend: str = "arrow",
+    assign_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
@@ -948,7 +1056,9 @@ def semantic_dedup(
         raise ValueError("semantic_dedup: pair_backend must be 'arrow' or 'sql'")
     if cluster_cap is not None and cluster_cap < 1:
         raise ValueError("semantic_dedup: cluster_cap must be >= 1 or None")
-    _, final = _kmeans_loop(df, k, iters, id_col, vec_col, cluster_scale)
+    _, final = _kmeans_loop(
+        df, k, iters, id_col, vec_col, cluster_scale, assign_backend
+    )
 
     # one materialization feeds all three consumers (both sides of the
     # pair join and the output frame) — without it Catalyst replays the

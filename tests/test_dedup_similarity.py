@@ -245,6 +245,27 @@ def test_lsh_plane_offset_zero_preserves_buckets(spark):
     assert a == b
 
 
+def test_kmeans_assign_backends_equal(spark, emb):
+    """The Arrow matmul assignment must match the declarative
+    min(struct) form field-for-field — including the exact integer
+    inertia, which covers the per-vector best DISTANCE, not just the
+    winning centroid."""
+    a = sorted(
+        map(tuple, similarity.kmeans_fit(emb, k=3, iters=2,
+                                         assign_backend="arrow").collect())
+    )
+    s = sorted(
+        map(tuple, similarity.kmeans_fit(emb, k=3, iters=2,
+                                         assign_backend="sql").collect())
+    )
+    assert a == s
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assign_backend"):
+        similarity.kmeans_fit(emb, k=2, assign_backend="numpy")
+
+
 def test_kmeans_deterministic_and_partition_invariant(spark, emb):
     a = {r["centroid_id"]: r.asDict() for r in similarity.kmeans_fit(emb).collect()}
     b = {

@@ -179,11 +179,20 @@ def test_semantic_dedup_pair_backends_equal(spark):
     rows.append((61, [None] + [1.0] * 7))  # null component
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     kw = dict(k=3, iters=2, threshold=0.9, cluster_cap=16)
-    a = similarity.semantic_dedup(df, pair_backend="arrow", **kw)
-    s = similarity.semantic_dedup(df, pair_backend="sql", **kw)
-    pa = sorted(map(tuple, a.collect()))
-    ps = sorted(map(tuple, s.collect()))
-    assert pa == ps
+    outs = [
+        sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup(
+                    df, pair_backend=pb, assign_backend=ab, **kw
+                ).collect(),
+            )
+        )
+        for pb in ("arrow", "sql")
+        for ab in ("arrow", "sql")
+    ]
+    pa = outs[0]
+    assert all(o == pa for o in outs[1:])
     assert len(pa) == len(rows)  # one row per input row, dup id included
     kept = {r[0] for r in pa if r[2] == 1}
     assert {60, 61} <= kept  # NULL-cosine vectors always survive
