@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bench import ensure_transcripts  # noqa: E402
 from realtime_data_quality_monitor_spark.operators import (  # noqa: E402
     dedup,
+    export,
     graph,
     retrieval,
     similarity,
@@ -237,6 +238,27 @@ def main():
         _noop(graph.pagerank(e, iters=2))
 
     timed("gr1_pagerank", gr1, results)
+
+    # e1: deterministic corpus shuffle into 64 shards (the layout pass
+    # every training-data export runs — one exchange + shard-local rank)
+    timed("e1_corpus_shuffle", lambda: _noop(
+        export.deterministic_shuffle(
+            docs, ["doc_id"], seed="tail-e1", n_shards=64
+        )), results)
+
+    # e7: fixed-budget sequence packing (tokenize-count + shard-local
+    # running sum; no global cumsum)
+    timed("e7_pack_sequences", lambda: _noop(
+        export.pack_sequences(
+            docs, seed="tail-e7", budget_tokens=4096, n_shards=64
+        )), results)
+
+    # e4: 8-gram decontamination of the corpus against a 1% eval slice
+    # (5.6k docs) — per-doc-distinct shingles on both sides, one
+    # shingle equi-join, never a corpus self-join
+    eval_df = docs.where(F.col("doc_id") % 100 == 0)
+    timed("e4_decontaminate", lambda: _noop(
+        export.ngram_decontaminate(docs, eval_df, n=8)), results)
 
     print(json.dumps({
         "metric": "tail_ops_total_sec",
