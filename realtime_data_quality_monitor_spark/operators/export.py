@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import md5_token_hash60
 from .textstats import tokens_col
 
 # digits of the md5 prefix used as the hash value: 8 hex chars = 32 bits,
@@ -293,19 +294,29 @@ def take_token_budget(
 def _distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(id, shingle) pairs: per-doc DISTINCT word n-grams, exploded.
+    """(id, shingle-fingerprint) pairs: per-doc DISTINCT word n-grams,
+    each reduced to a 60-bit md5 fingerprint BEFORE the explode — the
+    join/count key is 8 bytes instead of the ~n-word raw string, so the
+    decontamination shuffle carries ~6x fewer bytes at corpus scale
+    (shingle hashing is also the production semantics: engines agree on
+    the identical fingerprints, so cross-engine parity is exact, and a
+    60-bit collision — odds ~1e-3 ONCE across a 100M-shingle corpus —
+    at worst flags one spurious shared n-gram in both engines equally).
 
     The token array is staged as its own column: each ``element_at``
     inside the transform lambda would otherwise re-evaluate the
     split+filter chain (no CSE across lambdas) — n+2 tokenizations per
-    row for n-shingles."""
+    row for n-shingles. The md5 runs inside the transform, so the raw
+    shingle string never outlives its codegen expression."""
     staged = df.withColumn("__ds_toks", tokens_col(F.col(text_col)))
     toks = F.col("__ds_toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            lambda i: md5_token_hash60(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                )
             ),
         )
     )
@@ -323,7 +334,8 @@ def ngram_decontaminate(
     broadcast_eval: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: for every training document, count the
-    distinct word ``n``-grams it shares with ANY eval document and how
+    distinct word ``n``-grams (as 60-bit md5 shingle fingerprints — see
+    ``_distinct_shingles``) it shares with ANY eval document and how
     many eval documents it collides with. Returns one row per
     contaminated train doc ``(id_col, n_shared_ngrams, n_eval_docs)``;
     drop-vs-flag is the caller's policy. The guard that split_by_hash's

@@ -4281,11 +4281,15 @@ SQL_E4 = """
            FROM h WHERE b >= 900000 AND b < 1000000),
     tsh AS (
       SELECT DISTINCT tr.doc_id AS id,
-             array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)
+               AS BIGINT) AS sh
       FROM tr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7),
     esh AS (
       SELECT DISTINCT ev.doc_id AS eval_id,
-             array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)
+               AS BIGINT) AS sh
       FROM ev JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7)
     SELECT t.id AS doc_id,
            COUNT(DISTINCT t.sh) AS n_shared_ngrams,
