@@ -518,3 +518,115 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*key_cols, status.alias("status"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    n: int,
+    prune_salts: int = 0,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb/C4 'at most N pages per
+    domain' rule, and the generic top-N-per-key): keep the first ``n``
+    rows of every group under ``order_cols`` (pass Columns with
+    .asc()/.desc(); make the order TOTAL — tie-break on a unique id —
+    or the survivor set is engine-dependent). Adds ``grp_rank``
+    (1-based) to the survivors.
+
+    Scale shape: one hash exchange on ``group_cols`` + window
+    ``row_number`` (subset-distribution rule — no global sort). A hot
+    group (one domain = 10% of a 100 TB crawl) puts its whole group in
+    one task; ``prune_salts=k`` bounds that structurally: phase 1
+    windows over (group, salt) — salt from a hash of the order key — so
+    every task holds <= its cell's rows and emits <= n survivors per
+    cell; phase 2 re-windows the <= n*k rows per group. A row pruned in
+    phase 1 has >= n same-group rows ahead of it in its own cell, hence
+    >= n globally — the survivor set is EXACTLY the unsalted one (same
+    total order), pinned by test. Two exchanges, both skew-bounded.
+    """
+    if n <= 0:
+        raise ValueError("cap_per_group: n must be positive")
+    out = df
+    if prune_salts > 1:
+        salt = F.pmod(
+            _key_hash(
+                F.concat_ws(
+                    "|", *[F.col(str(c)) if isinstance(c, str) else c
+                           for c in group_cols]
+                ),
+                "cap_salt",
+            )
+            + F.spark_partition_id(),
+            F.lit(prune_salts),
+        )
+        out = out.withColumn("__cap_salt", salt)
+        w1 = Window.partitionBy(*group_cols, "__cap_salt").orderBy(*order_cols)
+        out = (
+            out.withColumn("__cap_r1", F.row_number().over(w1))
+            .filter(F.col("__cap_r1") <= n)
+            .drop("__cap_salt", "__cap_r1")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return out.withColumn("grp_rank", F.row_number().over(w)).filter(
+        F.col("grp_rank") <= n
+    )
+
+
+def score_bucket_sample(
+    df: DataFrame,
+    score_col: str,
+    partition_cols: list,
+    id_col: str,
+    seed: str,
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    keep_rates: dict | None = None,
+) -> DataFrame:
+    """CCNet-style score-bucket split + per-bucket sampling (Wenzek et
+    al. 2020: per-language perplexity terciles; head kept, middle/tail
+    downsampled): within every ``partition_cols`` group (language /
+    source — CCNet buckets are PER GROUP, never corpus-global), rows are
+    ranked by ``score_col`` DESC (tie-break ``id_col`` ASC — total
+    order, so the bucket assignment is engine-exact) and dealt into
+    ``n_buckets`` ntile buckets; each bucket keeps rows by the
+    deterministic keyed-md5 coin (same hash family as split_by_hash) at
+    its ``keep_rates[label]`` rate. Returns the input plus ``bucket``
+    (label string) and ``keep`` (boolean) — drop-vs-weight is the
+    caller's policy.
+
+    Scale shape: ONE hash exchange on ``partition_cols`` + window ntile
+    (subset-distribution rule). Requiring partition_cols is deliberate:
+    a corpus-GLOBAL ntile is a single-task window at any scale — derive
+    a language/source column first (that is also the semantics the
+    CCNet recipe wants). Per-group skew mirrors the corpus's language
+    skew; at 100 TB shard hot languages upstream (e.g. partition on
+    (lang, crawl_shard)) — bucket boundaries then apply per shard.
+    """
+    if not partition_cols:
+        raise ValueError(
+            "score_bucket_sample: partition_cols is required (a corpus-"
+            "global ntile is a single-task window; derive a language/"
+            "source column first)"
+        )
+    if len(labels) != n_buckets:
+        raise ValueError("score_bucket_sample: need one label per bucket")
+    rates = dict(keep_rates or {"head": 1.0, "middle": 0.5, "tail": 0.1})
+    missing = [l for l in labels if l not in rates]
+    if missing:
+        raise ValueError(f"score_bucket_sample: no keep_rate for {missing}")
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    bucket_ix = F.ntile(n_buckets).over(w)
+    label = F.element_at(
+        F.array(*[F.lit(l) for l in labels]), bucket_ix
+    )
+    rate_micro = F.element_at(
+        F.array(*[F.lit(int(round(rates[l] * 1_000_000))) for l in labels]),
+        bucket_ix,
+    )
+    coin = _key_hash(F.col(id_col).cast("string"), seed) % 1_000_000
+    return df.withColumn("bucket", label).withColumn(
+        "keep", coin < rate_micro
+    )

@@ -6335,6 +6335,105 @@ SQL_Z1 = f"""
 """
 
 
+def q_e12_domain_cap_documents(spark, sf_dir):
+    """Per-domain document cap (export.cap_per_group): RefinedWeb's "at
+    most N pages per domain" curation rule — keep the 10 highest-quality
+    docs per source domain (quality DESC, doc_id ASC tie-break). The
+    fixture has no domain column, so domain = keyed-md5 bucket of doc_id
+    (40 domains) — the derivation is the fixture, the operator takes any
+    column. Runs the salted two-phase prune (prune_salts=8) so the
+    driver exercises the skew-bounded path; the survivor set is proven
+    identical to the direct window (tests/test_export.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    q = textstats.with_quality_score(docs)
+    dom = (
+        F.conv(
+            F.substring(
+                export.keyed_md5_hex(F.col("doc_id"), "dom1"), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 40
+    )
+    capped = export.cap_per_group(
+        q.withColumn("domain", dom),
+        ["domain"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        n=10,
+        prune_salts=8,
+    )
+    return capped.select("doc_id", "domain", "quality", "grp_rank")
+
+
+_DOC_QUALITY_SQL = """
+    SELECT doc_id,
+      (n_chars BETWEEN 100 AND 450)::INT * 40
+      + (CASE WHEN ntok > 0 THEN (ndis::DOUBLE / ntok) ELSE 0.0e0 END
+         >= 0.3e0)::INT * 30
+      + (CASE WHEN ntok > 0 THEN (nlen::DOUBLE / ntok) ELSE 0.0e0 END
+         BETWEEN 3.0e0 AND 9.0e0)::INT * 30 AS quality
+    FROM (
+      SELECT doc_id, n_chars,
+        len(list_filter(string_split(text, ' '), x -> x != '')) AS ntok,
+        len(list_distinct(list_filter(string_split(text, ' '),
+            x -> x != ''))) AS ndis,
+        length(text) AS nlen
+      FROM documents)
+"""
+
+SQL_E12 = f"""
+    WITH q AS ({_DOC_QUALITY_SQL}),
+    d AS (
+      SELECT doc_id, quality,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dom1|'),
+                                 1, 8) AS BIGINT) % 40 AS domain
+      FROM q),
+    r AS (
+      SELECT doc_id, domain, quality,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY quality DESC, doc_id ASC)
+               AS grp_rank
+      FROM d)
+    SELECT doc_id, domain, quality, grp_rank FROM r WHERE grp_rank <= 10
+"""
+
+
+def q_e13_ccnet_buckets_documents(spark, sf_dir):
+    """CCNet-style bucket split + per-bucket sampling
+    (export.score_bucket_sample; Wenzek et al. 2020): within each
+    source (synthetic source = doc_id % 4 — CCNet buckets per language/
+    source, never corpus-global), quality terciles head/middle/tail by
+    (quality DESC, doc_id ASC) ntile, then the deterministic keyed-md5
+    coin keeps head at 100%, middle 50%, tail 10%."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    q = textstats.with_quality_score(docs).withColumn(
+        "source", F.col("doc_id") % 4
+    )
+    out = export.score_bucket_sample(
+        q, "quality", ["source"], "doc_id", seed="ccnet1"
+    )
+    return out.select("doc_id", "source", "quality", "bucket", "keep")
+
+
+SQL_E13 = f"""
+    WITH q AS ({_DOC_QUALITY_SQL}),
+    b AS (
+      SELECT doc_id, doc_id % 4 AS source, quality,
+             ntile(3) OVER (PARTITION BY doc_id % 4
+                            ORDER BY quality DESC, doc_id ASC) AS bix
+      FROM q)
+    SELECT doc_id, source, quality,
+           CASE bix WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ccnet1|'),
+                                1, 8) AS BIGINT) % 1000000)
+             < (CASE bix WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+                     ELSE 100000 END) AS keep
+    FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6548,6 +6647,9 @@ ENTRY_QUERIES = {
         SQL_D14,
     ),
     "z1_zorder_events": (q_z1_zorder_events, SQL_Z1),
+    # -- round-3 closing additions (wait for the round-4 window) ----------
+    "e12_domain_cap_documents": (q_e12_domain_cap_documents, SQL_E12),
+    "e13_ccnet_buckets_documents": (q_e13_ccnet_buckets_documents, SQL_E13),
 }
 
 # ---------------------------------------------------------------------------

@@ -358,3 +358,72 @@ def test_stratified_take_n_monotone(spark, docs):
         for r in export.stratified_take(docs, "grp", "doc_id", 9, seed="st").collect()
     }
     assert small < big
+
+
+def test_cap_per_group_keeps_top_n_with_rank(spark):
+    # quality ties inside a domain resolve by doc_id ASC (total order)
+    rows = [(i, i % 2, 100 - (i % 5) * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "quality"])
+    out = export.cap_per_group(
+        df, ["domain"], [F.col("quality").desc(), F.col("doc_id").asc()], n=3
+    ).collect()
+    assert len(out) == 6
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append((r["grp_rank"], r["doc_id"]))
+    for dom, got in by_dom.items():
+        expect = sorted(
+            [(i, 100 - (i % 5) * 10) for i in range(40) if i % 2 == dom],
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        assert sorted(got) == [(k + 1, d) for k, (d, _) in enumerate(expect)]
+
+
+def test_cap_per_group_salted_prune_matches_direct(spark):
+    # hot group: 80% of rows in one domain, shuffled across partitions —
+    # the two-phase prune must produce the EXACT direct-window survivors
+    rows = [(i, 0 if i % 5 else 1, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "domain", "quality"]
+    ).repartition(16)
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    direct = export.cap_per_group(df, ["domain"], order, n=7)
+    salted = export.cap_per_group(df, ["domain"], order, n=7, prune_salts=8)
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) == 14
+
+
+def test_cap_per_group_rejects_nonpositive_n(spark):
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "domain"])
+    with pytest.raises(ValueError):
+        export.cap_per_group(df, ["domain"], [F.col("doc_id")], n=0)
+
+
+def test_score_bucket_sample_ntile_and_coin(spark):
+    # 10 docs in one source: ntile(3) deals 4/3/3 (head gets the extra)
+    rows = [(i, 0, 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    out = export.score_bucket_sample(
+        df, "quality", ["source"], "doc_id", seed="bk1"
+    ).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in out}
+    # quality DESC == doc_id ASC here, so docs 0-3 head, 4-6 middle, 7-9 tail
+    assert [buckets[i] for i in range(10)] == (
+        ["head"] * 4 + ["middle"] * 3 + ["tail"] * 3
+    )
+    rates = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    for r in out:
+        coin = _py_hash(str(r["doc_id"]), "bk1") % 1_000_000
+        assert r["keep"] == (coin < rates[r["bucket"]])
+
+
+def test_score_bucket_sample_validates_inputs(spark):
+    df = spark.createDataFrame([(1, 0, 5)], ["doc_id", "source", "quality"])
+    with pytest.raises(ValueError):
+        export.score_bucket_sample(df, "quality", [], "doc_id", seed="x")
+    with pytest.raises(ValueError):
+        export.score_bucket_sample(
+            df, "quality", ["source"], "doc_id", seed="x",
+            n_buckets=2, labels=("a", "b"), keep_rates={"a": 1.0},
+        )
