@@ -376,3 +376,21 @@ def test_d13_span_removal_bounded_shuffles_no_cartesian(spark):
     # fp count window + covered distinct + token join + doc rebuild:
     # bounded small shuffle count, never a corpus-wide sort node at root
     assert _n_shuffles(spark, df) <= 5
+
+
+def test_e13_bucket_sample_single_exchange(spark):
+    """score_bucket_sample: one hash exchange on the partition cols
+    feeds the ntile window (subset-distribution rule); the keep coin is
+    row-local — no second shuffle, no global sort."""
+    df = eq.q_e13_ccnet_buckets_documents(spark, SF)
+    assert _n_shuffles(spark, df) == 1
+    assert "Exchange rangepartitioning" not in _plan(spark, df, "simple")
+
+
+def test_e12_domain_cap_two_bounded_exchanges(spark):
+    """cap_per_group(prune_salts=8): phase-1 window on (group, salt)
+    then phase-2 on group — exactly two hash exchanges, both
+    skew-bounded, no global sort."""
+    df = eq.q_e12_domain_cap_documents(spark, SF)
+    assert _n_shuffles(spark, df) == 2
+    assert "Exchange rangepartitioning" not in _plan(spark, df, "simple")
