@@ -931,32 +931,39 @@ def drop_repeated_spans(
     empty/NULL text yields ('', 0, 0).
 
     Scale shape (default ``skew_safe=True``) — no corpus-wide sort,
-    no self-join:
-      1. shingle fingerprints (md5 of the n-token window) feed a
-         groupBy-count whose map-side partial combine absorbs
-         fingerprint skew, then the span stream inner-joins the
-         >= min_count fingerprint set (tiny for real boilerplate; AQE
-         broadcasts it at runtime, or splits the skewed probe
-         partitions when the frequent set is adversarially large).
-         ``skew_safe=False`` keeps the previous count-window
-         formulation — every copy of a hot shingle in one task — for
-         row-equality pinning in tests;
-      2. frequent span starts expand to covered positions row-locally
-         (explode of an n-element sequence) and distinct on
-         (doc, position) — shuffle #2 keyed (doc, pos);
-      3. the token stream left-joins the covered set on (doc, pos) —
-         co-partitioned with shuffle #2's key — and one hash aggregate
-         keyed by document rebuilds clean_text from each doc's OWN
-         sorted (pos, token) structs (shuffle #3; per-group k log k).
+    no self-join, and NO exchange that carries document text:
+      1. shingle fingerprints (60-bit md5-derived BIGINTs — 8-byte
+         exchange keys instead of 32-char hex, the e4 decontamination
+         trick) feed a groupBy-count whose map-side partial combine
+         absorbs fingerprint skew; the span stream then inner-joins
+         the >= min_count fingerprint set (tiny for real boilerplate;
+         AQE broadcasts it at runtime, or splits the skewed probe
+         partitions when the frequent set is adversarially large);
+      2. each doc's frequent span STARTS collapse to one sorted array
+         per document (shuffle #2 — only frequent-span rows, two ints
+         each), which joins back onto the intact docs frame (broadcast
+         when small, else one narrow-key corpus exchange);
+      3. clean_text is rebuilt ROW-LOCALLY by one linear ``aggregate``
+         over the sorted starts: a cursor walks the token array,
+         slicing the kept gaps between (merged) covered intervals and
+         counting dropped positions — O(tokens) per doc, no per-doc
+         struct sort, no token ever crosses an exchange.
+    ``skew_safe=False`` keeps the previous formulation (count-window
+    over every span copy — every copy of a hot shingle in one task —
+    plus the posexplode/groupBy document rebuild) for row-equality
+    pinning in tests.
+
+    ``id_col`` should identify rows uniquely. Rows SHARING an id (the
+    dirty-corpus case: the tail bench's XONV-corrupted conv ids) stay
+    one output row each on the default path, rebuilt against the id's
+    UNIONED frequent-span starts (foreign starts clamp harmlessly past
+    the row's end); the legacy path instead zipper-merges such rows
+    into one group — don't compare the paths on duplicate ids.
     """
     if n < 2:
         raise ValueError("drop_repeated_spans: n must be >= 2")
     staged = df.select(
         id_col, tokens_col(F.col(text_col)).alias("__toks")
-    )
-
-    tokens = staged.select(
-        id_col, F.posexplode_outer("__toks").alias("__pos", "__tok")
     )
 
     # one struct per span start (1-based slice, 0-based positions out)
@@ -966,6 +973,71 @@ def drop_repeated_spans(
     starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
         F.array().cast("array<int>")
     )
+
+    if not skew_safe:
+        # previous formulation, kept verbatim as the row-equality pin
+        tokens = staged.select(
+            id_col, F.posexplode_outer("__toks").alias("__pos", "__tok")
+        )
+        spans = staged.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        (i - 1).alias("spos"),
+                        F.md5(
+                            F.array_join(F.slice("__toks", i, n), " ")
+                        ).alias("fp"),
+                    ),
+                )
+            ).alias("__s"),
+        ).select(
+            id_col,
+            F.col("__s.spos").alias("__spos"),
+            F.col("__s.fp").alias("__fp"),
+        )
+        cnt_w = Window.partitionBy("__fp")
+        frequent_spans = spans.withColumn(
+            "__c", F.count(F.lit(1)).over(cnt_w)
+        ).filter(F.col("__c") >= min_count)
+        covered = (
+            frequent_spans.select(
+                id_col,
+                F.explode(
+                    F.sequence(
+                        F.col("__spos"), F.col("__spos") + F.lit(n - 1)
+                    )
+                ).alias("__pos"),
+            )
+            .distinct()
+            .withColumn("__covered", F.lit(1))
+        )
+        flagged = tokens.join(covered, [id_col, "__pos"], "left")
+        return flagged.groupBy(id_col).agg(
+            F.count("__tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("__covered").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__pos", "__tok", "__covered")
+                            )
+                        ),
+                        lambda s: s["__tok"].isNotNull()
+                        & s["__covered"].isNull(),
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+
+    # 60-bit BIGINT fingerprint of each n-token window: same md5 family
+    # the oracle inlines, 8-byte exchange keys (see docstring step 1)
     spans = staged.select(
         id_col,
         F.explode(
@@ -973,59 +1045,103 @@ def drop_repeated_spans(
                 starts,
                 lambda i: F.struct(
                     (i - 1).alias("spos"),
-                    F.md5(F.array_join(F.slice("__toks", i, n), " ")).alias(
-                        "fp"
-                    ),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice("__toks", i, n), " ")),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("fp"),
                 ),
             )
         ).alias("__s"),
-    ).select(id_col, F.col("__s.spos").alias("__spos"), F.col("__s.fp").alias("__fp"))
-
-    if skew_safe:
-        freq = (
-            spans.groupBy("__fp")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .where(F.col("__c") >= min_count)
-            .select("__fp")
-        )
-        frequent_spans = spans.join(freq, "__fp")
-    else:
-        cnt_w = Window.partitionBy("__fp")
-        frequent_spans = spans.withColumn(
-            "__c", F.count(F.lit(1)).over(cnt_w)
-        ).filter(F.col("__c") >= min_count)
-    covered = (
-        frequent_spans.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__spos"), F.col("__spos") + F.lit(n - 1))
-            ).alias("__pos"),
-        )
-        .distinct()
-        .withColumn("__covered", F.lit(1))
+    ).select(
+        id_col,
+        F.col("__s.spos").alias("__spos"),
+        F.col("__s.fp").alias("__fp"),
+    )
+    freq = (
+        spans.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__fp")
+    )
+    doc_spans = (
+        spans.join(freq, "__fp")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__spos")).alias("__spos_list"))
     )
 
-    flagged = tokens.join(covered, [id_col, "__pos"], "left")
-    return flagged.groupBy(id_col).agg(
-        F.count("__tok").cast("long").alias("n_tokens"),
-        F.sum(F.col("__covered").isNotNull().cast("long"))
-        .cast("long")
-        .alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("__pos", "__tok", "__covered")
-                        )
+    # linear row-local rebuild: cursor = first position not yet emitted
+    # or covered; each sorted start s first emits the kept gap
+    # [cursor, s), then extends coverage to s + n (interval-merge)
+    toks = F.col("__toks")
+    rebuilt = F.aggregate(
+        F.col("__spos_list"),
+        F.struct(
+            F.array().cast("array<string>").alias("kept"),
+            F.lit(0).cast("int").alias("cursor"),
+            F.lit(0).cast("long").alias("dropped"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                s > acc["cursor"],
+                F.concat(
+                    acc["kept"],
+                    F.slice(
+                        toks,
+                        acc["cursor"] + 1,
+                        F.greatest(F.lit(0), s - acc["cursor"]),
                     ),
-                    lambda s: s["__tok"].isNotNull()
-                    & s["__covered"].isNull(),
                 ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
+            )
+            .otherwise(acc["kept"])
+            .alias("kept"),
+            F.greatest(acc["cursor"], s + F.lit(n)).cast("int").alias("cursor"),
+            (
+                acc["dropped"]
+                + (
+                    F.greatest(acc["cursor"], s + F.lit(n))
+                    - F.greatest(acc["cursor"], s)
+                ).cast("long")
+            ).alias("dropped"),
+        ),
+        # both lengths clamped at 0: with DUPLICATE ids (see below) the
+        # unioned span starts of the id's rows can put the cursor past
+        # THIS row's token count
+        lambda acc: F.struct(
+            F.concat(
+                acc["kept"],
+                F.slice(
+                    toks,
+                    acc["cursor"] + 1,
+                    F.greatest(F.lit(0), F.size(toks) - acc["cursor"]),
+                ),
+            ).alias("kept"),
+            acc["dropped"].alias("dropped"),
+        ),
+    )
+    return (
+        staged.join(doc_spans, id_col, "left")
+        .withColumn("__r", rebuilt)
+        .select(
+            id_col,
+            F.coalesce(F.size("__toks"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("__r.dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.array_join(F.col("__r.kept"), " "),
+                F.array_join(toks, " "),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
     )
 
 

@@ -6040,7 +6040,9 @@ SQL_D13 = """
       FROM (SELECT doc_id,
                    unnest(list_transform(range(1, len(toks) - 2),
                      i -> {'i': i,
-                           'fp': md5(array_to_string(toks[i:i+3], ' '))}))
+                           'fp': CAST('0x' || substr(
+                             md5(array_to_string(toks[i:i+3], ' ')),
+                             1, 15) AS BIGINT)}))
                      AS u
             FROM t WHERE len(toks) >= 4)),
     cnt AS (
