@@ -814,6 +814,64 @@ def dedup_against_corpus_bloom(
     return survivors.withColumn("is_duplicate", F.row_number().over(w) > 1)
 
 
+def _gap_rebuild(arr: F.Column, starts: F.Column, span_len: int) -> F.Column:
+    """Linear row-local document rebuild shared by drop_duplicate_lines
+    / drop_repeated_spans: given an element array and the SORTED 0-based
+    start positions of dropped spans of ``span_len`` elements, one
+    ``aggregate`` walks a cursor over the array, slicing the kept gaps
+    between (merged) covered intervals and counting dropped positions.
+    Returns struct(kept: array<string>, dropped: long); NULL for a NULL
+    starts array (callers coalesce). O(elements) per row — the point is
+    that no element ever crosses an exchange for the rebuild.
+
+    Slice lengths clamp at 0: with duplicate ids the UNIONED starts of
+    an id's rows can place the cursor past this row's end (see the
+    callers' duplicate-id notes)."""
+    n = F.lit(span_len)
+    return F.aggregate(
+        starts,
+        F.struct(
+            F.array().cast("array<string>").alias("kept"),
+            F.lit(0).cast("int").alias("cursor"),
+            F.lit(0).cast("long").alias("dropped"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                s > acc["cursor"],
+                F.concat(
+                    acc["kept"],
+                    F.slice(
+                        arr,
+                        acc["cursor"] + 1,
+                        F.greatest(F.lit(0), s - acc["cursor"]),
+                    ),
+                ),
+            )
+            .otherwise(acc["kept"])
+            .alias("kept"),
+            F.greatest(acc["cursor"], s + n).cast("int").alias("cursor"),
+            (
+                acc["dropped"]
+                + (
+                    F.greatest(acc["cursor"], s + n)
+                    - F.greatest(acc["cursor"], s)
+                ).cast("long")
+            ).alias("dropped"),
+        ),
+        lambda acc: F.struct(
+            F.concat(
+                acc["kept"],
+                F.slice(
+                    arr,
+                    acc["cursor"] + 1,
+                    F.greatest(F.lit(0), F.size(arr) - acc["cursor"]),
+                ),
+            ).alias("kept"),
+            acc["dropped"].alias("dropped"),
+        ),
+    )
+
+
 def drop_duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -835,76 +893,125 @@ def drop_duplicate_lines(
     clean_text = ''.
 
     Scale shape (default ``skew_safe=True``) — no corpus-wide sort and
-    NO full-width shuffle keyed on line content:
-      1. frequent fingerprints come from a groupBy-count over the md5
-         line fingerprint (counting by the 128-bit fingerprint instead
-         of raw line text keys the exchange on a fixed-width column —
-         equal to counting by line text modulo md5 collisions, which
-         the cell-exact oracle would expose). The hash aggregate's
-         map-side partial combine absorbs ANY line-frequency skew: a
-         boilerplate corpus where one line is 30%+ of all rows still
-         shuffles at most one (fingerprint, partial_count) row per
-         input partition for the hot key;
+    NO exchange that carries line content:
+      1. frequent fingerprints come from a groupBy-count over a 60-bit
+         md5-derived BIGINT line fingerprint (8-byte exchange keys —
+         equal to counting by line text modulo fingerprint collisions,
+         the 64-bit-hash grain the Lee et al. / CCNet implementations
+         use; the cell-exact oracle counts raw text and would expose a
+         collision). The hash aggregate's map-side partial combine
+         absorbs ANY line-frequency skew: a boilerplate corpus where
+         one line is 30%+ of all rows still shuffles at most one
+         (fingerprint, partial_count) row per input partition for the
+         hot key;
       2. the line stream joins the >= min_count fingerprint set (tiny
          for real boilerplate; AQE picks broadcast when its runtime
          size allows, and its skew-join splitting covers the adversary
          where the frequent set is itself huge);
-      3. one hash aggregate keyed by document id rebuilds clean_text
-         by sorting each doc's OWN kept (pos, line) structs —
-         per-group k log k, never a global sort.
+      3. each doc's DROPPED POSITIONS collapse to one sorted int array
+         (shuffle #2 — dropped rows only, two ints each) that joins
+         back onto the intact docs frame, and clean_text is rebuilt
+         ROW-LOCALLY by the linear ``_gap_rebuild`` cursor walk — no
+         per-doc struct sort, no line ever crosses an exchange.
     ``skew_safe=False`` keeps the previous formulation — one count
-    window partitioned by the fingerprint — whose count partition
-    concentrates every copy of a hot line in one task; it exists so
-    tests can pin the two paths row-equal (the fingerprint sentinel
-    below makes NULL-text grouping identical across both).
+    window partitioned by the fingerprint (every copy of a hot line in
+    one task) plus the posexplode/groupBy rebuild — so tests can pin
+    the two paths row-equal.
+
+    ``id_col`` should identify rows uniquely; rows sharing an id stay
+    one output row each on the default path (rebuilt against the id's
+    UNIONED dropped positions) while the legacy path zipper-merges
+    them — don't compare the paths on duplicate ids.
     """
     # F.split takes a Java REGEX while F.array_join below re-joins the
     # separator literally — quote it so a metachar sep ('|', '.') splits
     # on the literal string too (seps containing '\\E' are unsupported)
-    lines = df.select(
+    staged = df.select(
         id_col,
-        F.posexplode_outer(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
-        ).alias("__pos", "__line"),
+        F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("__lines"),
     )
-    # '' is not a valid md5 digest, so the NULL-line sentinel cannot
-    # collide; it makes the groupBy/join path group NULL lines exactly
-    # like the window path (which puts them in the md5(NULL) partition)
-    fp = F.coalesce(F.md5(F.col("__line")), F.lit(""))
-    if skew_safe:
-        freq = (
-            lines.groupBy(fp.alias("__fp"))
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .where(F.col("__c") >= min_count)
-            .select("__fp", F.lit(True).alias("__dup"))
-        )
-        flagged = (
-            lines.withColumn("__fp", fp)
-            .join(freq, "__fp", "left")
-            .withColumn("__keep", F.col("__dup").isNull())
-        )
-    else:
+    lines = staged.select(
+        id_col, F.posexplode_outer("__lines").alias("__pos", "__line")
+    )
+
+    if not skew_safe:
+        # previous formulation, kept verbatim as the row-equality pin;
+        # '' is not a valid md5 digest, so the NULL-line sentinel
+        # cannot collide — NULL lines group like the skew path's -1
+        fp = F.coalesce(F.md5(F.col("__line")), F.lit(""))
         cnt_w = Window.partitionBy(fp)
         flagged = lines.withColumn(
             "__keep", F.count(F.lit(1)).over(cnt_w) < min_count
         )
-    rebuilt = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum((~F.col("__keep")).cast("long")).cast("long").alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", "__line", "__keep"))
+        return flagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("__keep")).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__pos", "__line", "__keep")
+                            )
+                        ),
+                        lambda s: s["__keep"],
                     ),
-                    lambda s: s["__keep"],
+                    lambda s: s["__line"],
                 ),
-                lambda s: s["__line"],
-            ),
-            sep,
-        ).alias("clean_text"),
+                sep,
+            ).alias("clean_text"),
+        )
+
+    # 60-bit md5-derived BIGINT fingerprint (8-byte exchange keys, the
+    # e4/d13 trick; 64-bit-class line hashes are the Lee et al. / CCNet
+    # standard). Real fps are non-negative, so -1 is a collision-free
+    # sentinel grouping NULL lines (NULL input text) together.
+    fp = F.coalesce(
+        F.conv(F.substring(F.md5(F.col("__line")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(-1).cast("long"),
     )
-    return rebuilt
+    freq = (
+        lines.groupBy(fp.alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__fp")
+    )
+    # collect_list skips the NULL position of a NULL-text doc, so its
+    # (frequent) sentinel row counts in __ndrop but never reaches the
+    # rebuild — clean_text for NULL text is '' via the coalesce below,
+    # matching the legacy path exactly
+    doc_drops = (
+        lines.withColumn("__fp", fp)
+        .join(freq, "__fp")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("__pos")).alias("__dpos"),
+            F.count(F.lit(1)).cast("long").alias("__ndrop"),
+        )
+    )
+    rebuilt = _gap_rebuild(F.col("__lines"), F.col("__dpos"), 1)
+    return (
+        staged.join(doc_drops, id_col, "left")
+        .withColumn("__r", rebuilt)
+        .select(
+            id_col,
+            # a NULL text explodes to ONE null row on the legacy path,
+            # so n_lines coalesces to 1, not 0
+            F.coalesce(F.size("__lines"), F.lit(1))
+            .cast("long")
+            .alias("n_lines"),
+            F.coalesce("__ndrop", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.array_join(F.col("__r.kept"), sep),
+                F.array_join(F.col("__lines"), sep),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )
 
 
 def drop_repeated_spans(
@@ -1080,51 +1187,7 @@ def drop_repeated_spans(
     # or covered; each sorted start s first emits the kept gap
     # [cursor, s), then extends coverage to s + n (interval-merge)
     toks = F.col("__toks")
-    rebuilt = F.aggregate(
-        F.col("__spos_list"),
-        F.struct(
-            F.array().cast("array<string>").alias("kept"),
-            F.lit(0).cast("int").alias("cursor"),
-            F.lit(0).cast("long").alias("dropped"),
-        ),
-        lambda acc, s: F.struct(
-            F.when(
-                s > acc["cursor"],
-                F.concat(
-                    acc["kept"],
-                    F.slice(
-                        toks,
-                        acc["cursor"] + 1,
-                        F.greatest(F.lit(0), s - acc["cursor"]),
-                    ),
-                ),
-            )
-            .otherwise(acc["kept"])
-            .alias("kept"),
-            F.greatest(acc["cursor"], s + F.lit(n)).cast("int").alias("cursor"),
-            (
-                acc["dropped"]
-                + (
-                    F.greatest(acc["cursor"], s + F.lit(n))
-                    - F.greatest(acc["cursor"], s)
-                ).cast("long")
-            ).alias("dropped"),
-        ),
-        # both lengths clamped at 0: with DUPLICATE ids (see below) the
-        # unioned span starts of the id's rows can put the cursor past
-        # THIS row's token count
-        lambda acc: F.struct(
-            F.concat(
-                acc["kept"],
-                F.slice(
-                    toks,
-                    acc["cursor"] + 1,
-                    F.greatest(F.lit(0), F.size(toks) - acc["cursor"]),
-                ),
-            ).alias("kept"),
-            acc["dropped"].alias("dropped"),
-        ),
-    )
+    rebuilt = _gap_rebuild(toks, F.col("__spos_list"), n)
     return (
         staged.join(doc_spans, id_col, "left")
         .withColumn("__r", rebuilt)
