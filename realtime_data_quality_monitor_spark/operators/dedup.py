@@ -373,11 +373,27 @@ def minhash_lsh_candidates(
             (F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__rep"))
         ).select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
         cand = cand_small.unionByName(cand_star).distinct()
-    # verify candidates with exact Jaccard (join back to shingle sets)
-    toks = df.select(
-        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks")
-    ).select(
-        "id", shingles_from_tokens(F.col("__toks"), ngram).alias("tokset")
+    # verify candidates with exact Jaccard (join back to shingle sets).
+    # Shingle sets are built ONLY for docs that appear in a candidate
+    # pair (left-semi prune): near-dup candidate volume is a tiny
+    # fraction of the corpus, so without the prune the verify stage
+    # re-tokenizes and re-shingles the WHOLE corpus twice (once per
+    # join side) — measured 20+ s of the 561k-doc tail bench for ONE
+    # surviving pair. cand's distinct ends in an exchange that AQE
+    # reuses across its three consumers, so the signature pipeline
+    # below it still runs once.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        )
+        .join(cand_ids, "id", "left_semi")
+        .select(
+            "id", shingles_from_tokens(F.col("__toks"), ngram).alias("tokset")
+        )
     )
     verified = (
         cand.join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("tokset", "set_a"), "id_a")
