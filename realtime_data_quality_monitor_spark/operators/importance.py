@@ -1,0 +1,233 @@
+"""DSIR-style hashed n-gram importance weighting over a documents
+corpus (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): score every raw-corpus document by how much
+more likely its hashed BIGRAM features are under a TARGET distribution
+(a designated high-quality dataset) than under the RAW corpus
+distribution, then keep the top-k — the standard "make the web corpus
+look like Wikipedia" selection pass of an LLM data pipeline.
+
+Reference parity note: the reference repo has no importance-sampling
+surface; this module is training-data-pipeline surface per SURVEY.md
+§2.7, composing with the quality filters (g-family) and samplers
+(e6/e13) the way the DSIR paper composes with heuristic filtering.
+
+Exactness contract (the t12 quantized-idf move): the per-bucket
+importance ratio is the QUANTIZED LINEAR form
+
+  ratio_q(b) = floor( scale * (t_b + 1) * (R + B)
+                      / ((r_b + 1) * (T + B)) )      [clipped]
+
+— the add-one-smoothed target/raw probability ratio scaled to BIGINT —
+rather than the paper's log-ratio: ``ln`` differs across engines in
+the last ulp while this is exact integer algebra everywhere, and it
+preserves the per-bucket ordering semantics the weight is used for
+(strictly monotone in the smoothed probability ratio). The division
+routes through DECIMAL(38,0) (``idiv_big``): at corpus scale the
+numerator ``scale * t_b * (R + B)`` blows straight past 2^53 but fits
+38 digits. Ratios are CLIPPED at ``ratio_cap * scale`` (importance-
+weight clipping, the standard self-normalized-IS variance guard) so a
+bucket seen only in the target cannot overflow BIGINT sums no matter
+how skewed |raw| / |target| gets.
+
+Scale shape (the part that matters at 100 TB):
+
+  * both bucket-count tables are ``num_buckets`` rows REGARDLESS of
+    corpus size (the hashed-feature trick — the reason DSIR scales
+    where exact n-gram LMs don't) and join back as broadcasts;
+  * grand totals are a 1-row aggregate cross-joined back — no driver
+    collect;
+  * the per-document weight is ONE corpus-keyed hash aggregate with
+    map-side combine over (doc, ratio-sum) BIGINTs; nothing wider than
+    (doc_id, 2 longs) crosses that exchange, document text never does;
+  * top-k selection is TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import idiv_big
+from .textstats import tokens_col
+
+DSIR_SCALE = 1_000_000
+DSIR_BUCKETS = 1_024
+DSIR_RATIO_CAP = 1_000  # max ratio, in multiples of scale
+
+
+def bigram_buckets(toks: Column, num_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-bigram feature stream of a token-ARRAY column: one
+    60-bit-md5 bucket id per ADJACENT TOKEN PAIR (with multiplicity —
+    DSIR weights are sums over feature OCCURRENCES, not the distinct
+    set). Docs shorter than 2 tokens yield the empty array. Row-local.
+
+    ``toks`` must be a projected attribute (the shingles_from_tokens
+    CSE rule: an inline tokens_col(text) would re-split the text once
+    per bigram inside the lambda)."""
+    n_starts = F.size(toks) - F.lit(1)
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(toks, i, 2), " ")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(num_buckets),
+    )
+
+
+def _bucket_counts(
+    docs: DataFrame, id_col: str, text_col: str, num_buckets: int, out: str
+) -> DataFrame:
+    """(bucket, count) over every bigram occurrence in ``docs`` — at
+    most ``num_buckets`` rows out; the map-side partial combine absorbs
+    any feature skew before the (tiny) exchange."""
+    staged = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
+    return (
+        staged.select(
+            F.explode(bigram_buckets(F.col("__toks"), num_buckets)).alias(
+                "__bucket"
+            )
+        )
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def dsir_bucket_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    ratio_cap: int = DSIR_RATIO_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned importance table: (bucket, ratio_q) for every one of
+    the ``num_buckets`` hashed-bigram buckets (buckets unseen in both
+    datasets get the all-smoothing ratio, so the table is always
+    complete and the per-doc join never misses). ratio_q is the clipped
+    quantized linear ratio from the module docstring."""
+    t_counts = _bucket_counts(target, id_col, text_col, num_buckets, "__t")
+    r_counts = _bucket_counts(raw, id_col, text_col, num_buckets, "__r")
+    buckets = raw.sparkSession.range(num_buckets).select(
+        F.col("id").alias("__bucket")
+    )
+    joined = (
+        buckets.join(F.broadcast(t_counts), "__bucket", "left")
+        .join(F.broadcast(r_counts), "__bucket", "left")
+        .select(
+            "__bucket",
+            F.coalesce("__t", F.lit(0)).alias("__t"),
+            F.coalesce("__r", F.lit(0)).alias("__r"),
+        )
+    )
+    # names must differ case-insensitively from __t/__r (Spark resolves
+    # attributes case-insensitively, so __T would be ambiguous)
+    totals = joined.agg(
+        F.sum("__t").alias("__tot_t"), F.sum("__r").alias("__tot_r")
+    )
+    b = F.lit(num_buckets).cast("decimal(38,0)")
+    num = (
+        (F.col("__t") + 1).cast("decimal(38,0)")
+        * (F.col("__tot_r").cast("decimal(38,0)") + b)
+        * F.lit(scale).cast("decimal(38,0)")
+    )
+    den = (F.col("__r") + 1).cast("decimal(38,0)") * (
+        F.col("__tot_t").cast("decimal(38,0)") + b
+    )
+    ratio = ((num - num % den) / den).cast("decimal(38,0)")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__bucket").alias("bucket"),
+            F.least(ratio, F.lit(ratio_cap * scale).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("ratio_q"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    ratio_cap: int = DSIR_RATIO_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-raw-document importance weights: (id_col, n_bigrams,
+    weight_q = Σ ratio_q over the doc's bigram occurrences, avg_q =
+    weight_q // n_bigrams). avg_q is the length-normalized selection
+    score (a long document is not "more target-like" just for being
+    long); docs with < 2 tokens carry (0, 0, 0) and rank last."""
+    ratios = dsir_bucket_ratios(
+        raw, target, num_buckets, scale, ratio_cap, id_col, text_col
+    )
+    staged = raw.select(
+        id_col, tokens_col(F.col(text_col)).alias("__toks")
+    )
+    occ = staged.select(
+        id_col,
+        F.explode(bigram_buckets(F.col("__toks"), num_buckets)).alias(
+            "bucket"
+        ),
+    )
+    sums = (
+        occ.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("ratio_q").cast("long").alias("__w"),
+        )
+    )
+    return (
+        staged.join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("__w", F.lit(0)).cast("long").alias("weight_q"),
+            # idiv_big: weight_q can reach n_bigrams * cap * scale —
+            # past 2^53 for multi-million-token documents
+            F.when(
+                F.col("__n").isNotNull(),
+                idiv_big(F.col("__w"), F.col("__n")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("avg_q"),
+        )
+    )
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    num_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    ratio_cap: int = DSIR_RATIO_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic DSIR selection: the k most target-like raw docs by
+    (avg_q DESC, id ASC — the repo's standard stable tiebreak), as
+    (id_col, n_bigrams, weight_q, avg_q, rank). TakeOrderedAndProject
+    shape: no full sort at any scale."""
+    w = dsir_weights(
+        raw, target, num_buckets, scale, ratio_cap, id_col, text_col
+    )
+    ordered = w.orderBy(F.col("avg_q").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("avg_q").desc(), F.col(id_col))
+    return ordered.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    )

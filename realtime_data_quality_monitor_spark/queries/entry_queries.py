@@ -6436,6 +6436,95 @@ SQL_E13 = f"""
 """
 
 
+def q_i1_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance weights (operators/importance.py::dsir_weights;
+    Xie et al. 2023): per-doc target-likeness over 1024 hashed-bigram
+    buckets, target = the en docs of src0 ("make the corpus look like
+    the reference slice"). Quantized linear likelihood ratios in pure
+    BIGINT/DECIMAL algebra (the t12 idf move — no ln, engine-exact);
+    both bucket-count tables are 1024 rows at ANY corpus size and join
+    back as broadcasts, the per-doc sum is the only corpus exchange."""
+    from ..operators import importance
+
+    raw = _t(spark, sf_dir, "documents")
+    target = raw.where((F.col("source") == "src0") & (F.col("lang") == "en"))
+    return importance.dsir_weights(raw, target)
+
+
+# shared CTE chain for the i1/i2 oracles: hashed-bigram occurrence
+# streams, smoothed bucket ratios (HUGEINT keeps the triple product
+# exact where Spark uses DECIMAL(38,0)), per-doc sums
+_SQL_DSIR_CORE = """
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15)
+                  AS BIGINT) % 1024 AS bucket
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 2)),
+    tocc AS (
+      SELECT o.bucket
+      FROM occ o JOIN documents d USING (doc_id)
+      WHERE d.source = 'src0' AND d.lang = 'en'),
+    j AS (
+      SELECT b.bucket,
+             coalesce(tc.t, 0) AS t_b, coalesce(rc.r, 0) AS r_b
+      FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+      LEFT JOIN (SELECT bucket, COUNT(*) AS t FROM tocc GROUP BY 1) tc
+             USING (bucket)
+      LEFT JOIN (SELECT bucket, COUNT(*) AS r FROM occ GROUP BY 1) rc
+             USING (bucket)),
+    tot AS (SELECT SUM(t_b) AS tt, SUM(r_b) AS rr FROM j),
+    ratios AS (
+      SELECT bucket,
+             LEAST(CAST((CAST(t_b + 1 AS HUGEINT) * (rr + 1024) * 1000000)
+                        // (CAST(r_b + 1 AS HUGEINT) * (tt + 1024))
+                        AS BIGINT),
+                   1000000000) AS ratio_q
+      FROM j, tot),
+    w AS (
+      SELECT occ.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(ratio_q) AS BIGINT) AS weight_q
+      FROM occ JOIN ratios USING (bucket) GROUP BY 1),
+    dsir AS (
+      SELECT t.doc_id,
+             coalesce(w.n_bigrams, 0) AS n_bigrams,
+             coalesce(w.weight_q, 0) AS weight_q,
+             coalesce(w.weight_q // w.n_bigrams, 0) AS avg_q
+      FROM t LEFT JOIN w USING (doc_id))
+"""
+
+SQL_I1 = f"""
+    WITH {_SQL_DSIR_CORE}
+    SELECT doc_id, n_bigrams, weight_q, avg_q FROM dsir
+"""
+
+
+def q_i2_dsir_topk_documents(spark, sf_dir):
+    """DSIR selection (operators/importance.py::dsir_topk): the 50 most
+    target-like docs by length-normalized weight (avg_q DESC, doc_id ASC
+    tie-break) with their rank — TakeOrderedAndProject, no full sort."""
+    from ..operators import importance
+
+    raw = _t(spark, sf_dir, "documents")
+    target = raw.where((F.col("source") == "src0") & (F.col("lang") == "en"))
+    return importance.dsir_topk(raw, target, k=50)
+
+
+SQL_I2 = f"""
+    WITH {_SQL_DSIR_CORE}
+    SELECT doc_id, n_bigrams, weight_q, avg_q,
+           CAST(row_number() OVER (ORDER BY avg_q DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM dsir
+    QUALIFY rank <= 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6652,6 +6741,8 @@ ENTRY_QUERIES = {
     # -- round-3 closing additions (wait for the round-4 window) ----------
     "e12_domain_cap_documents": (q_e12_domain_cap_documents, SQL_E12),
     "e13_ccnet_buckets_documents": (q_e13_ccnet_buckets_documents, SQL_E13),
+    "i1_dsir_weights_documents": (q_i1_dsir_weights_documents, SQL_I1),
+    "i2_dsir_topk_documents": (q_i2_dsir_topk_documents, SQL_I2),
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,174 @@
+"""DSIR importance weighting (operators/importance.py): cell-exact
+parity with a pure-Python integer oracle, smoothing/clipping laws,
+short-doc zeroing, selection ordering, and plan shape (broadcast ratio
+join, TakeOrderedAndProject top-k)."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_quality_monitor_spark.operators import importance
+
+B = importance.DSIR_BUCKETS
+SCALE = importance.DSIR_SCALE
+CAP = importance.DSIR_RATIO_CAP
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+
+def _text(i: int) -> str:
+    if i % 11 == 0:
+        return WORDS[i % 7]  # single token -> no bigrams
+    n = 3 + (i % 6)
+    return " ".join(WORDS[(i * 3 + j * j) % 7] for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _text(i), "tgt" if i % 4 == 0 else "raw") for i in range(120)]
+    return spark.createDataFrame(rows, "doc_id long, text string, tag string")
+
+
+def _bucket(a: str, b: str) -> int:
+    return int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+
+
+def _bigrams(text: str) -> list[int]:
+    toks = [t for t in text.split(" ") if t]
+    return [_bucket(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+
+
+def _py_dsir(rows, target_ids, ratio_cap=CAP):
+    """Exact-integer Python oracle for the quantized DSIR pipeline."""
+    t_counts, r_counts = {}, {}
+    for doc_id, text in rows:
+        for bkt in _bigrams(text):
+            r_counts[bkt] = r_counts.get(bkt, 0) + 1
+            if doc_id in target_ids:
+                t_counts[bkt] = t_counts.get(bkt, 0) + 1
+    tt, rr = sum(t_counts.values()), sum(r_counts.values())
+    ratios = {
+        bkt: min(
+            (t_counts.get(bkt, 0) + 1) * (rr + B) * SCALE
+            // ((r_counts.get(bkt, 0) + 1) * (tt + B)),
+            ratio_cap * SCALE,
+        )
+        for bkt in range(B)
+    }
+    out = {}
+    for doc_id, text in rows:
+        bkts = _bigrams(text)
+        w = sum(ratios[bkt] for bkt in bkts)
+        out[doc_id] = (len(bkts), w, w // len(bkts) if bkts else 0)
+    return ratios, out
+
+
+def test_weights_match_python_oracle(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["weight_q"], r["avg_q"])
+        for r in importance.dsir_weights(corpus, target).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    tgt_ids = {i for i, _, in rows if i % 4 == 0}
+    _, want = _py_dsir(rows, tgt_ids)
+    assert got == want
+
+
+def test_ratio_table_is_complete(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    ratios = importance.dsir_bucket_ratios(corpus, target).collect()
+    assert len(ratios) == B
+    assert sorted(r["bucket"] for r in ratios) == list(range(B))
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    want, _ = _py_dsir(rows, {i for i, _ in rows if i % 4 == 0})
+    assert {r["bucket"]: r["ratio_q"] for r in ratios} == want
+
+
+def test_ratio_clipping_applies(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    # a cap of 1x scale forces every above-unity ratio onto the clip
+    ratios = importance.dsir_bucket_ratios(corpus, target, ratio_cap=1)
+    vals = [r["ratio_q"] for r in ratios.collect()]
+    assert max(vals) == SCALE  # clipped
+    assert min(vals) > 0  # smoothing floor keeps everything positive
+
+
+def test_short_docs_carry_zeros(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["weight_q"], r["avg_q"])
+        for r in importance.dsir_weights(corpus, target).collect()
+    }
+    shorts = [i for i in range(120) if i % 11 == 0]
+    assert shorts and all(got[i] == (0, 0, 0) for i in shorts)
+
+
+def test_topk_ordering_and_rank(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    top = importance.dsir_topk(corpus, target, k=10).collect()
+    assert [r["rank"] for r in top] == list(range(1, 11))
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    _, want = _py_dsir(rows, {i for i, _ in rows if i % 4 == 0})
+    ordered = sorted(want, key=lambda i: (-want[i][2], i))[:10]
+    assert [r["doc_id"] for r in top] == ordered
+
+
+def test_disjoint_target_corpus(spark, corpus):
+    """target need not be a subset of raw (train-on-wiki select-web)."""
+    target = corpus.sparkSession.createDataFrame(
+        [(1000 + i, "alpha beta alpha beta gamma") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = corpus.where(F.col("tag") == "raw")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["weight_q"], r["avg_q"])
+        for r in importance.dsir_weights(raw, target).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in raw.collect()]
+    # oracle with the external target: count target occurrences separately
+    t_counts = {}
+    for _ in range(5):
+        for bkt in _bigrams("alpha beta alpha beta gamma"):
+            t_counts[bkt] = t_counts.get(bkt, 0) + 1
+    r_counts = {}
+    for _, text in rows:
+        for bkt in _bigrams(text):
+            r_counts[bkt] = r_counts.get(bkt, 0) + 1
+    tt, rr = sum(t_counts.values()), sum(r_counts.values())
+    ratios = {
+        bkt: min(
+            (t_counts.get(bkt, 0) + 1) * (rr + B) * SCALE
+            // ((r_counts.get(bkt, 0) + 1) * (tt + B)),
+            CAP * SCALE,
+        )
+        for bkt in range(B)
+    }
+    for doc_id, text in rows:
+        bkts = _bigrams(text)
+        w = sum(ratios[bkt] for bkt in bkts)
+        assert got[doc_id] == (len(bkts), w, w // len(bkts) if bkts else 0)
+
+
+def test_plan_ratio_join_is_broadcast_no_corpus_sort(spark, corpus):
+    target = corpus.where(F.col("tag") == "tgt")
+    w = importance.dsir_weights(corpus, target)
+    plan = w._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only sorts allowed are inside SortMergeJoin of the final
+    # doc-id join; the weight path itself must not globally sort
+    assert "Exchange rangepartitioning" not in plan
+    top = importance.dsir_topk(corpus, target, k=10)
+    tplan = top._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "TakeOrderedAndProject" in tplan
