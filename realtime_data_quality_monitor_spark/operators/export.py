@@ -26,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv
 from .dedup import md5_token_hash60
 from .textstats import tokens_col
+
+MILLION = 1_000_000
 
 # digits of the md5 prefix used as the hash value: 8 hex chars = 32 bits,
 # unsigned, < 2^53 so exact in any engine's BIGINT/double path
@@ -365,6 +368,51 @@ def ngram_decontaminate(
     return hits.groupBy(F.col("id").alias(id_col)).agg(
         F.countDistinct("sh").alias("n_shared_ngrams"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+def ngram_overlap_fraction(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """The graded companion to :func:`ngram_decontaminate`: for EVERY
+    train document with >= ``n`` tokens, the fraction of its distinct
+    word ``n``-grams that also appear anywhere in the eval set —
+    ``(id_col, n_shingles, n_shared, overlap_u)`` with ``overlap_u`` the
+    fraction scaled to 1e6 (exact integer floor). Where e4 answers
+    "is this doc contaminated at all?", this is the score thresholding
+    policies are actually written against (e.g. "drop above 80%
+    containment, flag above 10%" — the GPT-3 §C / PaLM-style graded
+    decontamination report). Docs shorter than ``n`` tokens have no
+    ``n``-grams and are omitted, exactly like e4.
+
+    Scale shape: the eval side collapses to DISTINCT fingerprints (an
+    eval-sized exchange, never corpus-sized), then ONE left equi-join
+    on the 8-byte shingle fingerprint marks hits — multiplicity is
+    exactly 1 per (doc, shingle) because both sides are per-key
+    distinct — and one per-doc hash aggregate with map-side combine
+    folds counts. The corpus is never self-joined; AQE broadcasts the
+    eval side at runtime when it is actually small (``broadcast_eval``
+    forces it, with e4's caveat). ``n_shared * 1e6`` stays below 2^53
+    for any document under ~9e9 distinct shingles, so plain ``idiv``
+    is exact."""
+    t_sh = _distinct_shingles(train, id_col, text_col, n, "id")
+    e_keys = _distinct_shingles(eval_df, id_col, text_col, n, "eval_id").select(
+        "sh"
+    ).distinct()
+    if broadcast_eval:
+        e_keys = F.broadcast(e_keys)
+    marked = t_sh.join(e_keys.withColumn("__hit", F.lit(1)), "sh", "left")
+    return marked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_shared"),
+        idiv(
+            F.coalesce(F.sum("__hit"), F.lit(0)) * MILLION, F.count(F.lit(1))
+        ).alias("overlap_u"),
     )
 
 

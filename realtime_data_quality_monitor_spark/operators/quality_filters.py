@@ -385,6 +385,93 @@ def gopher_keep_flag(
     )
 
 
+# independent-rule predicates shared by gopher_keep_flag's first-failed
+# reason chain and the attribution report — paper listing order
+_GOPHER_RULES = (
+    "too_few_words",
+    "too_many_words",
+    "word_length",
+    "no_stop_words",
+    "top2_repetition",
+    "dup3_repetition",
+)
+
+
+def gopher_filter_attribution(
+    df: DataFrame,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len_u: int = 3 * MILLION,
+    max_mean_word_len_u: int = 10 * MILLION,
+    min_stop_hits: int = 1,
+    max_top2_frac_u: int = 300_000,
+    max_dup3_frac_u: int = 600_000,
+) -> DataFrame:
+    """Per-rule ablation report for the Gopher stack: one row per rule
+    with ``n_fail`` (documents failing that rule, judged INDEPENDENTLY
+    of the others — unlike ``drop_reason``, which only credits the
+    first failure) and ``n_fail_only`` (documents failing ONLY that
+    rule — the marginal: exactly the docs a pipeline would recover by
+    dropping the rule). ``n_docs``/``n_kept`` repeat on every row so
+    the report is a self-contained datasheet. This is the standard
+    threshold-tuning table curation stacks publish (e.g. the per-filter
+    removal-rate breakdowns in the RefinedWeb and Dolma reports);
+    ``drop_reason`` histograms cannot answer "what does rule X cost me"
+    because later rules shadow earlier failures.
+
+    Scale shape: the six flags are row-local column algebra over the
+    already-row-local Gopher stats; everything folds in ONE scalar hash
+    aggregate (map-side partial combine, 14 longs per partition), and
+    the per-rule unpivot (``stack``) runs over that single row. Zero
+    joins, zero corpus-keyed exchange."""
+    staged = df.withColumn(_TOKS, tokens_col(F.col("text")))
+    toks = F.col(_TOKS)
+    stats = _attach_repetition_stats(
+        _attach_word_stats(staged, toks), toks
+    ).drop(_TOKS)
+    flags = {
+        "too_few_words": F.col("n_words") < min_words,
+        "too_many_words": F.col("n_words") > max_words,
+        "word_length": (F.col("mean_word_len_u") < min_mean_word_len_u)
+        | (F.col("mean_word_len_u") > max_mean_word_len_u),
+        "no_stop_words": F.col("stop_hits") < min_stop_hits,
+        "top2_repetition": F.col("top2_frac_u") > max_top2_frac_u,
+        "dup3_repetition": F.col("dup3_frac_u") > max_dup3_frac_u,
+    }
+    n_failed = None
+    for r in _GOPHER_RULES:
+        term = flags[r].cast("int")
+        n_failed = term if n_failed is None else n_failed + term
+    flagged = stats.withColumns(
+        {f"__f_{r}": flags[r].cast("long") for r in _GOPHER_RULES}
+    ).withColumn("__n_failed", n_failed)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.sum((F.col("__n_failed") == 0).cast("long")).alias("__n_kept"),
+    ]
+    for r in _GOPHER_RULES:
+        aggs.append(F.sum(f"__f_{r}").alias(f"__fail_{r}"))
+        aggs.append(
+            F.sum(
+                ((F.col(f"__f_{r}") == 1) & (F.col("__n_failed") == 1)).cast(
+                    "long"
+                )
+            ).alias(f"__only_{r}")
+        )
+    totals = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{r}', __fail_{r}, __only_{r}" for r in _GOPHER_RULES
+    )
+    return totals.select(
+        F.expr(
+            f"stack({len(_GOPHER_RULES)}, {stack_args})"
+            " as (rule, n_fail, n_fail_only)"
+        ),
+        F.col("__n_docs").alias("n_docs"),
+        F.col("__n_kept").alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # hashed linear quality classifier (fastText-style scoring pass)
 # ---------------------------------------------------------------------------

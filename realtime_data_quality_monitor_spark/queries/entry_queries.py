@@ -6525,6 +6525,114 @@ SQL_I2 = f"""
 """
 
 
+def q_g9_filter_attribution(spark, sf_dir):
+    """Per-rule Gopher ablation report (operators/quality_filters.py::
+    gopher_filter_attribution): independent fail count and
+    fail-ONLY-this-rule marginal per rule, plus corpus totals — the
+    threshold-tuning table drop_reason histograms (g3) cannot provide
+    because later rules shadow earlier failures. One scalar aggregate,
+    zero joins."""
+    return quality_filters.gopher_filter_attribution(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+SQL_G9 = f"""
+    WITH {_SQL_G_TOKS},
+    {_SQL_G_REP},
+    flags AS (
+      SELECT
+        (n_words < 10)::INT AS f1,
+        (n_words > 100000)::INT AS f2,
+        (mean_word_len_u < 3000000 OR mean_word_len_u > 10000000)::INT AS f3,
+        (stop_hits < 1)::INT AS f4,
+        (top2_frac_u > 300000)::INT AS f5,
+        (dup3_frac_u > 600000)::INT AS f6
+      FROM rep),
+    f2t AS (SELECT *, f1 + f2 + f3 + f4 + f5 + f6 AS n_failed FROM flags),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM((n_failed = 0)::INT) AS BIGINT) AS n_kept,
+             CAST(SUM(f1) AS BIGINT) AS fail1,
+             CAST(SUM((f1 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only1,
+             CAST(SUM(f2) AS BIGINT) AS fail2,
+             CAST(SUM((f2 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only2,
+             CAST(SUM(f3) AS BIGINT) AS fail3,
+             CAST(SUM((f3 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only3,
+             CAST(SUM(f4) AS BIGINT) AS fail4,
+             CAST(SUM((f4 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only4,
+             CAST(SUM(f5) AS BIGINT) AS fail5,
+             CAST(SUM((f5 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only5,
+             CAST(SUM(f6) AS BIGINT) AS fail6,
+             CAST(SUM((f6 = 1 AND n_failed = 1)::INT) AS BIGINT) AS only6
+      FROM f2t)
+    SELECT 'too_few_words' AS rule, fail1 AS n_fail, only1 AS n_fail_only,
+           n_docs, n_kept FROM tot
+    UNION ALL
+    SELECT 'too_many_words', fail2, only2, n_docs, n_kept FROM tot
+    UNION ALL
+    SELECT 'word_length', fail3, only3, n_docs, n_kept FROM tot
+    UNION ALL
+    SELECT 'no_stop_words', fail4, only4, n_docs, n_kept FROM tot
+    UNION ALL
+    SELECT 'top2_repetition', fail5, only5, n_docs, n_kept FROM tot
+    UNION ALL
+    SELECT 'dup3_repetition', fail6, only6, n_docs, n_kept FROM tot
+"""
+
+
+def q_e14_overlap_fraction_documents(spark, sf_dir):
+    """Graded decontamination (operators/export.py::
+    ngram_overlap_fraction): per-train-doc fraction of its distinct
+    8-gram fingerprints found anywhere in the eval split (same
+    hash-split as e4) — the containment score drop/flag thresholds are
+    written against, where e4 only answers contaminated-or-not. One
+    left equi-join on the 8-byte fingerprint + one per-doc aggregate;
+    the corpus is never self-joined."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = export.split_by_hash(
+        docs, "doc_id", seed="decon1",
+        fractions={"train": 0.9, "eval": 0.1},
+    )
+    return export.ngram_overlap_fraction(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=8,
+    )
+
+
+SQL_E14 = """
+    WITH h AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|decon1|'), 1, 8)
+                  AS BIGINT) % 1000000 AS b
+      FROM documents),
+    tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM h WHERE b < 900000),
+    ev AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM h WHERE b >= 900000 AND b < 1000000),
+    tsh AS (
+      SELECT DISTINCT tr.doc_id AS id,
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)
+               AS BIGINT) AS sh
+      FROM tr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7),
+    ek AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)
+               AS BIGINT) AS sh
+      FROM ev JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 7)
+    SELECT t.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(e.sh) AS BIGINT) AS n_shared,
+           CAST(COUNT(e.sh) AS BIGINT) * 1000000
+             // CAST(COUNT(*) AS BIGINT) AS overlap_u
+    FROM tsh t LEFT JOIN ek e ON t.sh = e.sh
+    GROUP BY t.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6743,6 +6851,8 @@ ENTRY_QUERIES = {
     "e13_ccnet_buckets_documents": (q_e13_ccnet_buckets_documents, SQL_E13),
     "i1_dsir_weights_documents": (q_i1_dsir_weights_documents, SQL_I1),
     "i2_dsir_topk_documents": (q_i2_dsir_topk_documents, SQL_I2),
+    "g9_filter_attribution": (q_g9_filter_attribution, SQL_G9),
+    "e14_overlap_fraction_documents": (q_e14_overlap_fraction_documents, SQL_E14),
 }
 
 # ---------------------------------------------------------------------------

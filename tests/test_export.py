@@ -427,3 +427,61 @@ def test_score_bucket_sample_validates_inputs(spark):
             df, "quality", ["source"], "doc_id", seed="x",
             n_buckets=2, labels=("a", "b"), keep_rates={"a": 1.0},
         )
+
+
+def test_overlap_fraction_graded_values(spark):
+    # same planted-leak fixture as the decontaminate tests, but graded:
+    # doc 0 (15 tokens -> 8 distinct 8-grams, 3 shared) scores 375000;
+    # uncontaminated docs appear with overlap 0 (unlike the binary op)
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_rows = [
+        (0, "prefix words here " + eval_text + " suffix words"),
+        (1, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+        (2, "totally unrelated text with many distinct tokens in a row"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap_u"])
+        for r in export.ngram_overlap_fraction(train, ev, n=8).collect()
+    }
+    assert got == {
+        0: (8, 3, 3 * 1_000_000 // 8),
+        1: (3, 0, 0),
+        2: (3, 0, 0),
+    }
+
+
+def test_overlap_fraction_full_containment_and_distinctness(spark):
+    # a verbatim eval copy scores exactly 1e6; within-doc repeated
+    # shingles count once (n=2: "a b"/"b a" only)
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b a b a b a b a b")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "a b c d e f g h")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap_u"])
+        for r in export.ngram_overlap_fraction(train, ev, n=8).collect()
+    }
+    assert got[0] == (1, 1, 1_000_000)
+    got2 = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap_u"])
+        for r in export.ngram_overlap_fraction(train, ev, n=2).collect()
+    }
+    assert got2[1][0] == 2  # distinct 2-grams, not 9 occurrences
+    assert got2[0] == (7, 7, 1_000_000)
+
+
+def test_overlap_fraction_short_docs_omitted_and_matches_binary(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c"), (1, "p q r s t u v w x y z a b c d e")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "p q r s t u v w")], ["doc_id", "text"])
+    frac = export.ngram_overlap_fraction(train, ev, n=8).collect()
+    assert {r["doc_id"] for r in frac} == {1}
+    # graded n_shared agrees with the binary op's n_shared_ngrams
+    [binary] = export.ngram_decontaminate(train, ev, n=8).collect()
+    [graded] = frac
+    assert graded["n_shared"] == binary["n_shared_ngrams"] == 1

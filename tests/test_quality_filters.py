@@ -253,3 +253,91 @@ def test_clf_table_weights_equal_closed_form_and_plan(spark):
     empty = w.where("bucket < 0")
     z = qf.hashed_linear_score_from_table(docs, empty)
     assert z.where("clf_score != 0").count() == 0
+
+
+# --------------------------------------------------------------------------
+# per-rule attribution report (gopher_filter_attribution)
+# --------------------------------------------------------------------------
+
+ATTR_TEXTS = [
+    # kept: long, diverse, stopword present, mean word length in range
+    "the quick brown fox jumps over lazy dogs while birds watch quietly",
+    "that green boat sails past rocky shores under bright evening skies now",
+    # fails ONLY too_few_words (9 diverse words, low repetition)
+    "the small red cat sat near green tall tree",
+    # fails ONLY no_stop_words (12 diverse words, no Gopher stopword)
+    "alpha bravo chart delta echo fox golf hotel india juliet kilo lima",
+    # fails ONLY word_length (mean > 10 despite one stopword)
+    "the abcdefghijklm bcdefghijklmn cdefghijklmno defghijklmnop "
+    "efghijklmnopq fghijklmnopqr ghijklmnopqrs hijklmnopqrst "
+    "ijklmnopqrstu jklmnopqrstuv klmnopqrstuvw",
+    # fails ONLY top2_repetition (repeated 2-gram, no duplicated 3-gram)
+    "the cat sat cat sat here now then up down",
+    # multi-fail: repetition caps + stopword rule together
+    "spam spam spam spam spam spam spam spam spam spam spam spam",
+    # multi-fail: short AND no stopwords
+    "zig zag zap",
+    "",
+]
+
+
+def _py_attr(texts):
+    flags_per_doc = []
+    for t in texts:
+        s = _py_doc_stats(t)
+        flags_per_doc.append(
+            {
+                "too_few_words": s["n_words"] < 10,
+                "too_many_words": s["n_words"] > 100_000,
+                "word_length": not (
+                    3 * M <= s["mean_word_len_u"] <= 10 * M
+                ),
+                "no_stop_words": s["stop_hits"] < 1,
+                "top2_repetition": s["top2_frac_u"] > 300_000,
+                "dup3_repetition": s["dup3_frac_u"] > 600_000,
+            }
+        )
+    n_docs = len(texts)
+    n_kept = sum(not any(f.values()) for f in flags_per_doc)
+    out = {}
+    for r in qf._GOPHER_RULES:
+        n_fail = sum(f[r] for f in flags_per_doc)
+        n_only = sum(f[r] and sum(f.values()) == 1 for f in flags_per_doc)
+        out[r] = (n_fail, n_only, n_docs, n_kept)
+    return out
+
+
+def test_filter_attribution_matches_python(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ATTR_TEXTS)], ["doc_id", "text"]
+    )
+    got = {
+        r["rule"]: (r["n_fail"], r["n_fail_only"], r["n_docs"], r["n_kept"])
+        for r in qf.gopher_filter_attribution(df).collect()
+    }
+    want = _py_attr(ATTR_TEXTS)
+    assert got == want
+    assert set(got) == set(qf._GOPHER_RULES)
+    # the fixture exercises the semantics the report exists for:
+    # at least one pure-marginal failure per engineered rule, and at
+    # least one doc failing multiple rules (n_fail exceeds marginals)
+    for r in ("too_few_words", "no_stop_words", "word_length",
+              "top2_repetition"):
+        assert got[r][1] >= 1, r
+    assert sum(v[0] for v in got.values()) > sum(v[1] for v in got.values())
+
+
+def test_filter_attribution_plan_is_one_scalar_agg(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ATTR_TEXTS)], ["doc_id", "text"]
+    )
+    rep = qf.gopher_filter_attribution(df)
+    plan = rep._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # zero joins, zero corpus-keyed exchange: the only shuffle allowed
+    # is the scalar aggregate's SinglePartition collect
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
