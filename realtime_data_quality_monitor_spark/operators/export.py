@@ -678,3 +678,103 @@ def score_bucket_sample(
     return df.withColumn("bucket", label).withColumn(
         "keep", coin < rate_micro
     )
+
+
+def unimax_quotas(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total document budget over groups
+    (languages / sources) by visiting groups SMALLEST FIRST and giving
+    each ``min(n_docs * max_epochs, remaining_budget // remaining_
+    groups)`` — small languages are kept whole (up to the epoch cap),
+    the leftover waterfills the large ones. Integer-exact everywhere:
+    no temperature exponent (``c^alpha`` is float and engine-divergent;
+    UniMax's epoch-capped waterfill is the fairer allocation AND pure
+    integer algebra). Returns the tiny ``(group_col, n_docs, quota)``
+    allocation table.
+
+    Scale shape: ONE corpus aggregate (map-side combined) produces the
+    per-group counts; the sequential waterfill runs on the driver over
+    that table — bounded by the number of GROUPS (languages: hundreds),
+    never corpus rows, the same bounded-collect pattern as the k-means
+    centroid loop (operators/similarity.py). Visit order (n_docs ASC,
+    group ASC) is total, so the allocation is engine-exact."""
+    if budget < 0:
+        raise ValueError("unimax_quotas: budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("unimax_quotas: max_epochs must be >= 1")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rows = sorted(
+        counts.collect(), key=lambda r: (r["n_docs"], r[group_col])
+    )
+    b_rem, l_rem, alloc = budget, len(rows), []
+    for r in rows:
+        share = b_rem // l_rem
+        quota = min(r["n_docs"] * max_epochs, share)
+        alloc.append((r[group_col], r["n_docs"], quota))
+        b_rem -= quota
+        l_rem -= 1
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(counts.schema.fields)
+        + [T.StructField("quota", T.LongType(), False)]
+    )
+    return df.sparkSession.createDataFrame(alloc, schema)
+
+
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: str = "unimax",
+    prune_salts: int = 0,
+) -> DataFrame:
+    """UniMax selection: materialize the :func:`unimax_quotas`
+    allocation (``max_epochs=1`` — a selection pass keeps a document at
+    most once; epoch-weighted repetition is :func:`mix_sources`'s job)
+    by keeping, per group, the first ``quota`` documents under the
+    deterministic keyed-md5 order (tie-break ``id_col`` — total order,
+    engine-exact survivor set). Output = surviving rows + ``grp_rank``
+    (1-based rank within the group) + ``quota``.
+
+    Scale shape: the quota table broadcast-joins back (it is
+    group-count-sized); selection is cap_per_group's shape — one hash
+    exchange on the group + window row_number, with the same optional
+    ``prune_salts`` escape for hot groups (phase 1 windows over
+    (group, salt) cells and keeps <= quota per cell — a pruned row has
+    >= quota same-group rows ahead of it globally, so the survivor set
+    is exactly the unsalted one)."""
+    quotas = unimax_quotas(df, group_col, budget, max_epochs=1)
+    order = [
+        keyed_md5_hex(F.col(id_col), seed).asc(),
+        F.col(id_col).asc(),
+    ]
+    out = df.join(
+        F.broadcast(quotas.select(group_col, "quota")), group_col
+    )
+    if prune_salts > 1:
+        salt = F.pmod(
+            _key_hash(F.col(id_col).cast("string"), seed, "unimax_salt")
+            + F.spark_partition_id(),
+            F.lit(prune_salts),
+        )
+        w1 = Window.partitionBy(group_col, "__um_salt").orderBy(*order)
+        out = (
+            out.withColumn("__um_salt", salt)
+            .withColumn("__um_r1", F.row_number().over(w1))
+            .filter(F.col("__um_r1") <= F.col("quota"))
+            .drop("__um_salt", "__um_r1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return out.withColumn(
+        "grp_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("grp_rank") <= F.col("quota"))

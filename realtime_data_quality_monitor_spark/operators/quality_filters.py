@@ -623,6 +623,75 @@ def hashed_linear_score_from_table(
     )
 
 
+def classifier_threshold_sweep(
+    df: DataFrame,
+    thresholds: list[int],
+    label_col: str = "label",
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Calibration table for choosing the classifier's keep threshold:
+    one row per candidate threshold t with the confusion counts of the
+    policy ``keep = score >= t`` against a boolean/0-1 label column
+    (``tp``/``fp``/``fn``, plus ``n_keep``), exact scaled precision /
+    recall / kept-fraction, and the corpus totals. This is the sweep a
+    pipeline runs before committing a filter threshold (the CCNet /
+    RefinedWeb "choose the classifier cut-off on a labeled dev slice"
+    step); picking t by eyeballing score histograms loses the
+    precision/recall trade-off this table states exactly.
+
+    Scale shape: the g9 pattern — one scalar hash aggregate computing
+    2 + 2*len(thresholds) conditional BIGINT sums with map-side partial
+    combine, then ``stack`` over that single row. Zero joins, zero
+    corpus-keyed exchange, one pass over the scores; the threshold list
+    is a query-time literal (a ~dozen candidates), never data."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    score = F.col(score_col)
+    label = F.col(label_col).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.sum(label).alias("__n_true"),
+    ]
+    for i, t in enumerate(thresholds):
+        keep = score >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).alias(f"__keep_{i}"))
+        aggs.append(
+            F.sum((keep & (label == 1)).cast("long")).alias(f"__tp_{i}")
+        )
+    totals = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({int(t)} AS BIGINT), __keep_{i}, __tp_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    rows = totals.select(
+        F.expr(
+            f"stack({len(thresholds)}, {stack_args})"
+            " as (threshold, n_keep, tp)"
+        ),
+        F.col("__n_docs").alias("n_docs"),
+        F.col("__n_true").alias("n_true"),
+    )
+    n_keep, tp = F.col("n_keep"), F.col("tp")
+    return rows.select(
+        "threshold",
+        "n_keep",
+        "tp",
+        (n_keep - tp).alias("fp"),
+        (F.col("n_true") - tp).alias("fn"),
+        F.when(n_keep > 0, idiv(tp * MILLION, n_keep))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("precision_u"),
+        F.when(F.col("n_true") > 0, idiv(tp * MILLION, F.col("n_true")))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("recall_u"),
+        F.when(F.col("n_docs") > 0, idiv(n_keep * MILLION, F.col("n_docs")))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("keep_frac_u"),
+        "n_docs",
+        "n_true",
+    )
+
+
 def simpson_diversity_u(toks: Column) -> Column:
     """Simpson lexical-diversity index as an exact scaled BIGINT:
     D = 1 - sum_i (c_i / n)^2 over token counts c_i, emitted as

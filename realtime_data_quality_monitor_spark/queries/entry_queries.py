@@ -6601,6 +6601,114 @@ def q_e14_overlap_fraction_documents(spark, sf_dir):
     )
 
 
+def q_e15_unimax_sample_documents(spark, sf_dir):
+    """UniMax budget allocation + selection (operators/export.py::
+    unimax_sample; Chung et al. 2023): a 200-doc budget waterfilled
+    over languages smallest-first (small languages kept whole, leftover
+    split over large ones — integer-exact, no float temperature
+    exponent), materialized by keeping each language's first ``quota``
+    docs under the keyed-md5 order. Oracle replays the sequential
+    waterfill with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    out = export.unimax_sample(
+        d, "lang", budget=200, id_col="doc_id", seed="unimax1"
+    )
+    return out.select("doc_id", "lang", "grp_rank", "quota")
+
+
+SQL_E15 = """
+    WITH RECURSIVE counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    ord AS (
+      SELECT lang, n_docs,
+             CAST(row_number() OVER (ORDER BY n_docs ASC, lang ASC)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_groups
+      FROM counts),
+    alloc AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS lang,
+             CAST(0 AS BIGINT) AS quota, CAST(200 AS BIGINT) AS b_rem
+      UNION ALL
+      SELECT o.i, o.lang,
+             LEAST(o.n_docs, a.b_rem // (o.n_groups - a.i)),
+             a.b_rem - LEAST(o.n_docs, a.b_rem // (o.n_groups - a.i))
+      FROM alloc a JOIN ord o ON o.i = a.i + 1),
+    sel AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|unimax1|') ASC,
+                        doc_id ASC) AS BIGINT) AS grp_rank
+      FROM documents)
+    SELECT s.doc_id, s.lang, s.grp_rank, al.quota
+    FROM sel s JOIN alloc al ON s.lang = al.lang
+    WHERE s.grp_rank <= al.quota
+"""
+
+
+# candidate keep-thresholds for the g10 calibration sweep — a fixed
+# query-time grid spanning the sf0.01 score range (±1000/token weights
+# over 8-110-token docs)
+G10_THRESHOLDS = [
+    -30000, -20000, -10000, -5000, -2000, -1000, 0,
+    1000, 2000, 5000, 10000, 20000, 30000,
+]
+
+
+def q_g10_clf_threshold_sweep(spark, sf_dir):
+    """Classifier calibration sweep (operators/quality_filters.py::
+    classifier_threshold_sweep): confusion counts + exact scaled
+    precision/recall/kept-fraction of ``keep = clf_score >= t`` for a
+    13-threshold grid, labels = (lang == 'en'). The g9 plan shape: one
+    scalar aggregate with conditional sums, stack over a single row,
+    zero joins."""
+    d = quality_filters.hashed_linear_score(_t(spark, sf_dir, "documents"))
+    d = d.withColumn("label", (F.col("lang") == "en").cast("int"))
+    return quality_filters.classifier_threshold_sweep(d, G10_THRESHOLDS)
+
+
+_G10_TH_SQL = ", ".join(str(t) for t in G10_THRESHOLDS)
+
+SQL_G10 = f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en')::INT AS label,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, label,
+        CAST(coalesce(list_sum(list_transform(toks, t ->
+          CAST('0x' || substr(md5(
+            CAST(CAST('0x' || substr(md5(t || '|qclf|b'), 1, 8) AS BIGINT)
+                 % 4096 AS VARCHAR)
+            || '|qclf|w'), 1, 8) AS BIGINT) % 2001 - 1000
+        )), 0) AS BIGINT) AS clf_score
+      FROM toks),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(label) AS BIGINT) AS n_true
+      FROM scored),
+    th AS (SELECT CAST(unnest([{_G10_TH_SQL}]) AS BIGINT) AS threshold),
+    sw AS (
+      SELECT threshold,
+             CAST(SUM((clf_score >= threshold)::INT) AS BIGINT) AS n_keep,
+             CAST(SUM((clf_score >= threshold AND label = 1)::INT)
+                  AS BIGINT) AS tp
+      FROM th, scored GROUP BY threshold)
+    SELECT threshold, n_keep, tp,
+           n_keep - tp AS fp,
+           n_true - tp AS fn,
+           CASE WHEN n_keep > 0 THEN tp * 1000000 // n_keep ELSE 0 END
+             AS precision_u,
+           CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END
+             AS recall_u,
+           CASE WHEN n_docs > 0 THEN n_keep * 1000000 // n_docs ELSE 0 END
+             AS keep_frac_u,
+           n_docs, n_true
+    FROM sw, tot
+"""
+
+
 SQL_E14 = """
     WITH h AS (
       SELECT doc_id, text,
@@ -6853,6 +6961,8 @@ ENTRY_QUERIES = {
     "i2_dsir_topk_documents": (q_i2_dsir_topk_documents, SQL_I2),
     "g9_filter_attribution": (q_g9_filter_attribution, SQL_G9),
     "e14_overlap_fraction_documents": (q_e14_overlap_fraction_documents, SQL_E14),
+    "g10_clf_threshold_sweep": (q_g10_clf_threshold_sweep, SQL_G10),
+    "e15_unimax_sample_documents": (q_e15_unimax_sample_documents, SQL_E15),
 }
 
 # ---------------------------------------------------------------------------

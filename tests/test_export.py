@@ -485,3 +485,80 @@ def test_overlap_fraction_short_docs_omitted_and_matches_binary(spark):
     [binary] = export.ngram_decontaminate(train, ev, n=8).collect()
     [graded] = frac
     assert graded["n_shared"] == binary["n_shared_ngrams"] == 1
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation + selection
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    # counts: aa=2, bb=5, cc=50
+    rows = (
+        [(i, "aa") for i in range(2)]
+        + [(10 + i, "bb") for i in range(5)]
+        + [(100 + i, "cc") for i in range(50)]
+    )
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_unimax_quotas_waterfill_law(spark, lang_docs):
+    # budget 20, smallest first: aa keeps 2, bb keeps 5, cc gets the rest
+    got = {
+        r["lang"]: (r["n_docs"], r["quota"])
+        for r in export.unimax_quotas(lang_docs, "lang", 20).collect()
+    }
+    assert got == {"aa": (2, 2), "bb": (5, 5), "cc": (50, 13)}
+    # epoch cap binds before the share for small languages
+    got3 = {
+        r["lang"]: r["quota"]
+        for r in export.unimax_quotas(
+            lang_docs, "lang", 20, max_epochs=3
+        ).collect()
+    }
+    assert got3 == {"aa": 6, "bb": 7, "cc": 7}
+    # budget above the corpus: everything kept once
+    gotall = {
+        r["lang"]: r["quota"]
+        for r in export.unimax_quotas(lang_docs, "lang", 10_000).collect()
+    }
+    assert gotall == {"aa": 2, "bb": 5, "cc": 50}
+    with pytest.raises(ValueError):
+        export.unimax_quotas(lang_docs, "lang", -1)
+    with pytest.raises(ValueError):
+        export.unimax_quotas(lang_docs, "lang", 10, max_epochs=0)
+
+
+def test_unimax_sample_counts_determinism_and_salted_parity(
+    spark, lang_docs
+):
+    out = export.unimax_sample(
+        lang_docs, "lang", 20, seed="u1"
+    ).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert 1 <= r["grp_rank"] <= r["quota"]
+    assert {k: len(v) for k, v in per_lang.items()} == {
+        "aa": 2, "bb": 5, "cc": 13,
+    }
+    # deterministic under the same seed; a new seed reshuffles cc's pick
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in export.unimax_sample(lang_docs, "lang", 20, seed="u1").collect()
+    }
+    assert again == {(r["lang"], r["doc_id"]) for r in out}
+    other = {
+        (r["lang"], r["doc_id"])
+        for r in export.unimax_sample(lang_docs, "lang", 20, seed="u2").collect()
+    }
+    assert other != again
+    # the salted hot-group prune must not change the survivor set
+    salted = {
+        (r["lang"], r["doc_id"], r["grp_rank"])
+        for r in export.unimax_sample(
+            lang_docs, "lang", 20, seed="u1", prune_salts=8
+        ).collect()
+    }
+    assert salted == {(r["lang"], r["doc_id"], r["grp_rank"]) for r in out}

@@ -341,3 +341,46 @@ def test_filter_attribution_plan_is_one_scalar_agg(spark):
     # is the scalar aggregate's SinglePartition collect
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# --------------------------------------------------------------------------
+# classifier threshold sweep
+# --------------------------------------------------------------------------
+
+
+def test_threshold_sweep_matches_python(spark):
+    rows = [
+        # (score, label)
+        (-50, 0), (-10, 1), (0, 0), (5, 1), (5, 0), (30, 1), (80, 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, l) for i, (s, l) in enumerate(rows)],
+        ["doc_id", "clf_score", "label"],
+    )
+    ths = [-100, -10, 0, 5, 50, 1000]  # includes keep-all and keep-none
+    got = {
+        r["threshold"]: (
+            r["n_keep"], r["tp"], r["fp"], r["fn"],
+            r["precision_u"], r["recall_u"], r["keep_frac_u"],
+            r["n_docs"], r["n_true"],
+        )
+        for r in qf.classifier_threshold_sweep(df, ths).collect()
+    }
+    n_docs, n_true = len(rows), sum(l for _, l in rows)
+    want = {}
+    for t in ths:
+        keep = [(s, l) for s, l in rows if s >= t]
+        tp = sum(l for _, l in keep)
+        want[t] = (
+            len(keep), tp, len(keep) - tp, n_true - tp,
+            tp * M // len(keep) if keep else 0,
+            tp * M // n_true,
+            len(keep) * M // n_docs,
+            n_docs, n_true,
+        )
+    assert got == want
+    # recall is non-increasing as the threshold rises
+    recalls = [got[t][5] for t in sorted(ths)]
+    assert recalls == sorted(recalls, reverse=True)
+    with pytest.raises(ValueError):
+        qf.classifier_threshold_sweep(df, [])
