@@ -1,0 +1,210 @@
+"""Exact bigram-LM fluency scoring — the CCNet language-model stage
+(Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data"): train an n-gram LM on a high-quality
+reference slice (CCNet uses Wikipedia + KenLM), score every corpus
+document by its mean per-transition likelihood under that LM, and
+feed the score to the head/middle/tail bucketing this repo already
+ships (``export.score_bucket_sample``, entry e13). This module is the
+LM those buckets presuppose.
+
+Reference parity note: the reference repo has no LM surface; this is
+training-data-pipeline surface per SURVEY.md §2.7, composing with the
+g-family heuristics the way CCNet composes perplexity filtering with
+rule filters.
+
+Exactness contract (the DSIR move, operators/importance.py): the
+per-bigram score is the QUANTIZED Laplace-smoothed transition
+likelihood
+
+  q(w1, w2) = floor( scale * (c(w1, w2) + 1) / (ctx(w1) + V + 1) )
+
+— exact integer algebra on both engines — rather than KenLM's
+log-probability: ``ln`` differs across engines in the last ulp, and
+the mean of q is strictly monotone per transition in the smoothed
+conditional probability, which is all the downstream bucketing uses.
+ctx(w1) = Σ_x c(w1, x), so smoothed probabilities sum to 1 over the
+V + 1 mapped vocabulary. Divisions route through DECIMAL(38,0)
+(``idiv_big``): scale * c(w1, w2) passes 2^53 once a bigram has been
+seen ~1e7+ times, routine at corpus scale.
+
+OOV handling is KenLM's: the vocabulary is the top-``vocab_size``
+reference tokens (ties broken token-ASC — a total order, so the vocab
+set is engine-exact); every other token maps to a reserved ``<unk>``
+sentinel BEFORE counting, in training and scoring alike, so unseen
+words get real learned mass instead of falling off the model.
+
+Scale shape (the 100 TB story):
+
+  * the vocabulary is top-V by count — TakeOrderedAndProject
+    (per-partition heap + driver merge of V rows), never a full sort;
+    V is the model-size lever, exactly as in fastText/KenLM practice;
+  * pair generation is row-local (transform over a projected token
+    array — the shingles CSE rule); token→vocab mapping is two
+    BROADCAST left joins against the V-row vocab (bounded by config,
+    like the k-means centroid table — never corpus-sized);
+  * the bigram model is one hash aggregate over mapped pairs
+    (map-side combine absorbs token skew); its size is bounded by
+    observed distinct mapped pairs, and it joins back by (w1, w2) —
+    AQE broadcasts it when small, hash-joins otherwise;
+  * scoring is one corpus-keyed hash agg of (doc_id, 2 longs);
+    document text never crosses an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import idiv_big
+from .textstats import tokens_col
+
+LM_SCALE = 1_000_000
+# reserved OOV sentinel: a control character, unreachable by the
+# whitespace tokenizer over the documents fixture (DuckDB: chr(1))
+LM_UNK = "\x01"
+
+
+def lm_vocab(
+    ref: DataFrame, vocab_size: int, text_col: str = "text"
+) -> DataFrame:
+    """Top-``vocab_size`` reference tokens by (count DESC, token ASC) —
+    the deterministic total order makes the vocab SET engine-exact even
+    through count ties. One hash agg + TakeOrderedAndProject."""
+    if vocab_size < 1:
+        raise ValueError("lm_vocab: vocab_size must be >= 1")
+    return (
+        ref.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+
+
+def _mapped_pairs(
+    df: DataFrame, vocab: DataFrame, keep: list[str], text_col: str
+) -> DataFrame:
+    """Row-local adjacent-pair stream with both sides mapped through
+    the vocabulary (OOV → LM_UNK): ``keep`` columns + (w1, w2), one row
+    per bigram OCCURRENCE. The vocab joins broadcast (V rows)."""
+    toks = F.col("__toks")
+    n_starts = F.size(toks) - F.lit(1)
+    starts = F.when(
+        n_starts >= 1, F.sequence(F.lit(1), n_starts)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        df.select(*keep, tokens_col(F.col(text_col)).alias("__toks"))
+        .select(
+            *keep,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1r"),
+                        F.element_at(toks, i + 1).alias("w2r"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(*keep, F.col("__p.w1r"), F.col("__p.w2r"))
+    )
+    v1 = vocab.select(
+        F.col("token").alias("w1r"), F.lit(True).alias("__in1")
+    )
+    v2 = vocab.select(
+        F.col("token").alias("w2r"), F.lit(True).alias("__in2")
+    )
+    unk = F.lit(LM_UNK)
+    return (
+        pairs.join(F.broadcast(v1), "w1r", "left")
+        .join(F.broadcast(v2), "w2r", "left")
+        .select(
+            *keep,
+            F.when(F.col("__in1"), F.col("w1r")).otherwise(unk).alias("w1"),
+            F.when(F.col("__in2"), F.col("w2r")).otherwise(unk).alias("w2"),
+        )
+    )
+
+
+def lm_bigram_counts(
+    ref: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The trained model: (w1, w2, c12) counts over the reference's
+    UNK-mapped adjacent pairs. ctx(w1) is derived from this table
+    (Σ_x c12), so model and context are consistent by construction."""
+    return (
+        _mapped_pairs(ref, vocab, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+
+
+def lm_fluency(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    scale: int = LM_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency: (id_col, n_bigrams, fluency_u) where
+    fluency_u = floor(mean of q(w1, w2) over the doc's bigram
+    occurrences) — the quantized mean smoothed transition likelihood,
+    higher = more reference-like. Docs with < 2 tokens carry (0, 0)
+    and rank last, like DSIR's short-doc convention."""
+    ctx = bigrams.groupBy("w1").agg(F.sum("c12").alias("__c1"))
+    occ = _mapped_pairs(docs, vocab, [id_col], text_col)
+    den = F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(
+        int(vocab_size) + 1
+    ).cast("long")
+    q = idiv_big(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast(
+            "decimal(38,0)"
+        )
+        * F.lit(int(scale)).cast("decimal(38,0)"),
+        den,
+    )
+    sums = (
+        occ.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .select(id_col, q.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__q").cast("long").alias("__s"),
+        )
+    )
+    return docs.select(id_col).join(sums, id_col, "left").select(
+        id_col,
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.col("__n").isNotNull(), idiv_big(F.col("__s"), F.col("__n")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fluency_u"),
+    )
+
+
+def lm_fluency_from_ref(
+    docs: DataFrame,
+    ref: DataFrame,
+    vocab_size: int,
+    scale: int = LM_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Convenience composition: train on ``ref``, score ``docs``.
+
+    Both trained artifacts are MATERIALIZED once (localCheckpoint, the
+    t12/connected_components pattern): vocab feeds four joins and the
+    bigram table two — without the checkpoint each reuse would re-scan
+    the reference corpus (the unmaterialized plan ran the vocab
+    TakeOrderedAndProject 7×)."""
+    vocab = lm_vocab(ref, vocab_size, text_col).localCheckpoint(eager=True)
+    bigrams = lm_bigram_counts(ref, vocab, text_col).localCheckpoint(
+        eager=True
+    )
+    return lm_fluency(
+        docs, vocab, bigrams, vocab_size, scale, id_col, text_col
+    )

@@ -6775,6 +6775,105 @@ SQL_E14 = """
 #   g7, p14 (session 9 Simpson diversity, source vocab overlap);
 #   d14 (session 9 Levenshtein candidate refinement);
 #   z1 (session 9 Z-order clustering key).
+
+
+def q_lm1_bigram_fluency_documents(spark, sf_dir):
+    """CCNet LM-fluency scoring (operators/lm.py): train an exact
+    bigram LM (top-256 vocab, OOV -> unk, Laplace smoothing) on the
+    English slice, score EVERY document by its quantized mean smoothed
+    transition likelihood — the score e13's head/middle/tail buckets
+    presuppose. No ln anywhere (engine-divergent); all integer algebra
+    through DECIMAL(38,0)."""
+    from ..operators import lm
+
+    d = _t(spark, sf_dir, "documents")
+    return lm.lm_fluency_from_ref(
+        d, d.filter(F.col("lang") == "en"), vocab_size=256
+    )
+
+
+SQL_LM1 = """
+    WITH arr AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT t.tok AS token, COUNT(*) AS c
+        FROM arr, UNNEST(toks) AS t(tok)
+        WHERE lang = 'en'
+        GROUP BY t.tok)
+      QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 256),
+    pairs_ref AS (
+      SELECT
+        CASE WHEN toks[i] IN (SELECT token FROM vocab)
+             THEN toks[i] ELSE chr(1) END AS w1,
+        CASE WHEN toks[i+1] IN (SELECT token FROM vocab)
+             THEN toks[i+1] ELSE chr(1) END AS w2
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1
+      WHERE lang = 'en'),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs_ref GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    pairs_doc AS (
+      SELECT doc_id,
+        CASE WHEN toks[i] IN (SELECT token FROM vocab)
+             THEN toks[i] ELSE chr(1) END AS w1,
+        CASE WHEN toks[i+1] IN (SELECT token FROM vocab)
+             THEN toks[i+1] ELSE chr(1) END AS w2
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1),
+    scored AS (
+      SELECT doc_id,
+             (CAST(1000000 AS BIGINT) * (COALESCE(b.c12, 0) + 1))
+               // (COALESCE(c.c1, 0) + 257) AS q
+      FROM pairs_doc p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN ctx c ON c.w1 = p.w1),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) AS BIGINT) AS s
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.s // a.n_bigrams, 0) AS fluency_u
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def q_t14_source_diversity_documents(spark, sf_dir):
+    """Corpus diversity audit (operators/textstats.py::
+    source_ngram_diversity): per source, total vs distinct bigram
+    occurrences and the exact scaled distinct ratio — the
+    cross-document self-repetition metric (template-spam sources score
+    low even when every doc passes the per-doc g-filters)."""
+    return textstats.source_ngram_diversity(
+        _t(spark, sf_dir, "documents"), n=2
+    )
+
+
+SQL_T14 = """
+    WITH arr AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    occ AS (
+      SELECT source, toks[i] || ' ' || toks[i+1] AS ng
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+             CAST(COUNT(DISTINCT ng) AS BIGINT) AS distinct_ngrams
+      FROM occ GROUP BY source)
+    SELECT s.source,
+           COALESCE(a.total_ngrams, 0) AS total_ngrams,
+           COALESCE(a.distinct_ngrams, 0) AS distinct_ngrams,
+           COALESCE(a.distinct_ngrams * CAST(1000000 AS BIGINT)
+                      // a.total_ngrams, 0) AS distinct_ratio_u
+    FROM (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN agg a ON a.source = s.source
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -6963,6 +7062,11 @@ ENTRY_QUERIES = {
     "e14_overlap_fraction_documents": (q_e14_overlap_fraction_documents, SQL_E14),
     "g10_clf_threshold_sweep": (q_g10_clf_threshold_sweep, SQL_G10),
     "e15_unimax_sample_documents": (q_e15_unimax_sample_documents, SQL_E15),
+    "lm1_bigram_fluency_documents": (q_lm1_bigram_fluency_documents, SQL_LM1),
+    "t14_source_diversity_documents": (
+        q_t14_source_diversity_documents,
+        SQL_T14,
+    ),
 }
 
 # ---------------------------------------------------------------------------

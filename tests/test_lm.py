@@ -1,0 +1,176 @@
+"""Bigram-LM fluency (operators/lm.py): pure-Python replica parity,
+vocab determinism, OOV/short-doc conventions."""
+
+from collections import Counter
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import lm
+
+M = lm.LM_SCALE
+
+
+def _py_fluency(ref_texts, doc_texts, vocab_size, scale=M):
+    """Reference implementation, straight from the module contract."""
+    ref_tok = [t.split() for t in ref_texts]
+    counts = Counter(w for toks in ref_tok for w in toks)
+    vocab = set(
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+
+    def m(w):
+        return w if w in vocab else lm.LM_UNK
+
+    big = Counter()
+    for toks in ref_tok:
+        for a, b in zip(toks, toks[1:]):
+            big[(m(a), m(b))] += 1
+    ctx = Counter()
+    for (a, _), c in big.items():
+        ctx[a] += c
+    out = []
+    for i, t in enumerate(doc_texts):
+        toks = t.split()
+        pairs = [(m(a), m(b)) for a, b in zip(toks, toks[1:])]
+        if not pairs:
+            out.append((i, 0, 0))
+            continue
+        qs = [
+            scale * (big[p] + 1) // (ctx[p[0]] + vocab_size + 1)
+            for p in pairs
+        ]
+        out.append((i, len(pairs), sum(qs) // len(qs)))
+    return out
+
+
+REF = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "the cat ate the fish",
+]
+DOCS = [
+    "the cat sat on the mat",  # in-model: highest fluency
+    "the dog ate the fish",  # plausible recombination
+    "zzz qqq www",  # all-OOV
+    "single",  # < 2 tokens -> (0, 0)
+    "",  # empty -> (0, 0)
+]
+
+
+def test_lm_fluency_matches_python_replica(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], ["doc_id", "text"]
+    )
+    for v in (2, 5, 50):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["fluency_u"])
+            for r in lm.lm_fluency_from_ref(docs, ref, vocab_size=v).collect()
+        }
+        want = {i: (n, f) for i, n, f in _py_fluency(REF, DOCS, v)}
+        assert got == want, f"vocab_size={v}"
+
+
+def test_lm_fluency_orders_docs_sensibly(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["fluency_u"]
+        for r in lm.lm_fluency_from_ref(docs, ref, vocab_size=50).collect()
+    }
+    # exact training sentence > recombination > all-OOV > short
+    assert got[0] > got[1] > got[2] > got[3] == got[4] == 0
+
+
+def test_lm_vocab_tie_break_is_total(spark):
+    # every token appears once -> top-2 is the lexicographically first 2
+    ref = spark.createDataFrame([(0, "b d a c")], ["doc_id", "text"])
+    toks = sorted(r["token"] for r in lm.lm_vocab(ref, 2).collect())
+    assert toks == ["a", "b"]
+    with pytest.raises(ValueError):
+        lm.lm_vocab(ref, 0)
+
+
+def test_lm_smoothed_probs_sum_to_one_over_model(spark):
+    """For any context w1 in the model, sum over the V+1 mapped vocab of
+    (c12+1)/(ctx+V+1) = (ctx + V + 1 - missing_smoothing...) — verify the
+    exact invariant: sum of (c12(w1,x)+1 for x in mapped vocab) equals
+    ctx(w1) + V + 1, so the smoothed distribution normalizes."""
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    v = 4
+    vocab = lm.lm_vocab(ref, v)
+    big = lm.lm_bigram_counts(ref, vocab)
+    rows = big.collect()
+    mapped_vocab = set(r["token"] for r in vocab.collect()) | {lm.LM_UNK}
+    assert len(mapped_vocab) == v + 1
+    ctx = Counter()
+    pair = {}
+    for r in rows:
+        ctx[r["w1"]] += r["c12"]
+        pair[(r["w1"], r["w2"])] = r["c12"]
+    for w1 in ctx:
+        total = sum(pair.get((w1, x), 0) + 1 for x in mapped_vocab)
+        assert total == ctx[w1] + v + 1
+
+
+# --------------------------------------------------------------------------
+# source n-gram diversity (operators/textstats.py::source_ngram_diversity)
+# --------------------------------------------------------------------------
+
+
+def test_source_ngram_diversity_exact_counts(spark):
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    rows = [
+        # src a: "x y x y" + "x y" -> bigrams: (x y),(y x),(x y) + (x y)
+        #   total 4, distinct 2
+        (0, "a", "x y x y"),
+        (1, "a", "x y"),
+        # src b: all-distinct bigrams -> ratio 1e6
+        (2, "b", "p q r"),
+        # src c: only short docs -> (0, 0, 0)
+        (3, "c", "solo"),
+        (4, "c", ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["source"]: (
+            r["total_ngrams"], r["distinct_ngrams"], r["distinct_ratio_u"]
+        )
+        for r in textstats.source_ngram_diversity(df, n=2).collect()
+    }
+    assert got == {
+        "a": (4, 2, 500_000),
+        "b": (2, 2, 1_000_000),
+        "c": (0, 0, 0),
+    }
+
+
+def test_ngram_occurrence_col_multiplicity_vs_shingle_set(spark):
+    import pyspark.sql.functions as F
+
+    from realtime_data_quality_monitor_spark.operators import dedup, textstats
+
+    df = spark.createDataFrame([(0, "x y x y x")], ["doc_id", "text"])
+    staged = df.select(
+        textstats.tokens_col(F.col("text")).alias("__toks")
+    )
+    [r] = staged.select(
+        textstats.ngram_occurrence_col(F.col("__toks"), 2).alias("occ"),
+        dedup.shingles_from_tokens(F.col("__toks"), 2).alias("sh"),
+    ).collect()
+    assert r["occ"] == ["x y", "y x", "x y", "y x"]  # with multiplicity
+    assert sorted(r["sh"]) == ["x y", "y x"]  # distinct set
+    with pytest.raises(ValueError):
+        textstats.ngram_occurrence_col(F.col("__toks"), 0)
