@@ -109,3 +109,125 @@ def tfidf_topk(
     return topk.select(
         "doc_id", "score_q", F.row_number().over(w).alias("rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_scale: int = IDF_SCALE,
+    k1_num: int = 12,
+    k1_den: int = 10,
+    b_num: int = 3,
+    b_den: int = 4,
+) -> DataFrame:
+    """Top-k documents by quantized BM25 (Robertson-Sparck Jones) —
+    tf-idf with term-frequency SATURATION (k1) and document-LENGTH
+    normalization (b), the ranking function production retrieval
+    actually uses. Defaults k1 = 12/10, b = 3/4 (the textbook 1.2 /
+    0.75) kept as RATIONALS so the whole score stays exact integer
+    algebra.
+
+    Exactness contract: with idf_q the same quantized linear idf as
+    :func:`tfidf_topk` and T = total corpus tokens, N = corpus docs,
+    dl = doc token length, the per-(term, doc) contribution
+
+      idf_q * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * N / T))
+
+    is multiplied through by k1_den * b_den * T into one exact floored
+    division:
+
+      num = idf_q * tf * (k1_num + k1_den) * b_den * T
+      den = k1_den*b_den*T*tf + k1_num*(b_den-b_num)*T
+            + k1_num*b_num*dl*N
+
+    both routed through DECIMAL(38,0) (``idiv_big``; the oracle uses
+    HUGEINT). Exact while num < 10^38 — comfortable at N ≤ 1e10 docs,
+    dl ≤ 1e6 tokens, idf_scale 1e6 (num ≲ 1e37); the score is
+    per-term-floored then summed, identically on both engines.
+
+    Scale shape is :func:`tfidf_topk`'s: the isin filter sits on the
+    exploded token before any exchange; postings are localCheckpoint-ed
+    once (query-term hits only); df and the 1-row (N, T) totals come
+    back as broadcasts; one doc-keyed partial-aggregated shuffle; top-k
+    is TakeOrderedAndProject. The only addition over tf-idf is dl
+    carried through the postings aggregate (min over a per-doc
+    constant) and the corpus-totals row — no new corpus scan: totals
+    aggregate the same staged token-array projection.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    if min(k1_num, k1_den, b_num, b_den) < 0 or b_num > b_den:
+        raise ValueError("bm25_topk: need k1 >= 0 and 0 <= b <= 1")
+    from ..functions.exact import idiv_big as _idiv_big
+
+    terms = sorted(set(query_terms))
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    totals = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0))
+        .cast("long")
+        .alias("__total_len"),
+        # 1-row frame consumed by BOTH the idf and the scorer:
+        # materialize once or the corpus-totals scan runs twice
+    ).localCheckpoint(eager=True)
+    postings = (
+        staged.select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.min("dl").alias("dl"),  # per-doc constant
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(totals.select("__n_docs")))
+        .withColumn(
+            "idf_q",
+            _idiv(F.col("__n_docs") * F.lit(int(idf_scale)), F.col("df")),
+        )
+        .select("term", "idf_q")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t38 = d38(F.col("__total_len"))
+    n38 = d38(F.col("__n_docs"))
+    num = (
+        d38(F.col("idf_q"))
+        * d38(F.col("tf"))
+        * F.lit(int((k1_num + k1_den) * b_den)).cast("decimal(38,0)")
+        * t38
+    )
+    den = (
+        F.lit(int(k1_den * b_den)).cast("decimal(38,0)") * t38 * d38(F.col("tf"))
+        + F.lit(int(k1_num * (b_den - b_num))).cast("decimal(38,0)") * t38
+        + F.lit(int(k1_num * b_num)).cast("decimal(38,0)")
+        * d38(F.col("dl"))
+        * n38
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", _idiv_big(num, den).alias("__contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("__contrib").cast("long").alias("score_q"))
+    )
+    topk = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score_q", F.row_number().over(w).alias("rank")
+    )

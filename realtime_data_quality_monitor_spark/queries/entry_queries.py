@@ -6874,6 +6874,58 @@ SQL_T14 = """
 """
 
 
+def q_t15_bm25_topk_documents(spark, sf_dir):
+    """Quantized BM25 retrieval (retrieval.bm25_topk): t12's inverted
+    postings + linear idf, with tf SATURATION (k1 = 12/10) and
+    doc-length normalization (b = 3/4) kept rational so the whole score
+    is one exact floored division per (term, doc) — DECIMAL(38,0) on
+    Spark, HUGEINT in the oracle. Same pre-shuffle isin filter,
+    broadcast df + 1-row totals, TakeOrderedAndProject top-15."""
+    return retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"), TFIDF_QUERY_TERMS, k=15
+    )
+
+
+# constants below are the defaults multiplied through:
+# (k1n+k1d)*bd = 22*4 = 88, k1d*bd = 40, k1n*(bd-bn) = 12, k1n*bn = 36
+SQL_T15 = """
+    WITH arr AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+               AS toks
+      FROM documents),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS t_total
+      FROM arr),
+    posting AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MIN(dlen) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS tok
+            FROM arr)
+      WHERE tok IN ('hash', 'join', 'stream', 'vector')
+      GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term,
+             CAST((n_docs * 1000000) // CAST(COUNT(*) AS BIGINT)
+                  AS BIGINT) AS idf_q
+      FROM posting, tot GROUP BY term, n_docs),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(
+               (d.idf_q::HUGEINT * p.tf * 88 * t.t_total)
+               // (40::HUGEINT * t.t_total * p.tf
+                   + 12::HUGEINT * t.t_total
+                   + 36::HUGEINT * p.dl * t.n_docs)
+             ) AS BIGINT) AS score_q
+      FROM posting p JOIN dfreq d USING (term), tot t
+      GROUP BY 1)
+    SELECT doc_id, score_q,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT 15
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7067,6 +7119,7 @@ ENTRY_QUERIES = {
         q_t14_source_diversity_documents,
         SQL_T14,
     ),
+    "t15_bm25_topk_documents": (q_t15_bm25_topk_documents, SQL_T15),
 }
 
 # ---------------------------------------------------------------------------

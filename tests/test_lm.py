@@ -174,3 +174,83 @@ def test_ngram_occurrence_col_multiplicity_vs_shingle_set(spark):
     assert sorted(r["sh"]) == ["x y", "y x"]  # distinct set
     with pytest.raises(ValueError):
         textstats.ngram_occurrence_col(F.col("__toks"), 0)
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k (operators/retrieval.py::bm25_topk)
+# --------------------------------------------------------------------------
+
+
+def _py_bm25(texts, terms, k, scale=1_000_000, k1=(12, 10), b=(3, 4)):
+    toks = [t.split() for t in texts]
+    n, t_total = len(toks), sum(len(x) for x in toks)
+    df = Counter()
+    tf = {}
+    for i, ts in enumerate(toks):
+        c = Counter(w for w in ts if w in terms)
+        for w, v in c.items():
+            df[w] += 1
+            tf[(i, w)] = v
+    idf = {w: n * scale // d for w, d in df.items()}
+    k1n, k1d = k1
+    bn, bd = b
+    scores = Counter()
+    for (i, w), v in tf.items():
+        dl = len(toks[i])
+        num = idf[w] * v * (k1n + k1d) * bd * t_total
+        den = k1d * bd * t_total * v + k1n * (bd - bn) * t_total + k1n * bn * dl * n
+        scores[i] += num // den
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+
+
+def test_bm25_matches_python_replica(spark):
+    from realtime_data_quality_monitor_spark.operators import retrieval
+
+    texts = [
+        "hash join hash join hash",          # high tf, short
+        "hash " + "filler " * 60,            # tf 1, long doc (penalized)
+        "join vector",                       # two rare-ish terms, short
+        "stream stream",                     # mid
+        "nothing relevant here",             # unmatched
+        "hash",                              # tf 1, shortest (boosted)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    terms = ["hash", "join", "stream", "vector"]
+    got = [
+        (r["doc_id"], r["score_q"], r["rank"])
+        for r in retrieval.bm25_topk(df, terms, k=4).collect()
+    ]
+    assert got == _py_bm25(texts, set(terms), 4)
+    # length normalization: the short tf-1 doc outscores the long tf-1 doc
+    s = {i: sc for i, sc, _ in _py_bm25(texts, set(terms), 10)}
+    assert s[5] > s[1]
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, terms, k=0)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, terms, b_num=5, b_den=4)
+
+
+def test_bm25_saturation_vs_tfidf(spark):
+    """tf saturation: under tf-idf doubling tf doubles the score; under
+    BM25 the marginal gain shrinks (score grows sublinearly in tf)."""
+    from realtime_data_quality_monitor_spark.operators import retrieval
+
+    texts = ["hash", "hash hash", "hash hash hash hash"]
+    pad = ["x y z"] * 3  # keep dl variation out of the comparison? no:
+    # equal-length docs: pad each to 4 tokens
+    texts = ["hash a b c", "hash hash a b", "hash hash hash hash"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts + pad)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["score_q"]
+        for r in retrieval.bm25_topk(df, ["hash"], k=6).collect()
+    }
+    s1, s2, s4 = got[0], got[1], got[2]
+    assert s1 < s2 < s4
+    assert (s2 - s1) > (s4 - s2) / 2  # concave-ish growth in tf
