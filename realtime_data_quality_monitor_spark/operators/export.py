@@ -778,3 +778,101 @@ def unimax_sample(
     return out.withColumn(
         "grp_rank", F.row_number().over(w).cast("long")
     ).filter(F.col("grp_rank") <= F.col("quota"))
+
+
+def render_chat(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    mask_role: str = "assistant",
+    end_token: str = "<|end|>",
+) -> DataFrame:
+    """SFT training-data rendering: assemble each conversation's turns
+    (ordered by ``order_cols``, ties resolved by the full key — make it
+    total) into ONE chat-template string ``<|role|>text<|end|>...`` and
+    compute the exact character spans of the ``mask_role`` turns' TEXT
+    segments — the loss mask an instruction-tuning pipeline needs so
+    the model trains only on assistant tokens (headers and user turns
+    masked out). Returns (conv_col, n_turns, rendered, rendered_len,
+    mask_spans array<struct<s, e>>, mask_chars); spans are [s, e) char
+    offsets into ``rendered``.
+
+    Exactness: offsets are cumulative BIGINT sums of per-segment
+    lengths — ``length()`` counts Unicode code points on both engines,
+    so spans are engine-exact (ASCII/BMP contract; the entry fixture is
+    ASCII). NULL text renders as ''.
+
+    Scale shape: ONE hash exchange keyed by the conversation (the w2
+    reassembly shape): collect_list(struct) + array_sort, then the
+    render AND the span scan are row-local array algebra
+    (``F.aggregate`` with a (pos, spans) struct accumulator — a single
+    pass, no per-turn window, no second shuffle). A conversation must
+    fit one row (the same bound every turns->document exporter has)."""
+    order_struct = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    arr = F.array_sort(F.collect_list(order_struct))
+
+    def prefix_len(x):
+        # "<|" + role + "|>"
+        return F.length(x["role"]) + F.lit(4).cast("long")
+
+    def seg(x):
+        return F.concat(
+            F.lit("<|"), x["role"], F.lit("|>"), x["text"], F.lit(end_token)
+        )
+
+    def seg_len(x):
+        return (
+            prefix_len(x)
+            + F.length(x["text"]).cast("long")
+            + F.lit(len(end_token)).cast("long")
+        )
+
+    span_t = "array<struct<s:bigint,e:bigint>>"
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast(span_t).alias("spans"),
+    )
+
+    def step(acc, x):
+        s = acc["pos"] + prefix_len(x)
+        e = s + F.length(x["text"]).cast("long")
+        return F.struct(
+            (acc["pos"] + seg_len(x)).alias("pos"),
+            F.when(
+                x["role"] == F.lit(mask_role),
+                F.concat(
+                    acc["spans"],
+                    F.array(F.struct(s.alias("s"), e.alias("e"))),
+                ),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    agg = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.array_join(F.transform(arr, seg), "").alias("rendered"),
+        F.aggregate(arr, init, step).alias("__acc"),
+    )
+    spans = F.col("__acc.spans")
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "rendered",
+        F.length("rendered").cast("long").alias("rendered_len"),
+        spans.alias("mask_spans"),
+        F.coalesce(
+            F.aggregate(
+                spans,
+                F.lit(0).cast("long"),
+                lambda a, sp: a + sp["e"] - sp["s"],
+            ),
+            F.lit(0).cast("long"),
+        ).alias("mask_chars"),
+    )

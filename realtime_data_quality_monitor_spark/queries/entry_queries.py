@@ -6926,6 +6926,95 @@ SQL_T15 = """
 """
 
 
+def q_w4_chat_render_events(spark, sf_dir):
+    """SFT chat-template rendering + loss-mask spans (export.
+    render_chat): events become a turns-shape (conv = user, role from
+    event_type, deterministic (ts, event_id) order), each conversation
+    renders to ONE '<|role|>text<|end|>' string, and the assistant
+    turns' exact [s, e) char offsets come out as the loss mask. One
+    conversation-keyed exchange, span scan row-local (struct-accumulator
+    F.aggregate). Spans serialize to 's:e,...' so the value hash is
+    engine-portable; the oracle replays offsets with a cumulative
+    window."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        _us("ts").alias("t"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), "user"
+        )
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("text"),
+    )
+    out = export.render_chat(
+        turns, conv_col="conv_id", order_cols=("t", "event_id")
+    )
+    spans_str = F.coalesce(
+        F.array_join(
+            F.transform(
+                F.col("mask_spans"),
+                lambda sp: F.concat(
+                    sp["s"].cast("string"), F.lit(":"), sp["e"].cast("string")
+                ),
+            ),
+            ",",
+        ),
+        F.lit(""),
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "rendered_len",
+        F.md5("rendered").alias("rendered_md5"),
+        spans_str.alias("spans_str"),
+        "mask_chars",
+    )
+
+
+SQL_W4 = """
+    WITH t AS (
+      SELECT user_id AS conv_id, epoch_us(ts) AS tu, event_id,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS text
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    seg AS (
+      SELECT conv_id, tu, event_id, role, text,
+             '<|' || role || '|>' || text || '<|end|>' AS seg,
+             CAST(length(role) + 4 AS BIGINT) AS plen,
+             CAST(length(text) AS BIGINT) AS tlen,
+             CAST(length(role) + 4 + length(text) + 7 AS BIGINT) AS slen
+      FROM t),
+    off AS (
+      SELECT *,
+             SUM(slen) OVER (PARTITION BY conv_id ORDER BY tu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - slen
+               AS pos
+      FROM seg)
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(slen) AS BIGINT) AS rendered_len,
+           md5(string_agg(seg, '' ORDER BY tu, event_id)) AS rendered_md5,
+           COALESCE(string_agg(
+             CASE WHEN role = 'assistant'
+                  THEN (pos + plen) || ':' || (pos + plen + tlen) END,
+             ',' ORDER BY tu, event_id), '') AS spans_str,
+           CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN tlen END),
+                         0) AS BIGINT) AS mask_chars
+    FROM off GROUP BY conv_id
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7120,6 +7209,7 @@ ENTRY_QUERIES = {
         SQL_T14,
     ),
     "t15_bm25_topk_documents": (q_t15_bm25_topk_documents, SQL_T15),
+    "w4_chat_render_events": (q_w4_chat_render_events, SQL_W4),
 }
 
 # ---------------------------------------------------------------------------

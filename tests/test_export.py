@@ -562,3 +562,67 @@ def test_unimax_sample_counts_determinism_and_salted_parity(
         ).collect()
     }
     assert salted == {(r["lang"], r["doc_id"], r["grp_rank"]) for r in out}
+
+
+# --------------------------------------------------------------------------
+# chat-template rendering + loss-mask spans
+# --------------------------------------------------------------------------
+
+
+def test_render_chat_exact_spans(spark):
+    rows = [
+        # conv 1: user / assistant / user / assistant, shuffled input order
+        (1, 2, "user", "again?"),
+        (1, 0, "user", "hi"),
+        (1, 3, "assistant", "yes."),
+        (1, 1, "assistant", "hello world"),
+        # conv 2: assistant-only, with a NULL text
+        (2, 0, "assistant", None),
+        # conv 3: user-only -> no mask spans
+        (3, 0, "user", "just me"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {
+        r["conv_id"]: r
+        for r in export.render_chat(df, order_cols=("turn_idx",)).collect()
+    }
+
+    r1 = got[1]
+    expect = (
+        "<|user|>hi<|end|>"
+        "<|assistant|>hello world<|end|>"
+        "<|user|>again?<|end|>"
+        "<|assistant|>yes.<|end|>"
+    )
+    assert r1["rendered"] == expect
+    assert r1["rendered_len"] == len(expect)
+    spans = [(s["s"], s["e"]) for s in r1["mask_spans"]]
+    # verify against the string itself: each span slices exactly the text
+    assert [expect[s:e] for s, e in spans] == ["hello world", "yes."]
+    assert r1["mask_chars"] == len("hello world") + len("yes.")
+    assert r1["n_turns"] == 4
+
+    r2 = got[2]
+    assert r2["rendered"] == "<|assistant|><|end|>"
+    assert [(s["s"], s["e"]) for s in r2["mask_spans"]] == [(13, 13)]
+    assert r2["mask_chars"] == 0
+
+    r3 = got[3]
+    assert r3["mask_spans"] == [] and r3["mask_chars"] == 0
+
+
+def test_render_chat_one_exchange_plan(spark):
+    rows = [(i % 7, i, "user" if i % 2 else "assistant", f"t{i}")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = export.render_chat(df)
+    out.collect()
+    # AQE's toString prints final + initial plan; count on the final only
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
