@@ -1,0 +1,146 @@
+"""URL-based document filtering — the RefinedWeb/C4 curation stage
+that runs BEFORE any text is read: parse each document's source URL,
+drop blocklisted registered domains (the UT1-blacklist practice),
+score "soft" spam keywords in the URL itself, and cap path depth
+(deep auto-generated archives). Penedo et al. 2023 (RefinedWeb) §3.1
+run exactly this trio; this module is its engine-exact analog.
+
+Everything is pure Column string algebra (split/element_at/contains —
+whole-stage codegen, no UDFs, no shuffle besides the optional
+broadcast blocklist join), and every rule is mirrored 1:1 in ANSI SQL
+for the DuckDB oracle (list indexing instead of substring_index, which
+DuckDB lacks; Spark's split takes a REGEX, so '.'/'?' are escaped).
+
+The test tables carry no URL column, so ``synth_urls`` derives one
+closed-form from doc_id (the multimodal_synth pattern: the oracle
+recomputes the same URLs, making the whole parse+filter chain
+cell-exactly verifiable):
+
+  url = 'https://' + ('www.' if doc_id%3==0 else '')
+        + 'site{doc_id%97}' + '.' + tld[doc_id%5]
+        + up to 3 path segments '/p{(doc_id*7+j)%50}' (depth = doc_id%4)
+        + ('/casino' if doc_id%13==0 else '')
+        + ('?q=casino-win' if doc_id%17==0 else '')
+  tlds = com org net info biz
+
+Scale shape: parsing and soft scoring are row-local; the blocklist
+(curated, ~1e6 domains at most) joins as a BROADCAST left join on the
+registered domain — never a corpus-keyed exchange. At 100 TB this
+stage is a single scan that prunes before any heavier operator runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SYNTH_TLDS = ["com", "org", "net", "info", "biz"]
+
+
+def synth_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic URL column from doc_id (formulas in the module
+    docstring — pinned contract, mirrored by the oracle SQL)."""
+    d = F.col(id_col)
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in SYNTH_TLDS]), (d % 5 + 1).cast("int")
+    )
+    depth = d % 4
+    segs = [
+        F.when(
+            depth >= j, F.concat(F.lit("/p"), ((d * 7 + j) % 50).cast("string"))
+        ).otherwise(F.lit(""))
+        for j in (1, 2, 3)
+    ]
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 97).cast("string"),
+        F.lit("."),
+        tld,
+        *segs,
+        F.when(d % 13 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("?q=casino-win")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+def parse_url_parts(url: Column) -> dict[str, Column]:
+    """Engine-portable URL decomposition: scheme, host, registered
+    domain (last two host labels), tld, path depth (query stripped).
+    Split-and-index algebra only — identical semantics in DuckDB list
+    indexing. Assumes well-formed 'scheme://host/...' input (the
+    curation contract; a malformed-URL quarantine would sit upstream).
+    """
+    rest = F.element_at(F.split(url, "://", 2), 2)
+    rest_noq = F.element_at(F.split(rest, r"\?", 2), 1)
+    hostpath = F.split(rest_noq, "/")
+    host = F.lower(F.element_at(hostpath, 1))
+    labels = F.split(host, r"\.")
+    tld = F.element_at(labels, -1)
+    reg_domain = F.when(
+        F.size(labels) >= 2,
+        F.concat(F.element_at(labels, -2), F.lit("."), tld),
+    ).otherwise(host)
+    path_depth = F.size(
+        F.filter(F.slice(hostpath, 2, 1000), lambda x: x != "")
+    ).cast("long")
+    return {
+        "scheme": F.element_at(F.split(url, "://", 2), 1),
+        "host": host,
+        "reg_domain": reg_domain,
+        "tld": tld,
+        "path_depth": path_depth,
+    }
+
+
+def url_quality(
+    df: DataFrame,
+    blocklist: DataFrame | None = None,
+    soft_words: list[str] = ("casino", "porn", "xxx", "win"),
+    soft_cap: int = 2,
+    depth_cap: int = 8,
+    url_col: str = "url",
+) -> DataFrame:
+    """The RefinedWeb URL rules: adds host/reg_domain/tld/path_depth,
+    ``soft_hits`` (count of soft keywords appearing in the lowercased
+    URL — each word counts once, the UT1 'soft' scoring), ``blocked``
+    (1 iff reg_domain is in the blocklist), and
+    ``keep = NOT blocked AND soft_hits < soft_cap AND
+    path_depth <= depth_cap`` (INTs, engine-exact).
+
+    ``blocklist`` is a 1-column (reg_domain) frame — broadcast left
+    join; pass None for keyword/depth rules only."""
+    parts = parse_url_parts(F.lower(F.col(url_col)))
+    out = df.withColumns(
+        {
+            "host": parts["host"],
+            "reg_domain": parts["reg_domain"],
+            "tld": parts["tld"],
+            "path_depth": parts["path_depth"],
+        }
+    )
+    low = F.lower(F.col(url_col))
+    soft = None
+    for w in soft_words:
+        hit = F.contains(low, F.lit(w)).cast("long")
+        soft = hit if soft is None else soft + hit
+    out = out.withColumn("soft_hits", soft if soft is not None else F.lit(0))
+    if blocklist is not None:
+        bl = blocklist.select(
+            F.col(blocklist.columns[0]).alias("reg_domain"),
+            F.lit(1).alias("__bl"),
+        )
+        out = out.join(F.broadcast(bl), "reg_domain", "left").withColumn(
+            "blocked", F.coalesce(F.col("__bl"), F.lit(0)).cast("int")
+        ).drop("__bl")
+    else:
+        out = out.withColumn("blocked", F.lit(0))
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("blocked") == 0)
+            & (F.col("soft_hits") < F.lit(int(soft_cap)))
+            & (F.col("path_depth") <= F.lit(int(depth_cap)))
+        ).cast("int"),
+    )

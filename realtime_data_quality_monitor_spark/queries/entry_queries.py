@@ -7015,6 +7015,83 @@ SQL_W4 = """
 """
 
 
+def q_u1_url_filter_documents(spark, sf_dir):
+    """RefinedWeb URL-rule stage (operators/urlfilter.py): closed-form
+    synthetic URLs from doc_id (multimodal_synth pattern), split-algebra
+    parse (host / registered domain / tld / path depth), UT1-style soft
+    keyword hits, broadcast blocklist join on the registered domain,
+    keep = NOT blocked AND soft_hits < 2 AND depth <= 8. All row-local
+    codegen except the one broadcast join; the oracle recomputes the
+    URLs and replays the parse with DuckDB list indexing."""
+    from ..operators import urlfilter
+
+    d = urlfilter.synth_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    bl = spark.createDataFrame(
+        [("site13.com",), ("site13.info",), ("site42.org",)],
+        ["reg_domain"],
+    )
+    out = urlfilter.url_quality(d, blocklist=bl)
+    return out.select(
+        "doc_id", "url", "reg_domain", "tld", "path_depth",
+        "soft_hits", "blocked", "keep",
+    )
+
+
+SQL_U1 = """
+    WITH u AS (
+      SELECT doc_id,
+        'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+          || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+          || ['com','org','net','info','biz'][CAST(doc_id % 5 AS INT) + 1]
+          || CASE WHEN doc_id % 4 >= 1
+                  THEN '/p' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 4 >= 2
+                  THEN '/p' || CAST((doc_id * 7 + 2) % 50 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 4 >= 3
+                  THEN '/p' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN '/casino' ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN '?q=casino-win' ELSE '' END
+          AS url
+      FROM documents),
+    hp AS (
+      SELECT doc_id, url,
+             string_split(
+               string_split(string_split(lower(url), '://')[2], '?')[1],
+               '/') AS hostpath
+      FROM u),
+    parts AS (
+      SELECT doc_id, url,
+             string_split(hostpath[1], '.') AS labels,
+             CAST(len(list_filter(hostpath[2:], x -> x <> '')) AS BIGINT)
+               AS path_depth
+      FROM hp),
+    parsed AS (
+      SELECT doc_id, url,
+             CASE WHEN len(labels) >= 2
+                  THEN labels[-2] || '.' || labels[-1]
+                  ELSE labels[1] END AS reg_domain,
+             labels[-1] AS tld, path_depth,
+             CAST(contains(lower(url), 'casino') AS BIGINT)
+               + CAST(contains(lower(url), 'porn') AS BIGINT)
+               + CAST(contains(lower(url), 'xxx') AS BIGINT)
+               + CAST(contains(lower(url), 'win') AS BIGINT) AS soft_hits
+      FROM parts),
+    flagged AS (
+      SELECT *,
+             CASE WHEN reg_domain IN
+                    ('site13.com', 'site13.info', 'site42.org')
+                  THEN 1 ELSE 0 END AS blocked
+      FROM parsed)
+    SELECT doc_id, url, reg_domain, tld, path_depth, soft_hits, blocked,
+           CASE WHEN blocked = 0 AND soft_hits < 2 AND path_depth <= 8
+                THEN 1 ELSE 0 END AS keep
+    FROM flagged
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7210,6 +7287,7 @@ ENTRY_QUERIES = {
     ),
     "t15_bm25_topk_documents": (q_t15_bm25_topk_documents, SQL_T15),
     "w4_chat_render_events": (q_w4_chat_render_events, SQL_W4),
+    "u1_url_filter_documents": (q_u1_url_filter_documents, SQL_U1),
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""URL-based filtering (operators/urlfilter.py): parse decomposition,
+rule semantics, synth determinism vs a pure-Python replica."""
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import urlfilter
+
+import pyspark.sql.functions as F
+
+
+def _py_synth(doc_id):
+    tld = ["com", "org", "net", "info", "biz"][doc_id % 5]
+    depth = doc_id % 4
+    segs = "".join(f"/p{(doc_id * 7 + j) % 50}" for j in range(1, depth + 1))
+    return (
+        "https://"
+        + ("www." if doc_id % 3 == 0 else "")
+        + f"site{doc_id % 97}.{tld}"
+        + segs
+        + ("/casino" if doc_id % 13 == 0 else "")
+        + ("?q=casino-win" if doc_id % 17 == 0 else "")
+    )
+
+
+def test_synth_urls_match_python(spark):
+    ids = [0, 1, 13, 17, 39, 97, 394, 395, 221]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r["doc_id"]: r["url"] for r in urlfilter.synth_urls(df).collect()}
+    assert got == {i: _py_synth(i) for i in ids}
+
+
+def test_parse_url_parts(spark):
+    cases = [
+        ("https://www.example.co/a/b/c?x=1", "www.example.co", "example.co",
+         "co", 3),
+        ("http://single/a", "single", "single", "single", 1),
+        ("https://deep.sub.site.org", "deep.sub.site.org", "site.org",
+         "org", 0),
+        ("https://host.net/?q=1", "host.net", "host.net", "net", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_) in enumerate(cases)], ["i", "url"]
+    )
+    parts = urlfilter.parse_url_parts(F.col("url"))
+    got = df.select(
+        "i", parts["host"].alias("h"), parts["reg_domain"].alias("rd"),
+        parts["tld"].alias("t"), parts["path_depth"].alias("d"),
+    ).collect()
+    for r in got:
+        u, h, rd, t, d = cases[r["i"]]
+        assert (r["h"], r["rd"], r["t"], r["d"]) == (h, rd, t, d), u
+
+
+def test_url_quality_rules(spark):
+    rows = [
+        (0, "https://ok.com/a"),                       # clean
+        (1, "https://spam.biz/casino/win"),            # 2 soft hits
+        (2, "https://blocked.net/fine"),               # blocklisted
+        (3, "https://ok.com/" + "/".join("p" * 9)),    # depth 9 > cap 8
+        (4, "https://ok.com/one-win"),                 # 1 soft hit < cap
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    bl = spark.createDataFrame([("blocked.net",)], ["reg_domain"])
+    got = {
+        r["doc_id"]: (r["soft_hits"], r["blocked"], r["keep"])
+        for r in urlfilter.url_quality(df, blocklist=bl).collect()
+    }
+    assert got == {
+        0: (0, 0, 1),
+        1: (2, 0, 0),
+        2: (0, 1, 0),
+        3: (0, 0, 0),
+        4: (1, 0, 1),
+    }
+    # no blocklist: rule degrades to keywords + depth only
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in urlfilter.url_quality(df, blocklist=None).collect()
+    }
+    assert got2 == {0: 1, 1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_url_quality_broadcast_plan(spark):
+    df = urlfilter.synth_urls(
+        spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    )
+    bl = spark.createDataFrame([("site13.com",)], ["reg_domain"])
+    out = urlfilter.url_quality(df, blocklist=bl)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
