@@ -876,3 +876,74 @@ def render_chat(
             F.lit(0).cast("long"),
         ).alias("mask_chars"),
     )
+
+
+def validate_chat(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    allowed_roles: tuple[str, ...] = ("user", "assistant", "system"),
+    opener: str = "user",
+    closer: str = "assistant",
+) -> DataFrame:
+    """Instruction-data QC — the structural checks an SFT pipeline runs
+    before :func:`render_chat`: per conversation, flag unknown roles,
+    broken user/assistant alternation (two consecutive turns with the
+    same role), wrong opener/closer, and empty turns; ``valid = all
+    checks pass`` (INT 0/1 flags, engine-exact). The OpenAssistant/
+    LMSYS-style cleaning step: broken conversations leak format errors
+    into training if rendered anyway.
+
+    Returns (conv_col, n_turns, bad_role, consecutive_same, starts_ok,
+    ends_ok, empty_turns, valid).
+
+    Scale shape: the render_chat/w2 reassembly shape — ONE hash
+    exchange keyed by the conversation; every check is row-local array
+    algebra over the sorted turn array (exists / element_at lambdas in
+    codegen), no joins, no second shuffle."""
+    order_struct = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    agg = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.array_sort(F.collect_list(order_struct)).alias("__arr"),
+    )
+    roles = F.transform(F.col("__arr"), lambda x: x["role"])
+    bad_role = F.exists(
+        roles, lambda r: ~r.isin(*allowed_roles)
+    ).cast("int")
+    consecutive = F.when(
+        F.size(roles) >= 2,
+        F.exists(
+            F.sequence(F.lit(1), F.size(roles) - 1),
+            lambda i: F.element_at(roles, i) == F.element_at(roles, i + 1),
+        ),
+    ).otherwise(F.lit(False)).cast("int")
+    starts_ok = (F.element_at(roles, 1) == F.lit(opener)).cast("int")
+    ends_ok = (F.element_at(roles, -1) == F.lit(closer)).cast("int")
+    empty_turns = F.size(
+        F.filter(F.col("__arr"), lambda x: F.length(x["text"]) == 0)
+    ).cast("long")
+    out = agg.select(
+        conv_col,
+        "n_turns",
+        bad_role.alias("bad_role"),
+        consecutive.alias("consecutive_same"),
+        starts_ok.alias("starts_ok"),
+        ends_ok.alias("ends_ok"),
+        empty_turns.alias("empty_turns"),
+    )
+    return out.withColumn(
+        "valid",
+        (
+            (F.col("bad_role") == 0)
+            & (F.col("consecutive_same") == 0)
+            & (F.col("starts_ok") == 1)
+            & (F.col("ends_ok") == 1)
+            & (F.col("empty_turns") == 0)
+        ).cast("int"),
+    )

@@ -6926,22 +6926,15 @@ SQL_T15 = """
 """
 
 
-def q_w4_chat_render_events(spark, sf_dir):
-    """SFT chat-template rendering + loss-mask spans (export.
-    render_chat): events become a turns-shape (conv = user, role from
-    event_type, deterministic (ts, event_id) order), each conversation
-    renders to ONE '<|role|>text<|end|>' string, and the assistant
-    turns' exact [s, e) char offsets come out as the loss mask. One
-    conversation-keyed exchange, span scan row-local (struct-accumulator
-    F.aggregate). Spans serialize to 's:e,...' so the value hash is
-    engine-portable; the oracle replays offsets with a cumulative
-    window."""
+def _event_turns(spark, sf_dir):
+    """Shared turns-shape for the chat entries (w4/w5): conv = user,
+    role from event_type, deterministic (ts, event_id) order."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    turns = ev.select(
+    return ev.select(
         F.col("user_id").alias("conv_id"),
         _us("ts").alias("t"),
         "event_id",
@@ -6954,8 +6947,33 @@ def q_w4_chat_render_events(spark, sf_dir):
             F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
         ).alias("text"),
     )
+
+
+# the matching oracle CTE body (w4/w5 prologue)
+_SQL_EVENT_TURNS = """
+      SELECT user_id AS conv_id, epoch_us(ts) AS tu, event_id,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS text
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL"""
+
+
+def q_w4_chat_render_events(spark, sf_dir):
+    """SFT chat-template rendering + loss-mask spans (export.
+    render_chat): events become a turns-shape (conv = user, role from
+    event_type, deterministic (ts, event_id) order), each conversation
+    renders to ONE '<|role|>text<|end|>' string, and the assistant
+    turns' exact [s, e) char offsets come out as the loss mask. One
+    conversation-keyed exchange, span scan row-local (struct-accumulator
+    F.aggregate). Spans serialize to 's:e,...' so the value hash is
+    engine-portable; the oracle replays offsets with a cumulative
+    window."""
     out = export.render_chat(
-        turns, conv_col="conv_id", order_cols=("t", "event_id")
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
     )
     spans_str = F.coalesce(
         F.array_join(
@@ -6979,15 +6997,8 @@ def q_w4_chat_render_events(spark, sf_dir):
     )
 
 
-SQL_W4 = """
-    WITH t AS (
-      SELECT user_id AS conv_id, epoch_us(ts) AS tu, event_id,
-             CASE WHEN event_type IN ('click', 'view', 'signup')
-                  THEN 'user' ELSE 'assistant' END AS role,
-             event_type || ' ' || COALESCE(props, '') AS text
-      FROM events
-      WHERE ts IS NOT NULL AND user_id IS NOT NULL
-        AND event_type IS NOT NULL),
+SQL_W4 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
     seg AS (
       SELECT conv_id, tu, event_id, role, text,
              '<|' || role || '|>' || text || '<|end|>' AS seg,
@@ -7012,6 +7023,51 @@ SQL_W4 = """
            CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN tlen END),
                          0) AS BIGINT) AS mask_chars
     FROM off GROUP BY conv_id
+"""
+
+
+def q_w5_chat_validate_events(spark, sf_dir):
+    """Instruction-data structural QC (export.validate_chat) over the
+    same events-derived turns as w4: unknown roles, broken alternation,
+    opener/closer, empty turns, composite valid flag — the checks that
+    gate render_chat. One conversation-keyed exchange; all checks are
+    row-local array lambdas; the oracle replays them with lag/rn
+    windows."""
+    return export.validate_chat(
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+        allowed_roles=("user", "assistant"),
+    )
+
+
+SQL_W5 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    seq AS (
+      SELECT conv_id, role, text,
+             lag(role) OVER w AS prev_role,
+             row_number() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY tu, event_id)),
+    flags AS (
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(MAX(CASE WHEN role NOT IN ('user', 'assistant')
+                           THEN 1 ELSE 0 END) AS INT) AS bad_role,
+             CAST(MAX(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                  AS INT) AS consecutive_same,
+             CAST(MAX(CASE WHEN rn = 1 AND role = 'user'
+                           THEN 1 ELSE 0 END) AS INT) AS starts_ok,
+             CAST(MAX(CASE WHEN rn = n AND role = 'assistant'
+                           THEN 1 ELSE 0 END) AS INT) AS ends_ok,
+             CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS empty_turns
+      FROM seq GROUP BY conv_id)
+    SELECT *,
+           CASE WHEN bad_role = 0 AND consecutive_same = 0
+                 AND starts_ok = 1 AND ends_ok = 1 AND empty_turns = 0
+                THEN 1 ELSE 0 END AS valid
+    FROM flags
 """
 
 
@@ -7288,6 +7344,7 @@ ENTRY_QUERIES = {
     "t15_bm25_topk_documents": (q_t15_bm25_topk_documents, SQL_T15),
     "w4_chat_render_events": (q_w4_chat_render_events, SQL_W4),
     "u1_url_filter_documents": (q_u1_url_filter_documents, SQL_U1),
+    "w5_chat_validate_events": (q_w5_chat_validate_events, SQL_W5),
 }
 
 # ---------------------------------------------------------------------------

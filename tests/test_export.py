@@ -626,3 +626,38 @@ def test_render_chat_one_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_validate_chat_flags(spark):
+    rows = [
+        # conv 1: perfect u/a/u/a
+        (1, 0, "user", "q1"), (1, 1, "assistant", "a1"),
+        (1, 2, "user", "q2"), (1, 3, "assistant", "a2"),
+        # conv 2: consecutive same role
+        (2, 0, "user", "q"), (2, 1, "user", "q again"),
+        (2, 2, "assistant", "a"),
+        # conv 3: unknown role + empty turn
+        (3, 0, "user", "q"), (3, 1, "bot", ""),
+        # conv 4: ends with user
+        (4, 0, "user", "q"), (4, 1, "assistant", "a"), (4, 2, "user", "?"),
+        # conv 5: single user turn (wrong closer, no alternation check)
+        (5, 0, "user", "hello"),
+        # conv 6: NULL text counts as empty
+        (6, 0, "user", None), (6, 1, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {
+        r["conv_id"]: (
+            r["bad_role"], r["consecutive_same"], r["starts_ok"],
+            r["ends_ok"], r["empty_turns"], r["valid"],
+        )
+        for r in export.validate_chat(df).collect()
+    }
+    assert got == {
+        1: (0, 0, 1, 1, 0, 1),
+        2: (0, 1, 1, 1, 0, 0),
+        3: (1, 0, 1, 0, 1, 0),
+        4: (0, 0, 1, 0, 0, 0),
+        5: (0, 0, 1, 0, 0, 0),
+        6: (0, 0, 1, 1, 1, 0),
+    }
