@@ -152,3 +152,113 @@ def test_fuzz_edit_distance_refine(spark, texts):
         lv = lev(texts[a], texts[b])
         ratio = (lv * 1_000_000) // gl if gl else 0
         assert got[(a, b)] == (lv, ratio), (texts[a], texts[b])
+
+
+# --------------------------------------------------------------------------
+# round-3 continuation ops: render_chat spans, validate_chat, LM fluency
+# --------------------------------------------------------------------------
+
+_role = st.sampled_from(["user", "assistant", "system", "bot"])
+_turn_text = st.text(
+    alphabet="ab ", min_size=0, max_size=8
+)
+_conv = st.lists(
+    st.tuples(_role, _turn_text), min_size=1, max_size=6
+)
+_convs = st.lists(_conv, min_size=1, max_size=5)
+
+
+@settings(**_SETTINGS)
+@given(convs=_convs)
+def test_fuzz_render_chat_span_invariants(spark, convs):
+    from realtime_data_quality_monitor_spark.operators import export
+
+    rows = [
+        (c, i, role, text)
+        for c, conv in enumerate(convs)
+        for i, (role, text) in enumerate(conv)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string"
+    )
+    for r in export.render_chat(df).collect():
+        conv = convs[r["conv_id"]]
+        rendered = r["rendered"]
+        # the rendered string is exactly the template over ordered turns
+        assert rendered == "".join(
+            f"<|{role}|>{text}<|end|>" for role, text in conv
+        )
+        assert r["rendered_len"] == len(rendered)
+        # every mask span slices exactly an assistant turn's text, in order
+        spans = [(s["s"], s["e"]) for s in r["mask_spans"]]
+        want_texts = [t for role, t in conv if role == "assistant"]
+        assert [rendered[s:e] for s, e in spans] == want_texts
+        assert r["mask_chars"] == sum(len(t) for t in want_texts)
+        assert all(
+            0 <= s <= e <= len(rendered) for s, e in spans
+        )
+
+
+def _py_validate(conv, allowed=("user", "assistant", "system")):
+    roles = [r for r, _ in conv]
+    return (
+        int(any(r not in allowed for r in roles)),
+        int(any(a == b for a, b in zip(roles, roles[1:]))),
+        int(roles[0] == "user"),
+        int(roles[-1] == "assistant"),
+        sum(1 for _, t in conv if len(t) == 0),
+    )
+
+
+@settings(**_SETTINGS)
+@given(convs=_convs)
+def test_fuzz_validate_chat(spark, convs):
+    from realtime_data_quality_monitor_spark.operators import export
+
+    rows = [
+        (c, i, role, text)
+        for c, conv in enumerate(convs)
+        for i, (role, text) in enumerate(conv)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string"
+    )
+    for r in export.validate_chat(df).collect():
+        br, cs, so, eo, et = _py_validate(convs[r["conv_id"]])
+        got = (
+            r["bad_role"], r["consecutive_same"], r["starts_ok"],
+            r["ends_ok"], r["empty_turns"],
+        )
+        assert got == (br, cs, so, eo, et)
+        assert r["valid"] == int(
+            br == 0 and cs == 0 and so == 1 and eo == 1 and et == 0
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    ref=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    v=st.integers(1, 6),
+)
+def test_fuzz_lm_fluency_bounds(spark, ref, v):
+    """fluency_u is always in [0, scale]; scoring the training corpus
+    against itself never yields zero for docs with >= 2 tokens."""
+    from realtime_data_quality_monitor_spark.operators import lm
+
+    df = spark.createDataFrame(
+        list(enumerate(ref)), "doc_id long, text string"
+    )
+    for r in lm.lm_fluency_from_ref(df, df, vocab_size=v).collect():
+        assert 0 <= r["fluency_u"] <= lm.LM_SCALE
+        n_toks = len([t for t in ref[r["doc_id"]].split(" ") if t])
+        if n_toks >= 2:
+            assert r["n_bigrams"] == n_toks - 1
+            assert r["fluency_u"] > 0  # its own bigrams are in the model
+        else:
+            assert (r["n_bigrams"], r["fluency_u"]) == (0, 0)
