@@ -947,3 +947,87 @@ def validate_chat(
             & (F.col("empty_turns") == 0)
         ).cast("int"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    rate_micro: int = 150_000,
+    seed: str = "infill",
+    mask_token: str = "<mask>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Denoising-objective data prep (BART text infilling, Lewis et al.
+    2020): mask each token with probability ``rate_micro``/1e6 via a
+    deterministic keyed-md5 coin per (doc, position), then collapse
+    each RUN of adjacent masked tokens into a single ``mask_token`` —
+    the (corrupted, original) pair is the seq2seq denoising training
+    example. Deterministic coins make the corruption reproducible
+    across engines AND across reruns (the e6/t6 keyed-sampling
+    contract; no Monte-Carlo drift between pipeline stages).
+
+    Adds: ``corrupted`` (text with masked runs collapsed), ``n_tokens``,
+    ``n_masked`` (tokens hidden), ``n_spans`` (mask runs — each one
+    ``mask_token`` in the output).
+
+    Scale shape: ZERO shuffles — coins, run-starts and the rebuild are
+    all row-local array algebra over one projected token array (the
+    shingles CSE rule); run-collapse needs only each position's
+    PREDECESSOR (element_at(i-1)), never a prefix sum, which is what
+    keeps it row-local where numbered T5 sentinels would need a
+    corpus-order scan."""
+    if not 0 <= rate_micro <= 1_000_000:
+        raise ValueError("span_corrupt: rate_micro must be in [0, 1e6]")
+    toks = F.col("__toks")
+    n = F.size(toks)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def coin(i):
+        return (
+            _key_hash(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), i.cast("string")
+                ),
+                seed,
+            )
+            % F.lit(1_000_000)
+        ) < F.lit(int(rate_micro))
+
+    staged = df.withColumn("__toks", tokens_col(F.col(text_col))).withColumn(
+        "__masked", F.transform(idx, coin)
+    )
+    masked = F.col("__masked")
+    starts = F.transform(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.element_at(masked, i)
+        & ((i == 1) | ~F.element_at(masked, i - 1)),
+    )
+    frag = F.transform(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.when(~F.element_at(masked, i), F.element_at(toks, i))
+        .when(F.element_at(F.col("__starts"), i), F.lit(mask_token))
+        .otherwise(F.lit("")),
+    )
+    out = (
+        staged.withColumn("__starts", starts)
+        .withColumn(
+            "corrupted",
+            F.array_join(F.filter(frag, lambda x: x != ""), " "),
+        )
+        .withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "n_masked",
+            F.size(F.filter(masked, lambda m: m)).cast("long"),
+        )
+        .withColumn(
+            "n_spans",
+            F.size(F.filter(F.col("__starts"), lambda s: s)).cast("long"),
+        )
+    )
+    return out.drop("__toks", "__masked", "__starts")

@@ -161,7 +161,7 @@ def bm25_topk(
         raise ValueError("bm25_topk: query_terms must be non-empty")
     if k < 1:
         raise ValueError("bm25_topk: k must be >= 1")
-    if min(k1_num, k1_den, b_num, b_den) < 0 or b_num > b_den:
+    if min(k1_num, b_num) < 0 or min(k1_den, b_den) < 1 or b_num > b_den:
         raise ValueError("bm25_topk: need k1 >= 0 and 0 <= b <= 1")
     from ..functions.exact import idiv_big as _idiv_big
 

@@ -69,10 +69,11 @@ def parse_url_parts(url: Column) -> dict[str, Column]:
     """Engine-portable URL decomposition: scheme, host, registered
     domain (last two host labels), tld, path depth (query stripped).
     Split-and-index algebra only — identical semantics in DuckDB list
-    indexing. Assumes well-formed 'scheme://host/...' input (the
-    curation contract; a malformed-URL quarantine would sit upstream).
+    indexing. A URL without '://' yields NULL parts rather than an ANSI
+    array-index error (F.get is null-safe where element_at throws), so
+    a malformed row degrades to NULL flags instead of killing the scan.
     """
-    rest = F.element_at(F.split(url, "://", 2), 2)
+    rest = F.get(F.split(url, "://", 2), 1)
     rest_noq = F.element_at(F.split(rest, r"\?", 2), 1)
     hostpath = F.split(rest_noq, "/")
     host = F.lower(F.element_at(hostpath, 1))
@@ -86,7 +87,7 @@ def parse_url_parts(url: Column) -> dict[str, Column]:
         F.filter(F.slice(hostpath, 2, 1000), lambda x: x != "")
     ).cast("long")
     return {
-        "scheme": F.element_at(F.split(url, "://", 2), 1),
+        "scheme": F.get(F.split(url, "://", 2), 0),
         "host": host,
         "reg_domain": reg_domain,
         "tld": tld,

@@ -7071,6 +7071,55 @@ SQL_W5 = f"""
 """
 
 
+def q_e16_span_corrupt_documents(spark, sf_dir):
+    """BART-style span-infilling corruption (export.span_corrupt):
+    deterministic keyed-md5 coin per (doc, position), adjacent masked
+    tokens collapse into one '<mask>' — the (corrupted, original)
+    denoising pair. ZERO shuffles (run-collapse needs only each
+    position's predecessor, never a prefix sum); the oracle replays the
+    coins with a lag window."""
+    return export.span_corrupt(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        rate_micro=250_000,
+    ).select("doc_id", "corrupted", "n_tokens", "n_masked", "n_spans")
+
+
+SQL_E16 = """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i, toks[i] AS tok,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(i AS VARCHAR) || '|infill|'), 1, 8) AS BIGINT)
+              % 1000000) < 250000 AS m
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks)),
+    runs AS (
+      SELECT *, m AND (i = 1 OR NOT lag(m) OVER w) AS strt
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    frag AS (
+      SELECT doc_id, i,
+             CASE WHEN NOT m THEN tok
+                  WHEN strt THEN '<mask>' ELSE '' END AS f,
+             m, strt
+      FROM runs),
+    agg AS (
+      SELECT doc_id,
+             string_agg(f, ' ' ORDER BY i) FILTER (WHERE f <> '')
+               AS corrupted,
+             CAST(SUM(m::INT) AS BIGINT) AS n_masked,
+             CAST(SUM(strt::INT) AS BIGINT) AS n_spans
+      FROM frag GROUP BY doc_id)
+    SELECT r.doc_id,
+           COALESCE(a.corrupted, '') AS corrupted,
+           CAST(len(r.toks) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_masked, 0) AS n_masked,
+           COALESCE(a.n_spans, 0) AS n_spans
+    FROM arr r LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_u1_url_filter_documents(spark, sf_dir):
     """RefinedWeb URL-rule stage (operators/urlfilter.py): closed-form
     synthetic URLs from doc_id (multimodal_synth pattern), split-algebra
@@ -7345,6 +7394,7 @@ ENTRY_QUERIES = {
     "w4_chat_render_events": (q_w4_chat_render_events, SQL_W4),
     "u1_url_filter_documents": (q_u1_url_filter_documents, SQL_U1),
     "w5_chat_validate_events": (q_w5_chat_validate_events, SQL_W5),
+    "e16_span_corrupt_documents": (q_e16_span_corrupt_documents, SQL_E16),
 }
 
 # ---------------------------------------------------------------------------

@@ -661,3 +661,73 @@ def test_validate_chat_flags(spark):
         5: (0, 0, 1, 0, 0, 0),
         6: (0, 0, 1, 1, 1, 0),
     }
+
+
+def _py_span_corrupt(doc_id, text, rate=150_000, seed="infill"):
+    toks = [t for t in text.split(" ") if t]
+
+    def coin(i):
+        h = int(
+            hashlib.md5(f"{doc_id}:{i}|{seed}|".encode()).hexdigest()[:8], 16
+        )
+        return h % 1_000_000 < rate
+
+    m = [coin(i + 1) for i in range(len(toks))]
+    frags, spans = [], 0
+    for i, t in enumerate(toks):
+        if not m[i]:
+            frags.append(t)
+        elif i == 0 or not m[i - 1]:
+            frags.append("<mask>")
+            spans += 1
+    return " ".join(frags), len(toks), sum(m), spans
+
+
+def test_span_corrupt_matches_python(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4),
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, "single"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    # high rate so runs actually collapse
+    got = {
+        r["doc_id"]: (
+            r["corrupted"], r["n_tokens"], r["n_masked"], r["n_spans"]
+        )
+        for r in export.span_corrupt(df, rate_micro=400_000).collect()
+    }
+    for doc_id, text in texts:
+        assert got[doc_id] == _py_span_corrupt(doc_id, text, 400_000), doc_id
+    # run-collapse really happened somewhere at 40%: fewer spans than masks
+    assert any(g[3] < g[2] for g in got.values())
+    # rate 0 -> identity; rate 1e6 -> one span covering everything
+    ident = {
+        r["doc_id"]: r["corrupted"]
+        for r in export.span_corrupt(df, rate_micro=0).collect()
+    }
+    assert ident[1] == texts[1][1]
+    full = {
+        r["doc_id"]: (r["corrupted"], r["n_spans"])
+        for r in export.span_corrupt(df, rate_micro=1_000_000).collect()
+    }
+    assert full[1] == ("<mask>", 1)
+    assert full[3] == ("", 0)
+    with pytest.raises(ValueError):
+        export.span_corrupt(df, rate_micro=-1)
+
+
+def test_span_corrupt_zero_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(50)], ["doc_id", "text"]
+    )
+    out = export.span_corrupt(df)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan and "Join" not in plan

@@ -96,3 +96,13 @@ def test_url_quality_broadcast_plan(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_parse_malformed_url_yields_nulls_not_errors(spark):
+    df = spark.createDataFrame(
+        [(0, "no-scheme-here"), (1, "https://ok.com/a")], ["doc_id", "url"]
+    )
+    out = urlfilter.url_quality(df)  # ANSI mode: must not throw
+    got = {r["doc_id"]: (r["reg_domain"], r["keep"]) for r in out.collect()}
+    assert got[0][0] is None and got[0][1] is None
+    assert got[1] == ("ok.com", 1)
