@@ -231,3 +231,97 @@ def dsir_topk(
     return ordered.withColumn(
         "rank", F.row_number().over(rank_w).cast("long")
     )
+
+
+def doremi_linear_step(
+    docs: DataFrame,
+    domain_col: str = "source",
+    keep_col: str = "clf_keep",
+    ntok_col: str = "n_tokens",
+    eta_x: int = 2,
+) -> DataFrame:
+    """One LINEARIZED DoReMi domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): upweight domains whose excess loss is high. The
+    paper's exponentiated-gradient update ``w'_d ∝ w_d * exp(eta *
+    excess_d)`` is replaced by its first-order expansion ``w_d * (1 +
+    eta * excess_d)`` so the whole step is exact integer algebra
+    (``exp`` differs across engines in the last ulp; the linear form
+    preserves the update's ordering and direction for one step).
+
+    The loss proxy here is the quality-classifier DROP rate (the
+    deficit signal a curation pipeline actually has before training):
+    excess_d = max(0, drop_ppm_d − drop_ppm_global). Reference weights
+    are the domains' token shares. All in ppm:
+
+        ref_share_ppm_d = (tok_d * 1e6) div tok_total
+        factor_d        = 1e6 + eta_x * excess_ppm_d
+        weight_ppm_d    = (ref_share_ppm_d * factor_d * 1e6)
+                          div sum_d(ref_share_ppm_d * factor_d)
+
+    Returns one row per domain: (domain, n_docs, tok_share_ppm,
+    drop_ppm, excess_ppm, weight_ppm). The final division routes
+    through DECIMAL(38,0) (numerator share*factor*1e6 ≲ 3e18 flirts
+    with 2^63 and is far past idiv's 2^53 double bound).
+
+    Scale shape: ONE map-side-combinable domain aggregate over the
+    corpus (BIGINT sums), then a |domains|-row frame crossed with the
+    1-row global — no sort, no driver collect, no skew exposure (the
+    aggregate key is the domain, and partial aggregation absorbs hot
+    domains before the exchange).
+    """
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(1 - F.col(keep_col).cast("long")).cast("long").alias("__drops"),
+        F.sum(F.col(ntok_col).cast("long")).cast("long").alias("__toks"),
+    )
+    tot = per.select(
+        F.sum("__drops").cast("long").alias("__g_drops"),
+        F.sum("n_docs").cast("long").alias("__g_docs"),
+        F.sum("__toks").cast("long").alias("__g_toks"),
+    )
+    MEGA = 1_000_000
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "tok_share_ppm",
+            idiv_big(F.col("__toks") * F.lit(MEGA), F.col("__g_toks")),
+        )
+        .withColumn(
+            "drop_ppm",
+            idiv_big(F.col("__drops") * F.lit(MEGA), F.col("n_docs")),
+        )
+        .withColumn(
+            "excess_ppm",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("drop_ppm")
+                - idiv_big(F.col("__g_drops") * F.lit(MEGA), F.col("__g_docs")),
+            ),
+        )
+        .withColumn(
+            "__num",
+            F.col("tok_share_ppm")
+            * (F.lit(MEGA).cast("long") + F.lit(int(eta_x)) * F.col("excess_ppm")),
+        )
+    )
+    znorm = staged.select(F.sum("__num").cast("decimal(38,0)").alias("__z"))
+    return (
+        staged.crossJoin(F.broadcast(znorm))
+        .withColumn(
+            "weight_ppm",
+            idiv_big(
+                F.col("__num").cast("decimal(38,0)")
+                * F.lit(MEGA).cast("decimal(38,0)"),
+                F.col("__z"),
+            ),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "tok_share_ppm",
+            "drop_ppm",
+            "excess_ppm",
+            "weight_ppm",
+        )
+    )

@@ -739,3 +739,73 @@ def simpson_diversity_u(toks: Column) -> Column:
     return F.when(
         n > 0, F.lit(MILLION).cast("long") - _idiv_big(num, n * n)
     ).otherwise(F.lit(0).cast("long"))
+
+
+def winsorize_scores(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "clf_score",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group EXACT winsorization of an integer score column — the
+    robust-scaling pass that caps classifier-score outliers before
+    scores feed sampling weights (e6/e13) or mixture math, so one
+    pathological document can't dominate a source's weight.
+
+    Definition (percentile_disc, ceil-rank): with n = |group| and
+    k_p = max(1, ceil(n * p / 100)), the p-th bound is the SMALLEST
+    score whose cumulative count reaches k_p; every score is clamped
+    into [lo, hi]. Emitted as ``<score_col>_w`` next to the original.
+
+    Scale shape: the naive form (row_number over each group = one
+    single-task sort per source) dies on a skewed 100 TB source;
+    instead the heavy step is groupBy(group, score) — map-side
+    combinable, output bounded by |distinct scores| per source — and
+    the cumulative window runs over those DISTINCT-score rows only.
+    Bounds (2 ints per source) broadcast-join back; the corpus pass
+    itself never sorts. The oracle intentionally uses the independent
+    row_number-over-rows shape — same definition, different algorithm.
+    """
+    if not (0 < lo_pct <= hi_pct < 100):
+        raise ValueError("winsorize_scores: need 0 < lo_pct <= hi_pct < 100")
+    from pyspark.sql import Window
+
+    cnts = (
+        scored.groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = cnts.select(
+        group_col,
+        score_col,
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    k_lo = F.greatest(
+        F.lit(1).cast("long"),
+        _idiv(F.col("__n") * F.lit(int(lo_pct)) + F.lit(99), F.lit(100)),
+    )
+    k_hi = F.greatest(
+        F.lit(1).cast("long"),
+        _idiv(F.col("__n") * F.lit(int(hi_pct)) + F.lit(99), F.lit(100)),
+    )
+    bounds = cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("__cum") >= k_lo, F.col(score_col))).alias("__lo"),
+        F.min(F.when(F.col("__cum") >= k_hi, F.col(score_col))).alias("__hi"),
+    )
+    return (
+        scored.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            f"{score_col}_w",
+            F.least(
+                F.greatest(F.col(score_col), F.col("__lo")), F.col("__hi")
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -231,3 +231,63 @@ def bm25_topk(
     return topk.select(
         "doc_id", "score_q", F.row_number().over(w).alias("rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 10**12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two top-k ranked
+    lists — the standard way a curation/retrieval stage combines lexical
+    rankers (here: tf-idf + BM25) without score calibration:
+
+        rrf_q(d) = sum over lists containing d of
+                   floor(scale / (rrf_k + rank_list(d)))
+
+    Quantized to BIGINT (the t12 move) so the fusion is cell-exact
+    cross-engine — floor(1e12/(60+r)) is still strictly decreasing in r
+    for every realistic list length, so ordering semantics match the
+    float form. Returns (doc_id, rrf_q, rank_a, rank_b, rank) with
+    doc-id tie break; absent-from-list contributes 0 (rank_a/rank_b
+    stay NULL so the consumer can see which list fired).
+
+    Scale shape: inputs are top-k lists by construction (k rows each),
+    so the full-outer join and final sort are driver-trivial at ANY
+    corpus size — the corpus-heavy work already happened inside the
+    rankers. Nothing here touches the corpus.
+    """
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    a = ranked_a.select(
+        F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_b")
+    )
+
+    def _contrib(c: str):
+        return F.coalesce(
+            _idiv(
+                F.lit(int(scale)),
+                (F.col(c) + F.lit(int(rrf_k))).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (_contrib("rank_a") + _contrib("rank_b")).alias("rrf_q"),
+            "rank_a",
+            "rank_b",
+        )
+        .orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,273 @@
+"""Conversation/agent-transcript QC operators (the north-star turns shape).
+
+The pipeline's input is a table of multi-turn conversation / agent
+transcripts — (conv_id, turn order cols, role, text, tool) — and beyond
+the per-turn rule engine (operators/rules.py) a curation pass needs
+transcript-STRUCTURE checks that only make sense across the turns of one
+conversation or across conversations:
+
+* :func:`tool_stats`   — agent tool-call telemetry + same-tool loop
+                         detection (the "agent stuck retrying one tool"
+                         QC that gates agent-trajectory training data).
+* :func:`echo_overlap` — assistant parroting: lexical containment of each
+                         assistant turn in the immediately preceding user
+                         turn, in exact parts-per-million.
+* :func:`turn_dedup`   — cross-conversation duplicate-turn audit
+                         (canned-response / template detection) on 60-bit
+                         md5 fingerprints, never shipping turn text.
+* :func:`scrub_turns`  — the per-turn PII/toxicity scrub artifact
+                         (functions/scrub.scrub_native) the north star
+                         hash-compares turn by turn.
+
+No reference counterpart operates on a turns shape (the reference's
+quality_checker.py — flink/src/quality_checker.py:1 — is strictly
+per-record); these are the transcript-specific extensions SURVEY.md §2
+tracks as W6–W9.
+
+Scale notes (100 TB): every operator is row-local or a single
+conversation-keyed exchange; :func:`turn_dedup` adds one exchange keyed
+by an 8-byte fingerprint (text never shuffles). Window/collect tasks are
+bounded by the largest single conversation — fine at the north star's
+turn counts (conversations are human-length); a pathological
+million-turn conversation would need the d12-style hot-key escape.
+All scores are integer arithmetic (functions/exact.idiv) so DuckDB
+oracles are cell-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import idiv
+from ..functions.scrub import scrub_native
+
+PPM = 1_000_000
+
+
+def _tokens_distinct(col: Column) -> Column:
+    """Distinct lowercase whitespace tokens — row-local; ' '-split (not
+    regex) so Java/RE2 \\s divergence can't leak into parity."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
+    )
+
+
+def tool_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("t", "event_id"),
+    tool_col: str = "tool",
+    loop_run: int = 3,
+) -> DataFrame:
+    """Per-conversation agent tool-call stats + loop flag.
+
+    A "tool call" is a turn whose ``tool_col`` is non-null. Over the
+    conversation's tool-call subsequence (in turn order, interleaved
+    non-tool turns ignored — the agent-loop definition: "called the same
+    tool again without a different tool in between"):
+
+      n_turns, n_tool_calls, n_distinct_tools,
+      max_tool_run  — longest run of consecutive identical tool calls
+                      (0 when the conversation never calls a tool),
+      loop_flag     — 1 iff max_tool_run >= ``loop_run``.
+
+    ONE conversation-keyed exchange: groupBy(conv) collects
+    (order, tool) structs, sort_array orders them row-locally, and the
+    run scan is a struct-accumulator F.aggregate (the w4 render_chat
+    pattern) — no window, no second shuffle. The oracle computes the
+    same runs with the independent gaps-and-islands window shape.
+    """
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(tool_col).alias("tool"),
+            )
+        )
+    )
+    g = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(arr.alias("arr"))
+
+    tools = F.transform(
+        F.filter(F.col("arr"), lambda x: x["tool"].isNotNull()),
+        lambda x: x["tool"],
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (t == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(F.col("tools"), acc0, _step, lambda a: a["best"])
+    return (
+        g.select(
+            "conv_id",
+            F.size("arr").cast("long").alias("n_turns"),
+            tools.alias("tools"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.size("tools").cast("long").alias("n_tool_calls"),
+            F.size(F.array_distinct("tools")).cast("long").alias(
+                "n_distinct_tools"
+            ),
+            max_run.alias("max_tool_run"),
+        )
+        .withColumn(
+            "loop_flag",
+            (F.col("max_tool_run") >= F.lit(int(loop_run))).cast("int"),
+        )
+    )
+
+
+def echo_overlap(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("t", "event_id"),
+    role_col: str = "role",
+    text_col: str = "text",
+    high_ppm: int = 500_000,
+) -> DataFrame:
+    """Assistant-parroting audit: for every (user -> assistant) adjacent
+    turn pair, the containment of the assistant's DISTINCT token set in
+    the preceding user turn's, floored to ppm:
+
+        echo_ppm = (|A ∩ U| * 1e6) div |A|      (pairs with |A| > 0)
+
+    Per conversation: n_turns, n_pairs (evaluated pairs), max_echo_ppm /
+    mean_echo_ppm (0 when no pairs), high_echo = 1 iff max >= high_ppm.
+    A high score marks assistants that restate the user verbatim —
+    near-zero-information targets a quality filter drops.
+
+    One exchange: the lag window partitions by conversation; the
+    following groupBy reuses that hash partitioning (EnsureRequirements
+    inserts no second shuffle). Token/intersection algebra is row-local;
+    idiv keeps the score integer-exact cross-engine.
+    """
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    a = _tokens_distinct(F.col(text_col))
+    u = _tokens_distinct(F.lag(text_col).over(w))
+    is_pair = (
+        (F.col(role_col) == "assistant")
+        & (F.lag(role_col).over(w) == "user")
+        & (F.size(a) > 0)
+    )
+    ppm = F.when(
+        is_pair,
+        idiv(
+            F.size(F.array_intersect(a, u)).cast("long") * F.lit(PPM),
+            F.size(a).cast("long"),
+        ),
+    )
+    per_turn = turns.select(
+        F.col(conv_col).alias("conv_id"), ppm.alias("echo_ppm")
+    )
+    n_pairs = F.count("echo_ppm").cast("long")
+    return per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        n_pairs.alias("n_pairs"),
+        F.coalesce(F.max("echo_ppm"), F.lit(0).cast("long")).alias(
+            "max_echo_ppm"
+        ),
+        F.when(
+            n_pairs > 0, idiv(F.sum("echo_ppm"), n_pairs)
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_echo_ppm"),
+        (
+            F.coalesce(F.max("echo_ppm"), F.lit(0).cast("long"))
+            >= F.lit(int(high_ppm))
+        )
+        .cast("int")
+        .alias("high_echo"),
+    )
+
+
+def turn_fingerprint(text: Column) -> Column:
+    """60-bit md5 fingerprint of the whitespace-normalized lowercase
+    turn text (dedup.md5_token_hash60 construction — DuckDB:
+    CAST('0x'||substr(md5(norm),1,15) AS BIGINT)). 8 bytes cross the
+    shuffle instead of the text."""
+    norm = F.array_join(
+        F.filter(F.split(F.lower(text), " "), lambda t: t != F.lit("")), " "
+    )
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def turn_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    drop_ppm: int = 500_000,
+) -> DataFrame:
+    """Cross-conversation duplicate-turn audit (canned-response
+    detection): a turn is *shared* iff its normalized-text fingerprint
+    occurs in >= 2 DISTINCT conversations. Per conversation:
+
+      n_turns, dup_turns (shared turns), dup_frac_ppm =
+      (dup_turns * 1e6) div n_turns, keep = 1 iff dup_frac_ppm <
+      ``drop_ppm`` — conversations that are mostly template/canned text
+      get dropped.
+
+    Scale shape: turn text reduces to a 60-bit fingerprint BEFORE any
+    exchange; the distinct-conversation count is the two-level exact
+    aggregate (fp, conv) -> fp (no count-distinct expand); the shared
+    set joins back on the 8-byte key. Fingerprints are identical
+    cross-engine, so collisions (if any) affect Spark and the oracle
+    identically — parity is exact by construction (the e4
+    decontamination argument, operators/export.py).
+    """
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        turn_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    shared = (
+        base.groupBy("fp", "conv_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .filter(F.col("n_convs") >= 2)
+        .select("fp", F.lit(1).alias("__shared"))
+    )
+    marked = base.join(shared, "fp", "left")
+    dup = F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    out = marked.groupBy("conv_id").agg(
+        n.alias("n_turns"),
+        dup.alias("dup_turns"),
+        idiv(dup * F.lit(PPM), n).alias("dup_frac_ppm"),
+    )
+    return out.withColumn(
+        "keep", (F.col("dup_frac_ppm") < F.lit(int(drop_ppm))).cast("int")
+    )
+
+
+def scrub_turns(
+    turns: DataFrame,
+    id_cols: Sequence[str] = ("conv_id", "event_id"),
+    text_col: str = "text",
+) -> DataFrame:
+    """The north star's per-turn scrub artifact: scrub_native (the
+    lookaround-free JVM regexp_replace chain — whole-stage codegen, no
+    Python worker) applied to every turn, keyed by ``id_cols``. Purely
+    row-local: zero exchanges, the 100 TB fast path. Returns the id
+    columns plus ``scrubbed``; callers hash/length it per turn (entry
+    w9) — the per-turn equality check the north rule grades."""
+    return turns.select(
+        *[F.col(c) for c in id_cols],
+        scrub_native(F.col(text_col)).alias("scrubbed"),
+    )

@@ -47,6 +47,7 @@ from ..operators import (
     skew,
     temporal,
     textstats,
+    transcript_qc,
 )
 from ..sources import multimodal_synth
 
@@ -7197,6 +7198,414 @@ SQL_U1 = """
 """
 
 
+# ---------------------------------------------------------------------------
+# w6-w9 — transcript-STRUCTURE QC (operators/transcript_qc.py): the
+# turns-shape operators the north star needs beyond the per-turn rule
+# engine, over the same events-derived turns as w4/w5 (_event_turns).
+# No reference counterpart (quality_checker.py is per-record).
+# ---------------------------------------------------------------------------
+
+
+def _agent_turns(spark, sf_dir):
+    """w6's turns shape: _event_turns plus the agent tool column —
+    assistant turns carry their event_type (= the first space-token of
+    the rebuilt text) as the tool name, user turns carry NULL; the
+    north-star input's (role, tool) pair."""
+    t = _event_turns(spark, sf_dir)
+    return t.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "assistant",
+            F.element_at(F.split(F.col("text"), " "), 1),
+        ),
+    )
+
+
+def q_w6_tool_stats_events(spark, sf_dir):
+    """Agent tool-call telemetry + same-tool loop detection
+    (transcript_qc.tool_stats): per conversation, the tool-call count,
+    distinct tools, and the longest run of consecutive identical tool
+    calls — the "agent stuck retrying one tool" QC. Spark scans the
+    per-conversation tool sequence with ONE struct-accumulator
+    F.aggregate after a single conversation-keyed exchange; the oracle
+    recomputes the runs with the independent gaps-and-islands window
+    shape."""
+    return transcript_qc.tool_stats(
+        _agent_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+        tool_col="tool",
+    )
+
+
+SQL_W6 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    tt AS (
+      SELECT conv_id, tu, event_id,
+             CASE WHEN role = 'assistant'
+                  THEN string_split(text, ' ')[1] END AS tool
+      FROM t),
+    calls AS (
+      SELECT conv_id, tool,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY tu, event_id) AS rn,
+             row_number() OVER (PARTITION BY conv_id, tool
+                                ORDER BY tu, event_id) AS rt
+      FROM tt WHERE tool IS NOT NULL),
+    runs AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS runlen
+      FROM calls GROUP BY conv_id, tool, rn - rt),
+    callagg AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_tool_calls,
+             CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools
+      FROM calls GROUP BY 1),
+    runagg AS (SELECT conv_id, MAX(runlen) AS max_run FROM runs GROUP BY 1),
+    conv AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+             FROM tt GROUP BY 1)
+    SELECT c.conv_id, c.n_turns,
+           CAST(COALESCE(a.n_tool_calls, 0) AS BIGINT) AS n_tool_calls,
+           CAST(COALESCE(a.n_distinct_tools, 0) AS BIGINT)
+             AS n_distinct_tools,
+           CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_tool_run,
+           CAST(COALESCE(r.max_run, 0) >= 3 AS INT) AS loop_flag
+    FROM conv c
+    LEFT JOIN callagg a USING (conv_id)
+    LEFT JOIN runagg r USING (conv_id)
+"""
+
+
+def q_w7_echo_overlap_events(spark, sf_dir):
+    """Assistant-parroting audit (transcript_qc.echo_overlap): exact
+    ppm containment of each assistant turn's distinct token set in the
+    preceding user turn's, aggregated per conversation — near-copy
+    assistant turns are zero-information training targets. The lag
+    window and the conversation groupBy share one hash partitioning
+    (no second exchange); the oracle replays the same pairs with
+    lag + list algebra."""
+    return transcript_qc.echo_overlap(
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+    )
+
+
+_W7_A = "list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+_W7_U = "list_filter(string_split(lower(prev_text), ' '), x -> x <> '')"
+
+SQL_W7 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    seq AS (
+      SELECT conv_id, role, text,
+             lag(role) OVER w AS prev_role,
+             lag(text) OVER w AS prev_text
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY tu, event_id)),
+    p AS (
+      SELECT conv_id,
+             CASE WHEN role = 'assistant' AND prev_role = 'user'
+                   AND len({_W7_A}) > 0
+                  THEN (CAST(len(list_filter({_W7_A},
+                             x -> list_contains({_W7_U}, x))) AS BIGINT)
+                        * 1000000)
+                       // CAST(len({_W7_A}) AS BIGINT)
+             END AS echo_ppm
+      FROM seq)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(echo_ppm) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(MAX(echo_ppm), 0) AS BIGINT) AS max_echo_ppm,
+           CAST(CASE WHEN COUNT(echo_ppm) > 0
+                     THEN SUM(echo_ppm) // COUNT(echo_ppm)
+                     ELSE 0 END AS BIGINT) AS mean_echo_ppm,
+           CAST(COALESCE(MAX(echo_ppm), 0) >= 500000 AS INT) AS high_echo
+    FROM p GROUP BY 1
+"""
+
+
+def _dedup_turns(spark, sf_dir):
+    """w8's turns shape: normalized turn text = event_type + props +
+    integer-bucketed value, so cross-conversation duplication is
+    non-degenerate (~18% of turns shared at sf0.01) — the canned-
+    response signature turn_dedup audits."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    text = F.concat(
+        F.col("event_type"),
+        F.lit(" "),
+        F.coalesce("props", F.lit("")),
+        F.lit(" v"),
+        F.coalesce(F.floor("value"), F.lit(-1)).cast("string"),
+    )
+    return ev.select(F.col("user_id").alias("conv_id"), text.alias("text"))
+
+
+def q_w8_turn_dedup_events(spark, sf_dir):
+    """Cross-conversation duplicate-turn audit (transcript_qc.
+    turn_dedup): a turn is shared iff its 60-bit normalized-text md5
+    fingerprint occurs in >= 2 distinct conversations; conversations
+    that are mostly canned text get keep = 0. Text reduces to an 8-byte
+    fingerprint before any exchange; the distinct-conversation count is
+    the two-level exact aggregate; fingerprints are identical
+    cross-engine so parity is exact by construction (the e4
+    argument)."""
+    return transcript_qc.turn_dedup(_dedup_turns(spark, sf_dir))
+
+
+SQL_W8 = """
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             event_type || ' ' || COALESCE(props, '') || ' v' ||
+               CAST(COALESCE(CAST(floor(value) AS BIGINT), -1) AS VARCHAR)
+               AS text
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    fps AS (
+      SELECT conv_id,
+             CAST('0x' || substr(md5(array_to_string(list_filter(
+                string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 15)
+               AS BIGINT) AS fp
+      FROM t),
+    shared AS (
+      SELECT fp FROM (SELECT DISTINCT fp, conv_id FROM fps)
+      GROUP BY fp HAVING COUNT(*) >= 2),
+    m AS (
+      SELECT f.conv_id,
+             CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM fps f LEFT JOIN shared s USING (fp)),
+    agg AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(dup) AS BIGINT) AS dup_turns
+      FROM m GROUP BY 1)
+    SELECT conv_id, n_turns, dup_turns,
+           (dup_turns * 1000000) // n_turns AS dup_frac_ppm,
+           CAST((dup_turns * 1000000) // n_turns < 500000 AS INT) AS keep
+    FROM agg
+"""
+
+
+def q_w9_turn_scrub_events(spark, sf_dir):
+    """The north star's per-turn scrub artifact (transcript_qc.
+    scrub_turns -> functions/scrub.scrub_native): deterministic PII
+    plants keyed by (conv_id, event_id) — an email on every turn, a
+    phone on every 5th, an SSN + lexicon word on every 7th — then the
+    JVM-native regexp_replace chain, hash + length emitted PER TURN
+    (the per-turn scrubbed-text equality the north rule grades).
+    Purely row-local: zero exchanges, whole-stage codegen."""
+    t = _event_turns(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me at agent"),
+        F.col("conv_id").cast("string"),
+        F.lit("@mail.example.org"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit(" or call (555) 867-"),
+                F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.lit(" ssn 987-65-4321 that damn tool"),
+        ).otherwise(F.lit("")),
+    )
+    out = transcript_qc.scrub_turns(
+        t.withColumn("text", planted),
+        id_cols=("conv_id", "event_id", "role"),
+    )
+    return out.select(
+        "conv_id",
+        "event_id",
+        "role",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").cast("int").alias("scrubbed_chars"),
+    )
+
+
+def _sql_w9() -> str:
+    from ..functions.constants import TOXICITY_REPLACEMENT
+    from ..functions.scrub import NATIVE_SCRUB_PATTERNS, native_toxicity_pattern
+
+    expr = "planted"
+    for _name, pat, repl in NATIVE_SCRUB_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = (
+        f"regexp_replace({expr}, '{native_toxicity_pattern()}', "
+        f"'{TOXICITY_REPLACEMENT}', 'g')"
+    )
+    return f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    built AS (
+      SELECT conv_id, event_id, role,
+             text || ' reach me at agent' || CAST(conv_id AS VARCHAR)
+                  || '@mail.example.org'
+                  || CASE WHEN event_id % 5 = 0
+                          THEN ' or call (555) 867-' ||
+                               lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN event_id % 7 = 0
+                          THEN ' ssn 987-65-4321 that damn tool'
+                          ELSE '' END
+               AS planted
+      FROM t)
+    SELECT conv_id, event_id, role, md5({expr}) AS scrub_md5,
+           CAST(length({expr}) AS INT) AS scrubbed_chars
+    FROM built
+"""
+
+
+SQL_W9 = _sql_w9()
+
+
+# ---------------------------------------------------------------------------
+# g11 / o4 / i3 — score post-processing: robust scaling, rank fusion,
+# and one mixture-reweighting step over the classifier outputs.
+# ---------------------------------------------------------------------------
+
+# the g6 closed-form classifier score with the source column carried
+# through (shared by the g11 / i3 oracles)
+_SQL_CLF_SCORED = """
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(toks, t ->
+          CAST('0x' || substr(md5(
+            CAST(CAST('0x' || substr(md5(t || '|qclf|b'), 1, 8) AS BIGINT)
+                 % 4096 AS VARCHAR)
+            || '|qclf|w'), 1, 8) AS BIGINT) % 2001 - 1000
+        )), 0) AS BIGINT) AS clf_score
+      FROM toks)"""
+
+
+def q_g11_winsorize_scores(spark, sf_dir):
+    """Per-source EXACT winsorization (quality_filters.
+    winsorize_scores) of the g6 classifier score — the robust-scaling
+    pass that caps outlier scores before they feed sampling weights.
+    The Spark side finds each source's p05/p95 bounds from
+    groupBy(source, score) counts + a cumulative window over DISTINCT
+    scores (no per-source row sort at corpus scale) and broadcast-joins
+    2 ints per source back; the oracle uses the independent
+    row_number-over-rows formulation of the same ceil-rank
+    percentile_disc definition."""
+    d = quality_filters.hashed_linear_score(_t(spark, sf_dir, "documents"))
+    out = quality_filters.winsorize_scores(
+        d.select("doc_id", "source", "clf_score"),
+        group_col="source",
+        score_col="clf_score",
+    )
+    return out.select("doc_id", "source", "clf_score", "clf_score_w")
+
+
+SQL_G11 = f"""
+    WITH {_SQL_CLF_SCORED},
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY clf_score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM scored),
+    b AS (
+      SELECT source,
+             MIN(CASE WHEN rn = GREATEST(1, (cnt * 5 + 99) // 100)
+                      THEN clf_score END) AS lo,
+             MIN(CASE WHEN rn = GREATEST(1, (cnt * 95 + 99) // 100)
+                      THEN clf_score END) AS hi
+      FROM r GROUP BY 1)
+    SELECT s.doc_id, s.source, s.clf_score,
+           LEAST(GREATEST(s.clf_score, b.lo), b.hi) AS clf_score_w
+    FROM scored s JOIN b USING (source)
+"""
+
+
+def q_o4_rrf_fusion_documents(spark, sf_dir):
+    """Reciprocal-rank fusion (retrieval.rrf_fuse, Cormack et al.
+    2009) of the t12 tf-idf and t15 BM25 top-15 lists into one top-10 —
+    quantized floor(1e12/(60+rank)) contributions so the fusion is
+    cell-exact. The corpus-heavy work stays inside the two rankers;
+    the fusion itself joins two 15-row frames (scale-free)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = retrieval.tfidf_topk(docs, TFIDF_QUERY_TERMS, k=15)
+    b = retrieval.bm25_topk(docs, TFIDF_QUERY_TERMS, k=15)
+    return retrieval.rrf_fuse(a, b, k=10)
+
+
+SQL_O4 = f"""
+    WITH a AS ({SQL_T12}),
+    b AS ({SQL_T15}),
+    f AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.rank AS rank_a, b.rank AS rank_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+    s AS (
+      SELECT doc_id, rank_a, rank_b,
+             CAST(COALESCE(1000000000000 // CAST(rank_a + 60 AS BIGINT), 0)
+                + COALESCE(1000000000000 // CAST(rank_b + 60 AS BIGINT), 0)
+               AS BIGINT) AS rrf_q
+      FROM f)
+    SELECT doc_id, rrf_q, rank_a, rank_b,
+           CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS INT)
+             AS rank
+    FROM s ORDER BY rrf_q DESC, doc_id LIMIT 10
+"""
+
+
+def q_i3_doremi_domain_weights(spark, sf_dir):
+    """One linearized DoReMi reweighting step (importance.
+    doremi_linear_step; Xie et al. 2023): reference weights = each
+    source's whitespace-token share, excess loss proxied by the g6
+    classifier drop rate, update w_d ∝ share_d * (1e6 + 2*excess_ppm_d)
+    in exact integer/DECIMAL algebra (the paper's EG step to first
+    order — ``exp`` would break cell-exactness). One map-side-
+    combinable domain aggregate over the corpus; everything after is
+    |domains| rows."""
+    from ..operators import importance
+
+    d = quality_filters.hashed_linear_score(_t(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "source",
+        "clf_keep",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return importance.doremi_linear_step(per_doc)
+
+
+SQL_I3 = f"""
+    WITH {_SQL_CLF_SCORED},
+    per AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN clf_score >= 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS drops,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+      FROM scored GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(drops) AS BIGINT) AS g_drops,
+             CAST(SUM(n_docs) AS BIGINT) AS g_docs,
+             CAST(SUM(tok_sum) AS BIGINT) AS g_toks
+      FROM per),
+    staged AS (
+      SELECT domain, n_docs,
+             (tok_sum * 1000000) // g_toks AS tok_share_ppm,
+             (drops * 1000000) // n_docs AS drop_ppm,
+             GREATEST(0, (drops * 1000000) // n_docs
+                         - (g_drops * 1000000) // g_docs) AS excess_ppm
+      FROM per, tot),
+    num AS (
+      SELECT *,
+             tok_share_ppm * (1000000 + 2 * excess_ppm) AS w_num
+      FROM staged),
+    z AS (SELECT CAST(SUM(w_num) AS HUGEINT) AS zn FROM num)
+    SELECT domain, n_docs, tok_share_ppm, drop_ppm, excess_ppm,
+           CAST((CAST(w_num AS HUGEINT) * 1000000) // zn AS BIGINT)
+             AS weight_ppm
+    FROM num, z
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7395,6 +7804,13 @@ ENTRY_QUERIES = {
     "u1_url_filter_documents": (q_u1_url_filter_documents, SQL_U1),
     "w5_chat_validate_events": (q_w5_chat_validate_events, SQL_W5),
     "e16_span_corrupt_documents": (q_e16_span_corrupt_documents, SQL_E16),
+    "w6_tool_stats_events": (q_w6_tool_stats_events, SQL_W6),
+    "w7_echo_overlap_events": (q_w7_echo_overlap_events, SQL_W7),
+    "w8_turn_dedup_events": (q_w8_turn_dedup_events, SQL_W8),
+    "w9_turn_scrub_events": (q_w9_turn_scrub_events, SQL_W9),
+    "g11_winsorize_scores": (q_g11_winsorize_scores, SQL_G11),
+    "o4_rrf_fusion_documents": (q_o4_rrf_fusion_documents, SQL_O4),
+    "i3_doremi_domain_weights": (q_i3_doremi_domain_weights, SQL_I3),
 }
 
 # ---------------------------------------------------------------------------

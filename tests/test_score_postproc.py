@@ -1,0 +1,79 @@
+"""Unit tests for the score post-processing additions: per-group exact
+winsorization (quality_filters.winsorize_scores), reciprocal-rank
+fusion (retrieval.rrf_fuse), and the linearized DoReMi step
+(importance.doremi_linear_step). DuckDB parity for the catalog shapes
+lives in scripts/check_entry.py (g11/o4/i3)."""
+
+import pytest
+
+from realtime_data_quality_monitor_spark.operators import (
+    importance,
+    quality_filters,
+    retrieval,
+)
+
+
+def test_winsorize_exact_bounds(spark):
+    # group a: scores 1..20 -> k05 = ceil(20*.05)=1 -> lo=1;
+    # k95 = ceil(19)=19 -> hi=19; 20 clamps to 19
+    rows = [("a", i, i) for i in range(1, 21)]
+    # group b: 3 rows -> k05 = max(1, ceil(.15)) = 1 -> lo = min;
+    # k95 = ceil(2.85) = 3 -> hi = max (nothing clamps)
+    rows += [("b", 100 + i, v) for i, v in enumerate([7, -3, 50])]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "clf_score"])
+    out = {
+        r["doc_id"]: r["clf_score_w"]
+        for r in quality_filters.winsorize_scores(df).collect()
+    }
+    assert out[20] == 19 and out[19] == 19 and out[1] == 1 and out[2] == 2
+    assert out[100] == 7 and out[101] == -3 and out[102] == 50
+
+
+def test_winsorize_ties_and_negative_scores(spark):
+    # 10 rows of repeated values; k05=1 -> lo = smallest value; k95=10
+    # -> hi = value at cum>=10 = 5
+    vals = [-5, -5, -5, 0, 0, 0, 0, 5, 5, 5]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        ["source", "doc_id", "clf_score"],
+    )
+    out = {
+        r["doc_id"]: r["clf_score_w"]
+        for r in quality_filters.winsorize_scores(df).collect()
+    }
+    assert set(out.values()) == {-5, 0, 5}  # bounds are data values
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(10, 99, 1), (11, 98, 2), (12, 97, 3)],
+        ["doc_id", "score_q", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(11, 99, 1), (13, 98, 2)], ["doc_id", "score_q", "rank"]
+    )
+    got = {
+        r["doc_id"]: (r["rrf_q"], r["rank_a"], r["rank_b"], r["rank"])
+        for r in retrieval.rrf_fuse(a, b, k=4).collect()
+    }
+    s = 10**12
+    c = lambda r: s // (60 + r)
+    assert got[11] == (c(2) + c(1), 2, 1, 1)  # in both lists -> top
+    assert got[10] == (c(1), 1, None, 2)
+    assert got[13] == (c(2), None, 2, 3)
+    assert got[12] == (c(3), 3, None, 4)
+
+
+def test_doremi_upweights_high_drop_domain(spark):
+    # domain x: 4 docs, 0 drops; domain y: 4 docs, 2 drops; equal tokens
+    rows = [("x", 1, 10)] * 4 + [("y", 1, 10)] * 2 + [("y", 0, 10)] * 2
+    df = spark.createDataFrame(rows, ["source", "clf_keep", "n_tokens"])
+    got = {r["domain"]: r for r in importance.doremi_linear_step(df).collect()}
+    # shares: 40/80 each -> 500000 ppm; global drop = 2/8 = 250000 ppm
+    assert got["x"]["tok_share_ppm"] == 500000
+    assert got["x"]["drop_ppm"] == 0 and got["y"]["drop_ppm"] == 500000
+    assert got["x"]["excess_ppm"] == 0
+    assert got["y"]["excess_ppm"] == 250000
+    # nums: x = 5e5 * 1e6, y = 5e5 * 1.5e6 -> weights 400000 / 600000
+    assert got["x"]["weight_ppm"] == 400000
+    assert got["y"]["weight_ppm"] == 600000

@@ -1,0 +1,185 @@
+"""Unit tests for operators/transcript_qc.py — the turns-shape QC
+family (w6-w9): tool-loop stats, echo/parroting, cross-conversation
+turn dedup, per-turn scrub. Fixtures are hand-computed; the DuckDB
+parity for the events-derived entries lives in scripts/check_entry.py
+(w6-w9)."""
+
+import pytest
+
+from realtime_data_quality_monitor_spark.functions.scrub import scrub_text
+from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+
+
+def _turns4(spark, rows):
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+
+
+def test_tool_stats_runs_and_loop_flag(spark):
+    rows = [
+        # conv 1: search,search,search (interleaved user turns ignored)
+        (1, 0, "user", "q", None),
+        (1, 1, "assistant", "a", "search"),
+        (1, 2, "user", "q2", None),
+        (1, 3, "assistant", "a", "search"),
+        (1, 4, "assistant", "a", "search"),
+        # conv 2: search,calc,search -> max run 1
+        (2, 0, "assistant", "a", "search"),
+        (2, 1, "assistant", "a", "calc"),
+        (2, 2, "assistant", "a", "search"),
+        # conv 3: no tool calls at all
+        (3, 0, "user", "hi", None),
+        (3, 1, "assistant", "hello", None),
+        # conv 4: run of 2 then run of 2 of another tool
+        (4, 0, "assistant", "a", "calc"),
+        (4, 1, "assistant", "a", "calc"),
+        (4, 2, "assistant", "a", "search"),
+        (4, 3, "assistant", "a", "search"),
+    ]
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_tool_calls"], r["n_distinct_tools"],
+            r["max_tool_run"], r["loop_flag"],
+        )
+        for r in transcript_qc.tool_stats(
+            _turns(spark, rows), order_cols=("turn_idx",)
+        ).collect()
+    }
+    assert got == {
+        1: (5, 3, 1, 3, 1),
+        2: (3, 3, 2, 1, 0),
+        3: (2, 0, 0, 0, 0),
+        4: (4, 4, 2, 2, 0),
+    }
+
+
+def test_tool_stats_one_exchange_plan(spark):
+    rows = [
+        (i % 7, i, "assistant", "t", "search" if i % 3 else None)
+        for i in range(100)
+    ]
+    out = transcript_qc.tool_stats(
+        _turns(spark, rows), order_cols=("turn_idx",)
+    )
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_echo_overlap_ppm(spark):
+    rows = [
+        # conv 1: assistant repeats 2 of its 4 distinct tokens from user
+        (1, 0, "user", "the cat sat here"),
+        (1, 1, "assistant", "cat here says more words"),  # 2/5
+        # conv 2: full parrot
+        (2, 0, "user", "exact copy"),
+        (2, 1, "assistant", "exact copy"),  # 2/2
+        # conv 3: no overlap + a non-pair (assistant after assistant)
+        (3, 0, "user", "alpha beta"),
+        (3, 1, "assistant", "gamma delta"),  # 0/2
+        (3, 2, "assistant", "alpha beta"),  # not a pair
+        # conv 4: no pairs at all
+        (4, 0, "assistant", "hello"),
+    ]
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_pairs"], r["max_echo_ppm"],
+            r["mean_echo_ppm"], r["high_echo"],
+        )
+        for r in transcript_qc.echo_overlap(
+            _turns4(spark, rows), order_cols=("turn_idx",)
+        ).collect()
+    }
+    assert got == {
+        1: (2, 1, 400000, 400000, 0),
+        2: (2, 1, 1000000, 1000000, 1),
+        3: (3, 1, 0, 0, 0),
+        4: (1, 0, 0, 0, 0),
+    }
+
+
+def test_echo_distinct_tokens_and_case(spark):
+    # containment is over DISTINCT lowercase tokens of the assistant turn
+    rows = [
+        (1, 0, "user", "Word other"),
+        (1, 1, "assistant", "word WORD word extra"),  # {word,extra}: 1/2
+    ]
+    [r] = transcript_qc.echo_overlap(
+        _turns4(spark, rows), order_cols=("turn_idx",)
+    ).collect()
+    assert r["max_echo_ppm"] == 500000 and r["high_echo"] == 1
+
+
+def test_turn_dedup_cross_conversation(spark):
+    rows = [
+        # "canned reply" appears in convs 1,2,3; conv 3 is all canned
+        (1, 0, "user", "unique question one"),
+        (1, 1, "assistant", "canned reply"),
+        (2, 0, "user", "unique question two"),
+        (2, 1, "assistant", "canned  reply"),  # ws-normalized dup
+        (3, 0, "assistant", "CANNED reply"),  # case-normalized dup
+        # conv 4: repeated within ONE conv only -> not shared
+        (4, 0, "user", "self repeat"),
+        (4, 1, "user", "self repeat"),
+    ]
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["dup_turns"], r["dup_frac_ppm"], r["keep"]
+        )
+        for r in transcript_qc.turn_dedup(
+            _turns4(spark, rows)
+        ).collect()
+    }
+    assert got == {
+        1: (2, 1, 500000, 0),
+        2: (2, 1, 500000, 0),
+        3: (1, 1, 1000000, 0),
+        4: (2, 0, 0, 1),
+    }
+
+
+def test_scrub_turns_matches_python_scrub_and_is_row_local(spark):
+    rows = [
+        (1, 0, "user", "mail me a@b.com please"),
+        (1, 1, "assistant", "call (555) 123-4567 you idiot"),
+        (2, 0, "user", "nothing to scrub here"),
+    ]
+    df = _turns4(spark, rows)
+    out = transcript_qc.scrub_turns(df, id_cols=("conv_id", "turn_idx"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["scrubbed"] for r in out.collect()
+    }
+    # scrub_native is the lookaround-free subset of scrub_text; on these
+    # inputs (no digit-context edge cases) the two agree exactly
+    expect = {
+        (r[0], r[1]): scrub_text(r[3]) for r in rows
+    }
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # purely row-local
+
+
+def test_scrub_turns_idempotent(spark):
+    rows = [(1, 0, "user", "a@b.com (555) 123-4567 123-45-6789 damn")]
+    df = _turns4(spark, rows)
+    once = transcript_qc.scrub_turns(df, id_cols=("conv_id", "turn_idx"))
+    twice = transcript_qc.scrub_turns(
+        once.withColumnRenamed("scrubbed", "text"),
+        id_cols=("conv_id", "turn_idx"),
+    )
+    assert (
+        once.collect()[0]["scrubbed"] == twice.collect()[0]["scrubbed"]
+    )
