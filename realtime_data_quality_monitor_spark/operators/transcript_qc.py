@@ -271,3 +271,122 @@ def scrub_turns(
         *[F.col(c) for c in id_cols],
         scrub_native(F.col(text_col)).alias("scrubbed"),
     )
+
+
+def lang_consistency(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language consistency: run the stopword-profile
+    language ID (textstats.with_langid — the t1 machinery) on every
+    TURN, then report each conversation's majority language, distinct
+    detected-language count, and a mixed flag. Code-switched or
+    wrongly-merged conversations are flagged before they reach
+    training (a per-document langid pass cannot see this: the
+    conversation is the unit).
+
+    majority_lang tie-break is alphabetical (deterministic): the
+    detected list is collected per conversation, ``sort_array``-ed so
+    equal values are adjacent, and ONE struct-accumulator F.aggregate
+    run-scan takes the longest run — a strict ``>`` keeps the first
+    (= alphabetically smallest) on ties. One conversation-keyed
+    exchange; langid itself is row-local column algebra.
+    """
+    from .textstats import with_langid
+
+    det = with_langid(turns, text_col=text_col, out_col="__det")
+    g = det.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sort_array(F.collect_list("__det")).alias("__langs"),
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        F.lit(None).cast("string").alias("bestlang"),
+    )
+
+    def _step(acc, lang):
+        run = (
+            F.when(acc["prev"].isNotNull() & (lang == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        better = run > acc["best"]
+        return F.struct(
+            lang.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, lang).otherwise(acc["bestlang"]).alias("bestlang"),
+        )
+
+    majority = F.aggregate(
+        F.col("__langs"), acc0, _step, lambda a: a["bestlang"]
+    )
+    n_langs = F.size(F.array_distinct("__langs")).cast("long")
+    return g.select(
+        "conv_id",
+        "n_turns",
+        majority.alias("majority_lang"),
+        n_langs.alias("n_langs"),
+        (n_langs >= 2).cast("int").alias("mixed"),
+    )
+
+
+def self_repetition(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("t", "event_id"),
+    role_col: str = "role",
+    text_col: str = "text",
+    stuck_ppm: int = 800_000,
+) -> DataFrame:
+    """Assistant SELF-repetition audit — the text-loop complement of
+    :func:`tool_stats`: over each conversation's assistant-turn
+    subsequence (turn order, user turns ignored), the exact-ppm
+    Jaccard between every assistant turn's distinct token set and the
+    PREVIOUS assistant turn's:
+
+        selfrep_ppm = (|A_i ∩ A_{i-1}| * 1e6) div |A_i ∪ A_{i-1}|
+
+    (pairs with a non-empty union). Per conversation: n_assistant,
+    n_pairs, max/mean selfrep ppm (0 when no pairs), stuck_flag = 1
+    iff max >= ``stuck_ppm`` — the "agent repeating itself" signature.
+    Conversations with no assistant turns are absent by construction.
+
+    One exchange (the w7 shape): lag window over the assistant subset,
+    then a conversation groupBy that reuses the same hash
+    partitioning. Token algebra row-local, idiv integer-exact.
+    """
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    asst = turns.filter(F.col(role_col) == "assistant")
+    a = _tokens_distinct(F.col(text_col))
+    b = _tokens_distinct(F.lag(text_col).over(w))
+    union = F.size(F.array_union(a, b)).cast("long")
+    ppm = F.when(
+        F.lag(text_col).over(w).isNotNull() & (union > 0),
+        idiv(
+            F.size(F.array_intersect(a, b)).cast("long") * F.lit(PPM), union
+        ),
+    )
+    per_turn = asst.select(
+        F.col(conv_col).alias("conv_id"), ppm.alias("rep_ppm")
+    )
+    n_pairs = F.count("rep_ppm").cast("long")
+    return per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant"),
+        n_pairs.alias("n_pairs"),
+        F.coalesce(F.max("rep_ppm"), F.lit(0).cast("long")).alias(
+            "max_selfrep_ppm"
+        ),
+        F.when(n_pairs > 0, idiv(F.sum("rep_ppm"), n_pairs))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_selfrep_ppm"),
+        (
+            F.coalesce(F.max("rep_ppm"), F.lit(0).cast("long"))
+            >= F.lit(int(stuck_ppm))
+        )
+        .cast("int")
+        .alias("stuck_flag"),
+    )

@@ -7606,6 +7606,149 @@ SQL_I3 = f"""
 """
 
 
+def _w10_sentences() -> list:
+    """The four per-language turn texts (en + the generator's es/fr/de
+    fixtures) — ONE Python constant shared by the Spark query and the
+    oracle SQL so the literals cannot drift."""
+    from ..functions.constants import (
+        GEN_SENTENCES_DE,
+        GEN_SENTENCES_ES,
+        GEN_SENTENCES_FR,
+    )
+
+    en = (
+        "the people of the town and the market have a steady light"
+        " that they check with the morning paper"
+    )
+    return [en, GEN_SENTENCES_ES[0], GEN_SENTENCES_FR[0], GEN_SENTENCES_DE[0]]
+
+
+def q_w10_lang_consistency_events(spark, sf_dir):
+    """Per-conversation language consistency (transcript_qc.
+    lang_consistency -> textstats.with_langid per TURN): each
+    conversation gets a base language from conv_id % 4 and a rare
+    deterministic code-switch (event_id % 97 == 0) to the next
+    language, so ~half the conversations at sf0.01 are genuinely
+    mixed. Majority language ties break alphabetically on BOTH sides
+    (Spark: sorted-run scan with strict >; oracle: ORDER BY n DESC,
+    lang ASC). One conversation-keyed exchange; langid is row-local
+    column algebra."""
+    t = _event_turns(spark, sf_dir)
+    sents = _w10_sentences()
+    idx = F.when(
+        F.col("event_id") % 97 == 0, (F.col("conv_id") + 1) % 4
+    ).otherwise(F.col("conv_id") % 4)
+    built = t.withColumn(
+        "text",
+        F.element_at(
+            F.array(*[F.lit(s) for s in sents]), (idx + 1).cast("int")
+        ),
+    )
+    return transcript_qc.lang_consistency(built)
+
+
+def _sql_w10() -> str:
+    sents = _w10_sentences()
+    case_text = (
+        "CASE (CASE WHEN event_id % 97 = 0 THEN (conv_id + 1) % 4"
+        " ELSE conv_id % 4 END)"
+        + "".join(
+            f" WHEN {i} THEN '{s}'" for i, s in enumerate(sents[:3])
+        )
+        + f" ELSE '{sents[3]}' END"
+    )
+    return f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    built AS (
+      SELECT conv_id, event_id, {case_text} AS text FROM t),
+    toks AS (
+      SELECT conv_id, event_id, lower(tk.tok) AS tok
+      FROM built, UNNEST(string_split(text, ' ')) AS tk(tok)
+      WHERE tk.tok != ''),
+    hits AS (
+      SELECT conv_id, event_id,
+             SUM((tok IN ({_stop_list_sql('en')}))::INT) AS en_hits,
+             SUM((tok IN ({_stop_list_sql('es')}))::INT) AS es_hits,
+             SUM((tok IN ({_stop_list_sql('fr')}))::INT) AS fr_hits,
+             SUM((tok IN ({_stop_list_sql('de')}))::INT) AS de_hits
+      FROM toks GROUP BY 1, 2),
+    det AS (
+      SELECT conv_id,
+             CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) <= 0
+                    THEN 'unknown'
+                  WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits)
+                    THEN 'en'
+                  WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits)
+                    THEN 'es'
+                  WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits)
+                    THEN 'fr'
+                  ELSE 'de' END AS det
+      FROM hits),
+    cnt AS (SELECT conv_id, det, CAST(COUNT(*) AS BIGINT) AS n
+            FROM det GROUP BY 1, 2),
+    maj AS (
+      SELECT conv_id, det AS majority_lang FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY n DESC, det ASC) = 1),
+    agg AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(COUNT(DISTINCT det) AS BIGINT) AS n_langs
+      FROM det GROUP BY 1)
+    SELECT a.conv_id, a.n_turns, m.majority_lang, a.n_langs,
+           CAST(a.n_langs >= 2 AS INT) AS mixed
+    FROM agg a JOIN maj m USING (conv_id)
+"""
+
+
+SQL_W10 = _sql_w10()
+
+
+def q_w11_self_repetition_events(spark, sf_dir):
+    """Assistant self-repetition audit (transcript_qc.self_repetition):
+    exact-ppm Jaccard between each assistant turn's distinct token set
+    and the PREVIOUS assistant turn's, per conversation — the text-loop
+    complement of w6's tool loops ("agent repeating itself"). The lag
+    window over the assistant subset and the conversation groupBy share
+    one hash partitioning; the oracle replays the pairs with lag + list
+    algebra."""
+    return transcript_qc.self_repetition(
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+    )
+
+
+_W11_A = "list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+_W11_B = "list_distinct(list_filter(string_split(lower(prev_text), ' '), x -> x <> ''))"
+
+SQL_W11 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    asst AS (SELECT * FROM t WHERE role = 'assistant'),
+    seq AS (
+      SELECT conv_id, text, lag(text) OVER w AS prev_text
+      FROM asst WINDOW w AS (PARTITION BY conv_id ORDER BY tu, event_id)),
+    p AS (
+      SELECT conv_id,
+             CASE WHEN prev_text IS NOT NULL
+                   AND len(list_distinct({_W11_A} || {_W11_B})) > 0
+                  THEN (CAST(len(list_filter({_W11_A},
+                             x -> list_contains({_W11_B}, x))) AS BIGINT)
+                        * 1000000)
+                       // CAST(len(list_distinct({_W11_A} || {_W11_B}))
+                               AS BIGINT)
+             END AS rep_ppm
+      FROM seq)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_assistant,
+           CAST(COUNT(rep_ppm) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(MAX(rep_ppm), 0) AS BIGINT) AS max_selfrep_ppm,
+           CAST(CASE WHEN COUNT(rep_ppm) > 0
+                     THEN SUM(rep_ppm) // COUNT(rep_ppm)
+                     ELSE 0 END AS BIGINT) AS mean_selfrep_ppm,
+           CAST(COALESCE(MAX(rep_ppm), 0) >= 800000 AS INT) AS stuck_flag
+    FROM p GROUP BY 1
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7811,6 +7954,8 @@ ENTRY_QUERIES = {
     "g11_winsorize_scores": (q_g11_winsorize_scores, SQL_G11),
     "o4_rrf_fusion_documents": (q_o4_rrf_fusion_documents, SQL_O4),
     "i3_doremi_domain_weights": (q_i3_doremi_domain_weights, SQL_I3),
+    "w10_lang_consistency_events": (q_w10_lang_consistency_events, SQL_W10),
+    "w11_self_repetition_events": (q_w11_self_repetition_events, SQL_W11),
 }
 
 # ---------------------------------------------------------------------------

@@ -183,3 +183,56 @@ def test_scrub_turns_idempotent(spark):
     assert (
         once.collect()[0]["scrubbed"] == twice.collect()[0]["scrubbed"]
     )
+
+
+def test_lang_consistency_majority_and_mixed(spark):
+    rows = [
+        # conv 1: two en turns, one es turn -> majority en, mixed
+        (1, 0, "user", "the cat is on the mat and it is flat"),
+        (1, 1, "assistant", "that was for you with all of the team"),
+        (1, 2, "user", "el gato de la casa es muy grande y los perros"),
+        # conv 2: all unknown (no stopwords)
+        (2, 0, "user", "xyzzy plugh"),
+        (2, 1, "assistant", "qwerty asdf"),
+        # conv 3: 1 en + 1 es -> tie -> alphabetical: en
+        (3, 0, "user", "the cat is on the mat and it is flat"),
+        (3, 1, "assistant", "el gato de la casa es muy grande y los perros"),
+    ]
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["majority_lang"], r["n_langs"], r["mixed"]
+        )
+        for r in transcript_qc.lang_consistency(
+            _turns4(spark, rows)
+        ).collect()
+    }
+    assert got == {
+        1: (3, "en", 2, 1),
+        2: (2, "unknown", 1, 0),
+        3: (2, "en", 2, 1),
+    }
+
+
+def test_self_repetition_jaccard(spark):
+    rows = [
+        # conv 1: a->a identical (1e6), then half-overlap pair
+        (1, 0, "assistant", "alpha beta"),
+        (1, 1, "user", "interleaved ignored"),
+        (1, 2, "assistant", "alpha beta"),        # jac 1.0 vs turn 0
+        (1, 3, "assistant", "alpha gamma delta"),  # inter 1, union 4
+        # conv 2: single assistant turn -> no pairs
+        (2, 0, "assistant", "solo"),
+    ]
+    got = {
+        r["conv_id"]: (
+            r["n_assistant"], r["n_pairs"], r["max_selfrep_ppm"],
+            r["mean_selfrep_ppm"], r["stuck_flag"],
+        )
+        for r in transcript_qc.self_repetition(
+            _turns4(spark, rows), order_cols=("turn_idx",)
+        ).collect()
+    }
+    assert got == {
+        1: (3, 2, 1000000, 625000, 1),  # (1000000 + 250000) div 2
+        2: (1, 0, 0, 0, 0),
+    }
