@@ -7749,6 +7749,66 @@ SQL_W11 = f"""
 """
 
 
+def q_e17_chat_pack_events(spark, sf_dir):
+    """End-to-end SFT export composition: render_chat (w4) turns each
+    conversation into ONE '<|role|>text<|end|>' training document, then
+    pack_sequences (e7) lays the rendered documents out into
+    fixed-token-budget training sequences — the two halves of "export
+    conversations for SFT" run as one lineage. Two keyed exchanges
+    total (conversation render + shard layout); the cumulative window
+    never crosses shards. The oracle rebuilds the rendered strings with
+    string_agg and replays the e7 packing algebra on them."""
+    rendered = export.render_chat(
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+    )
+    out = export.pack_sequences(
+        rendered.select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("rendered").alias("text"),
+        ),
+        seed="sft-pack",
+        budget_tokens=2048,
+        n_shards=8,
+        shuffle=False,
+    )
+    return out.select(
+        "doc_id", "shard", "n_tokens", "tok_start", "seq_id", "tok_offset"
+    )
+
+
+SQL_E17 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    seg AS (
+      SELECT conv_id, tu, event_id,
+             '<|' || role || '|>' || text || '<|end|>' AS seg
+      FROM t),
+    doc AS (
+      SELECT conv_id AS doc_id,
+             string_agg(seg, '' ORDER BY tu, event_id) AS text
+      FROM seg GROUP BY 1),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sft-pack|'),
+                  1, 8) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM doc),
+    s AS (
+      SELECT doc_id, CAST(hh % 8 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY hh % 8 ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+      FROM h)
+    SELECT doc_id, shard, n_tokens, tok_start,
+           CAST((tok_start - tok_start % 2048) / 2048 AS BIGINT) AS seq_id,
+           CAST(tok_start % 2048 AS BIGINT) AS tok_offset
+    FROM s
+"""
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -7956,6 +8016,7 @@ ENTRY_QUERIES = {
     "i3_doremi_domain_weights": (q_i3_doremi_domain_weights, SQL_I3),
     "w10_lang_consistency_events": (q_w10_lang_consistency_events, SQL_W10),
     "w11_self_repetition_events": (q_w11_self_repetition_events, SQL_W11),
+    "e17_chat_pack_events": (q_e17_chat_pack_events, SQL_E17),
 }
 
 # ---------------------------------------------------------------------------

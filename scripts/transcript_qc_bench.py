@@ -1,0 +1,111 @@
+"""Transcript-scale bench for the turns-shape QC family (w6-w11 + the
+per-turn scrub): the catalog entries are verified at sf0.01 (10k
+events-derived turns); this measures the same operators on the ~4.9M-turn
+bench transcript table (bench.py's ensure_transcripts at sf0.1 — 480k
+conversations, every 8th a 2000-turn hot conversation, 2% duplicates) so
+the walls reflect the conversation-keyed exchange + skew behavior the
+100 TB design argues about, not fixture overhead.
+
+Methodology (CLAUDE.md): one FULL-SIZE warmup pass per operator, then
+best-of-N (default 2) timed passes materialized via the noop sink;
+crash-resumable partial flushes; one JSON line on stdout, with the same
+host-epoch probe bench.py records (absolute walls are only comparable
+within one epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import ensure_transcripts, host_epoch_sec  # noqa: E402
+from realtime_data_quality_monitor_spark.operators import (  # noqa: E402
+    transcript_qc,
+)
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+SF_NAME = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_TAIL_REPS", "2"))
+PARTIAL_PATH = f"/tmp/rdqm_tqc_partial_{SF_NAME}.json"
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(name, thunk, results, reps=REPS):
+    if name in results:
+        print(f"{name:24s} skip (resumed: {results[name]} s)", file=sys.stderr)
+        return
+    walls = []
+    thunk()  # full-size warmup (JIT + lazy-fault absorption)
+    for _ in range(reps):
+        t0 = time.time()
+        thunk()
+        walls.append(round(time.time() - t0, 2))
+    results[name] = min(walls)
+    print(f"{name:24s} best {min(walls):7.2f} s  (runs: {walls})",
+          file=sys.stderr)
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(results, f)
+
+
+def main():
+    spark = get_spark(app_name="transcript-qc-bench")
+    path = ensure_transcripts(spark, SF_NAME)
+    turns = spark.read.parquet(path).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    n_turns = turns.count()
+    print(f"corpus: {n_turns} turns", file=sys.stderr)
+
+    results: dict = {}
+    if os.path.exists(PARTIAL_PATH):
+        with open(PARTIAL_PATH) as f:
+            results.update(json.load(f))
+        print(f"resuming with {sorted(results)}", file=sys.stderr)
+
+    order = ("turn_idx",)
+    timed("w6_tool_stats", lambda: _noop(
+        transcript_qc.tool_stats(turns, order_cols=order)), results)
+    timed("w7_echo_overlap", lambda: _noop(
+        transcript_qc.echo_overlap(turns, order_cols=order)), results)
+    timed("w8_turn_dedup", lambda: _noop(
+        transcript_qc.turn_dedup(turns)), results)
+    timed("w9_scrub_turns", lambda: _noop(
+        transcript_qc.scrub_turns(
+            turns, id_cols=("conv_id", "turn_idx")
+        ).select("conv_id", "turn_idx", F.md5("scrubbed"))), results)
+    timed("w10_lang_consistency", lambda: _noop(
+        transcript_qc.lang_consistency(turns)), results)
+    timed("w11_self_repetition", lambda: _noop(
+        transcript_qc.self_repetition(turns, order_cols=order)), results)
+
+    total = round(sum(results.values()), 2)
+    spark.stop()  # before the epoch probe so JVM threads don't contend
+    print(json.dumps({
+        "metric": "transcript_qc_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "n_turns": n_turns,
+        "turns_per_sec_scrub": (
+            int(n_turns / results["w9_scrub_turns"])
+            if results.get("w9_scrub_turns") else None
+        ),
+        "sf": SF_NAME,
+        "host_epoch_sec": host_epoch_sec(),
+        "host_epoch_clean_ref_sec": 1.2,
+    }))
+
+
+if __name__ == "__main__":
+    main()
