@@ -82,19 +82,53 @@ def native_toxicity_pattern() -> str:
     return r"(?i)\b(?:" + "|".join(words) + r")\b"
 
 
-def scrub_native(col):
+# Literal gate per native stage: every match of the stage's pattern
+# CONTAINS this literal, so skipping the regexp_replace when the input
+# lacks the literal is a semantic no-op. The gate is the scrub_prefilter
+# idea applied to the JVM chain — and it is the LINEARITY guard: the
+# email pattern's `[class]+@` scan is O(n^2) on a long class-run with no
+# '@' (Matcher.find re-scans the run from every start position; a
+# possessive quantifier does not help — the restart itself is the
+# quadratic), and corpus-scale garbage contains exactly such runs
+# (measured: 92k 'x'*33000 oversized-defect turns pinned 32 cores for
+# 20+ min; gated, the same pass is seconds). Gates test the ORIGINAL
+# input column, which stays a superset of "might match" through the
+# chain because no replacement token ('[EMAIL]', '[PHONE]', '[SSN]',
+# '[REDACTED]') contains any gate literal.
+_NATIVE_GATE = {"email": "@", "phone": "(", "ssn": "-"}
+
+
+def scrub_native(col, gated: bool = True):
     """Column-algebra scrub: apply NATIVE_SCRUB_PATTERNS in order, then
     the toxicity union — all regexp_replace, zero Python. Semantics are a
     documented SUBSET of scrub_text (no lookaround context guards), so
     an SSN-shaped run inside a longer digit string is also replaced here;
     at corpus scale that trade buys whole-stage codegen for the entire
-    scrub stage."""
+    scrub stage.
+
+    ``gated=True`` (default) wraps each stage in a literal ``contains``
+    gate on the ORIGINAL column (see _NATIVE_GATE) — identical output,
+    linear on pathological no-match text; codegen subexpression
+    elimination collapses the duplicated branch values. ``gated=False``
+    is the plain chain, kept for the equality pin in tests."""
     from pyspark.sql import functions as F
 
     out = col
-    for _name, pat, repl in NATIVE_SCRUB_PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
-    return F.regexp_replace(out, native_toxicity_pattern(), TOXICITY_REPLACEMENT)
+    for name, pat, repl in NATIVE_SCRUB_PATTERNS:
+        rep = F.regexp_replace(out, pat, repl)
+        if gated:
+            out = F.when(col.contains(_NATIVE_GATE[name]), rep).otherwise(out)
+        else:
+            out = rep
+    tox = F.regexp_replace(out, native_toxicity_pattern(), TOXICITY_REPLACEMENT)
+    if not gated:
+        return tox
+    lowered = F.lower(col)
+    has_term = None
+    for w in TOXICITY_LEXICON:
+        c = lowered.contains(w.lower())
+        has_term = c if has_term is None else (has_term | c)
+    return F.when(has_term, tox).otherwise(out)
 
 
 def scrub_text(text: str) -> str:

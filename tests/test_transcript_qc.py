@@ -236,3 +236,31 @@ def test_self_repetition_jaccard(spark):
         1: (3, 2, 1000000, 625000, 1),  # (1000000 + 250000) div 2
         2: (1, 0, 0, 0, 0),
     }
+
+
+def test_scrub_native_gate_equality(spark):
+    # the literal-contains gates must be a pure performance change:
+    # gated == ungated on PII-dense, PII-free, and pathological inputs
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.functions.scrub import (
+        scrub_native,
+    )
+
+    rows = [
+        (1, "a@b.com and (555) 123-4567 and 123-45-6789 damn"),
+        (2, "no pii here at all"),
+        (3, "x" * 33000),  # the oversized-defect turn: quadratic ungated
+        (4, "dash-only - text - with hyphens"),
+        (5, "shouting BULLSHIT mixed Case Idiot"),
+        (6, ""),
+        (7, "trailing at sign @"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = df.select(
+        "i",
+        scrub_native(F.col("text"), gated=True).alias("g"),
+        scrub_native(F.col("text"), gated=False).alias("u"),
+    )
+    bad = out.filter("g IS DISTINCT FROM u").count()
+    assert bad == 0
