@@ -264,3 +264,59 @@ def test_scrub_native_gate_equality(spark):
     )
     bad = out.filter("g IS DISTINCT FROM u").count()
     assert bad == 0
+
+
+def _final_plan(df):
+    df.write.format("noop").mode("overwrite").save()
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_echo_overlap_single_exchange_plan(spark):
+    rows = [
+        (i % 7, i, "user" if i % 2 else "assistant", f"tok{i} tok{i+1}")
+        for i in range(200)
+    ]
+    df = transcript_qc.echo_overlap(
+        _turns4(spark, rows), order_cols=("turn_idx",)
+    )
+    plan = _final_plan(df)
+    # the lag window and the conversation groupBy share ONE hash
+    # partitioning — EnsureRequirements must not add a second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_self_repetition_single_exchange_plan(spark):
+    rows = [
+        (i % 7, i, "assistant", f"tok{i} tok{i+1}") for i in range(200)
+    ]
+    df = transcript_qc.self_repetition(
+        _turns4(spark, rows), order_cols=("turn_idx",)
+    )
+    assert _final_plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_lang_consistency_single_exchange_plan(spark):
+    rows = [
+        (i % 7, i, "user", "the cat and the hat") for i in range(200)
+    ]
+    df = transcript_qc.lang_consistency(_turns4(spark, rows))
+    assert _final_plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_turn_dedup_no_text_in_shuffle(spark):
+    # turn text must reduce to the 60-bit fingerprint BEFORE any
+    # exchange: no shuffle input carries the text column
+    rows = [
+        (i % 7, i, "user", f"some words {i % 11}") for i in range(200)
+    ]
+    df = transcript_qc.turn_dedup(_turns4(spark, rows))
+    plan = _final_plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
