@@ -7809,6 +7809,111 @@ SQL_E17 = f"""
 """
 
 
+def q_p15_pii_datasheet_documents(spark, sf_dir):
+    """Per-source PII/toxicity prevalence datasheet — the governance
+    report a curation pipeline publishes next to the scrub stage (what
+    fraction of each source carried PII before scrubbing, by type).
+    Counts use the native (lookaround-free, RE2/Java-common) patterns
+    on the same deterministic t10 planted text, so Spark's
+    regexp_count and DuckDB's len(regexp_extract_all) agree exactly
+    (both count non-overlapping left-to-right matches). One map-side-
+    combinable source aggregate; row-local regex counting in
+    whole-stage codegen."""
+    from ..functions.scrub import NATIVE_SCRUB_PATTERNS, native_toxicity_pattern
+
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789 you idiot")
+        ).otherwise(F.lit("")),
+    )
+    pats = {name: pat for name, pat, _repl in NATIVE_SCRUB_PATTERNS}
+    cnt = {
+        name: F.regexp_count(pii, F.lit(pat)).cast("long")
+        for name, pat in pats.items()
+    }
+    cnt["tox"] = F.regexp_count(
+        pii, F.lit(native_toxicity_pattern())
+    ).cast("long")
+    any_hit = (
+        (cnt["email"] + cnt["phone"] + cnt["ssn"] + cnt["tox"]) > 0
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        cnt["email"].alias("n_email"),
+        cnt["phone"].alias("n_phone"),
+        cnt["ssn"].alias("n_ssn"),
+        cnt["tox"].alias("n_tox"),
+        any_hit.alias("has_pii"),
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    return per_doc.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_ssn").cast("long").alias("ssns"),
+        F.sum("n_tox").cast("long").alias("tox_hits"),
+        F.sum("has_pii").cast("long").alias("docs_with_pii"),
+        _exact_idiv(
+            F.sum("has_pii").cast("long") * F.lit(1_000_000), n_docs
+        ).alias("pii_rate_ppm"),
+    )
+
+
+def _sql_p15() -> str:
+    from ..functions.scrub import NATIVE_SCRUB_PATTERNS, native_toxicity_pattern
+
+    pats = {name: pat for name, pat, _repl in NATIVE_SCRUB_PATTERNS}
+    c = {
+        name: f"CAST(len(regexp_extract_all(built, '{pat}')) AS BIGINT)"
+        for name, pat in pats.items()
+    }
+    c["tox"] = (
+        "CAST(len(regexp_extract_all(built, "
+        f"'{native_toxicity_pattern()}')) AS BIGINT)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or (555) 123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' ssn 123-45-6789 you idiot' ELSE '' END
+               AS built
+      FROM documents),
+    per AS (
+      SELECT source,
+             {c['email']} AS n_email,
+             {c['phone']} AS n_phone,
+             {c['ssn']} AS n_ssn,
+             {c['tox']} AS n_tox
+      FROM b),
+    f AS (
+      SELECT *,
+             CAST(n_email + n_phone + n_ssn + n_tox > 0 AS BIGINT)
+               AS has_pii
+      FROM per)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+           CAST(SUM(n_tox) AS BIGINT) AS tox_hits,
+           CAST(SUM(has_pii) AS BIGINT) AS docs_with_pii,
+           (CAST(SUM(has_pii) AS BIGINT) * 1000000)
+             // CAST(COUNT(*) AS BIGINT) AS pii_rate_ppm
+    FROM f GROUP BY 1
+"""
+
+
+SQL_P15 = _sql_p15()
+
+
 ENTRY_QUERIES = {
     # -- group 1: no round-1 driver verdict ------------------------------
     "t4_fingerprint_documents": (q_t4_fingerprint_documents, SQL_T4),
@@ -8017,6 +8122,7 @@ ENTRY_QUERIES = {
     "w10_lang_consistency_events": (q_w10_lang_consistency_events, SQL_W10),
     "w11_self_repetition_events": (q_w11_self_repetition_events, SQL_W11),
     "e17_chat_pack_events": (q_e17_chat_pack_events, SQL_E17),
+    "p15_pii_datasheet_documents": (q_p15_pii_datasheet_documents, SQL_P15),
 }
 
 # ---------------------------------------------------------------------------
@@ -8104,3 +8210,51 @@ ENTRY_QUERIES = {
     **{k: ENTRY_QUERIES[k] for k in _ROUND3_WINDOW},
     **{k: v for k, v in ENTRY_QUERIES.items() if k not in set(_ROUND3_WINDOW)},
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
+# round; this is the rotation to execute AT THE START of round 4 (i.e.
+# once VERDICT r3 exists): the 41 entries that will then never have had a
+# driver verdict (added after the round-3 window was frozen) plus 9
+# round-green sentinels spread across families. To execute: replace
+# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
+# import-validated, so the swap is a one-line change with no typo risk.
+# ---------------------------------------------------------------------------
+_ROUND4_WINDOW_PLAN = [
+    # TPC-H shapes never driver-verified (derived-partsupp family included)
+    "q2_min_cost_supplier", "q4_priority_semijoin", "q7_volume_shipping",
+    "q9_product_type_profit", "q11_important_stock",
+    "q12_priority_linestatus", "q13_order_count_distribution",
+    "q15_top_supplier_revenue", "q16_supplier_part_counts",
+    "q17_small_qty_revenue", "q19_disjunct_revenue",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customer_balance",
+    # export tail + curation additions
+    "e12_domain_cap_documents", "e13_ccnet_buckets_documents",
+    "e14_overlap_fraction_documents", "e15_unimax_sample_documents",
+    "e16_span_corrupt_documents", "e17_chat_pack_events",
+    # importance / score post-processing
+    "i1_dsir_weights_documents", "i2_dsir_topk_documents",
+    "i3_doremi_domain_weights",
+    "g9_filter_attribution", "g10_clf_threshold_sweep",
+    "g11_winsorize_scores",
+    # LM scoring, diversity, retrieval
+    "lm1_bigram_fluency_documents", "t14_source_diversity_documents",
+    "t15_bm25_topk_documents", "o4_rrf_fusion_documents",
+    # transcript-structure family
+    "w4_chat_render_events", "w5_chat_validate_events",
+    "w6_tool_stats_events", "w7_echo_overlap_events",
+    "w8_turn_dedup_events", "w9_turn_scrub_events",
+    "w10_lang_consistency_events", "w11_self_repetition_events",
+    # URL filtering, OR-amplified LSH, governance datasheet
+    "u1_url_filter_documents", "s5_lsh_multi_ann_embeddings",
+    "p15_pii_datasheet_documents",
+    # round-green sentinels, one per major family
+    "p7_overall_quality_events", "a1_window_stats_daily",
+    "d0_dedup_first_wins_events", "g1_gopher_stats_documents",
+    "e1_shuffle_documents", "m9_forecast_anomalies_daily",
+    "t2_token_stats_documents", "q1_pricing_summary",
+    "s1_ann_cosine_topk",
+]
+assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50
+assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)

@@ -1,0 +1,181 @@
+"""Hypothesis fuzz for the transcript-QC family vs pure-Python oracles:
+tool-run stats, echo containment, cross-conversation turn dedup, and
+assistant self-repetition. Each example is a whole corpus -> one Spark
+job per example; max_examples stays small accordingly."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocab + few conversations -> collisions/dups/pairs actually occur
+_word = st.sampled_from(["aa", "bb", "cc", "d"])
+_text = st.lists(_word, min_size=0, max_size=5).map(" ".join)
+_turn = st.tuples(
+    st.integers(0, 3),  # conv
+    st.sampled_from(["user", "assistant"]),
+    _text,
+    st.one_of(st.none(), st.sampled_from(["search", "calc"])),
+)
+_corpus = st.lists(_turn, min_size=1, max_size=24)
+
+
+def _rows(corpus):
+    # assign turn_idx per conversation in list order
+    per = {}
+    out = []
+    for conv, role, text, tool in corpus:
+        i = per.get(conv, 0)
+        per[conv] = i + 1
+        out.append((conv, i, role, text, tool))
+    return out
+
+
+def _toks(text):
+    return [t for t in text.lower().split(" ") if t]
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, loop_run=st.integers(2, 3))
+def test_fuzz_tool_stats(spark, corpus, loop_run):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string,"
+        " tool string"
+    )
+    expect = {}
+    for conv in {r[0] for r in rows}:
+        turns = [r for r in rows if r[0] == conv]
+        tools = [r[4] for r in sorted(turns, key=lambda r: r[1]) if r[4]]
+        best = run = 0
+        prev = None
+        for t in tools:
+            run = run + 1 if t == prev else 1
+            best = max(best, run)
+            prev = t
+        expect[conv] = (
+            len(turns), len(tools), len(set(tools)), best,
+            int(best >= loop_run),
+        )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_tool_calls"], r["n_distinct_tools"],
+            r["max_tool_run"], r["loop_flag"],
+        )
+        for r in transcript_qc.tool_stats(
+            df, order_cols=("turn_idx",), loop_run=loop_run
+        ).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_fuzz_echo_overlap(spark, corpus):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string,"
+        " tool string"
+    ).drop("tool")
+    expect = {}
+    for conv in {r[0] for r in rows}:
+        turns = sorted((r for r in rows if r[0] == conv), key=lambda r: r[1])
+        ppms = []
+        for prev, cur in zip(turns, turns[1:]):
+            a = set(_toks(cur[3]))
+            if cur[2] == "assistant" and prev[2] == "user" and a:
+                u = set(_toks(prev[3]))
+                ppms.append(len(a & u) * 1_000_000 // len(a))
+        expect[conv] = (
+            len(turns),
+            len(ppms),
+            max(ppms) if ppms else 0,
+            (sum(ppms) // len(ppms)) if ppms else 0,
+            int(bool(ppms) and max(ppms) >= 500_000),
+        )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_pairs"], r["max_echo_ppm"],
+            r["mean_echo_ppm"], r["high_echo"],
+        )
+        for r in transcript_qc.echo_overlap(
+            df, order_cols=("turn_idx",)
+        ).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_fuzz_turn_dedup(spark, corpus):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string,"
+        " tool string"
+    ).drop("tool")
+    norm = lambda t: " ".join(_toks(t))  # noqa: E731
+    convs_by_norm = {}
+    for r in rows:
+        convs_by_norm.setdefault(norm(r[3]), set()).add(r[0])
+    expect = {}
+    for conv in {r[0] for r in rows}:
+        turns = [r for r in rows if r[0] == conv]
+        dup = sum(1 for r in turns if len(convs_by_norm[norm(r[3])]) >= 2)
+        frac = dup * 1_000_000 // len(turns)
+        expect[conv] = (len(turns), dup, frac, int(frac < 500_000))
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["dup_turns"], r["dup_frac_ppm"], r["keep"]
+        )
+        for r in transcript_qc.turn_dedup(df).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_fuzz_self_repetition(spark, corpus):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string,"
+        " tool string"
+    ).drop("tool")
+    expect = {}
+    for conv in {r[0] for r in rows}:
+        asst = sorted(
+            (r for r in rows if r[0] == conv and r[2] == "assistant"),
+            key=lambda r: r[1],
+        )
+        if not asst:
+            continue
+        ppms = []
+        for prev, cur in zip(asst, asst[1:]):
+            a, b = set(_toks(cur[3])), set(_toks(prev[3]))
+            union = len(a | b)
+            if union > 0:
+                ppms.append(len(a & b) * 1_000_000 // union)
+        expect[conv] = (
+            len(asst),
+            len(ppms),
+            max(ppms) if ppms else 0,
+            (sum(ppms) // len(ppms)) if ppms else 0,
+            int(bool(ppms) and max(ppms) >= 800_000),
+        )
+    got = {
+        r["conv_id"]: (
+            r["n_assistant"], r["n_pairs"], r["max_selfrep_ppm"],
+            r["mean_selfrep_ppm"], r["stuck_flag"],
+        )
+        for r in transcript_qc.self_repetition(
+            df, order_cols=("turn_idx",)
+        ).collect()
+    }
+    assert got == expect
