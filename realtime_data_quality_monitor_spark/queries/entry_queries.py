@@ -7809,6 +7809,54 @@ SQL_E17 = f"""
 """
 
 
+def q_gr3_triangle_counts_documents(spark, sf_dir):
+    """Exact triangle counts + local clustering coefficient
+    (graph.triangle_counts) over the same derived doc link graph as
+    gr1/gr2 — the cohesion signal that separates link farms (high
+    degree, near-zero clustering) from communities. Spark orients
+    edges by DEGREE order before the wedge join (Suri & Vassilvitskii —
+    per-task wedge fan-out bounded at any hub degree); the oracle uses
+    the naive id-ordered a<b<c formulation — the triangle set is
+    orientation-invariant, so both agree cell-exactly with no shared
+    plan shape."""
+    from ..operators import graph
+
+    return graph.triangle_counts(
+        _doc_link_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
+SQL_GR3 = f"""
+    WITH {_SQL_GR_EDGES},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM und
+            UNION ALL SELECT b AS node FROM und)
+      GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri)
+      GROUP BY 1)
+    SELECT d.node, d.degree,
+           CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (CAST(COALESCE(p.triangles, 0) AS HUGEINT) * 2
+                      * 1000000) // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+"""
+
+
 def q_p15_pii_datasheet_documents(spark, sf_dir):
     """Per-source PII/toxicity prevalence datasheet — the governance
     report a curation pipeline publishes next to the scrub stage (what
@@ -8123,6 +8171,7 @@ ENTRY_QUERIES = {
     "w11_self_repetition_events": (q_w11_self_repetition_events, SQL_W11),
     "e17_chat_pack_events": (q_e17_chat_pack_events, SQL_E17),
     "p15_pii_datasheet_documents": (q_p15_pii_datasheet_documents, SQL_P15),
+    "gr3_triangle_counts_documents": (q_gr3_triangle_counts_documents, SQL_GR3),
 }
 
 # ---------------------------------------------------------------------------

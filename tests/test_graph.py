@@ -86,3 +86,44 @@ def test_degree_stats_matches_python(edges_df):
     assert got == {
         v: (out_d.get(v, 0), in_d.get(v, 0)) for v in verts
     }
+
+
+def test_triangle_counts_hand_graph(spark):
+    from realtime_data_quality_monitor_spark.operators import graph
+
+    # K4 on {0,1,2,3} (4 triangles, every node in 3 of them, lcc = 1)
+    # plus a pendant 3-4 (degree 4 for node 3, no new triangles) and a
+    # disconnected edge 5-6; directed dups/self-loops must collapse.
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (1, 0),  # reverse duplicate
+        (2, 2),  # self-loop
+        (3, 4), (5, 6),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc_ppm"])
+        for r in graph.triangle_counts(df).collect()
+    }
+    assert got == {
+        0: (3, 3, 1_000_000),
+        1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000),
+        3: (4, 3, 500_000),  # 2*3*1e6 // (4*3)
+        4: (1, 0, 0),
+        5: (1, 0, 0),
+        6: (1, 0, 0),
+    }
+
+
+def test_triangle_counts_star_has_none(spark):
+    from realtime_data_quality_monitor_spark.operators import graph
+
+    # a hub with 20 spokes: degree-ordered orientation points every
+    # edge INTO the hub -> zero wedges pivot there, zero triangles
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], ["src", "dst"]
+    )
+    rows = graph.triangle_counts(df).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert {r["degree"] for r in rows} == {1, 20}
