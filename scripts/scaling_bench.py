@@ -73,8 +73,39 @@ def _burn(n: int) -> int:
     return s
 
 
+def _frame_builder():
+    """Job under measurement: the full pipeline by default; the per-turn
+    native scrub stage alone with SPARK_GRAFT_SCALING_OP=scrub (the
+    north rule's named turns/sec surface — zero-exchange row-local, so
+    its scaling ceiling is purely the SMT compute ceiling)."""
+    op = os.environ.get("SPARK_GRAFT_SCALING_OP", "pipeline")
+    if op == "scrub":
+        from pyspark.sql import functions as F
+
+        from realtime_data_quality_monitor_spark.operators import (
+            transcript_qc,
+        )
+
+        def build(df, num_partitions):
+            out = transcript_qc.scrub_turns(
+                df, id_cols=("conv_id", "turn_idx")
+            )
+            return out.select(
+                "conv_id", "turn_idx", F.md5("scrubbed"),
+                F.length("scrubbed"),
+            )
+
+        return op, build
+    from realtime_data_quality_monitor_spark.operators.rules import (
+        with_quality,
+    )
+
+    return op, lambda df, num_partitions: with_quality(
+        df, num_partitions=num_partitions
+    )
+
+
 def worker(cores: int, path: str) -> None:
-    from realtime_data_quality_monitor_spark.operators.rules import with_quality
     from realtime_data_quality_monitor_spark.session import get_spark
 
     spark = get_spark(
@@ -97,8 +128,9 @@ def worker(cores: int, path: str) -> None:
     # time (650s vs 75s). A 150k-row slice absorbs C2 JIT but not the
     # full working set; timed passes after a slice warmup still decay
     # run-over-run. A real cluster has no such cost.
-    run(with_quality(df, num_partitions=2 * cores))
-    times = [run(with_quality(df, num_partitions=2 * cores)) for _ in range(3)]
+    _op, build = _frame_builder()
+    run(build(df, 2 * cores))
+    times = [run(build(df, 2 * cores)) for _ in range(3)]
     best = min(times)
     print(
         "WORKER_RESULT "
@@ -168,8 +200,10 @@ def main() -> None:
     thr_big = results[n_big]["turns_per_sec"]
     eff = (thr_big / thr_small) / (n_big / n_small)
     ceiling = _cpu_ceiling()
+    op = os.environ.get("SPARK_GRAFT_SCALING_OP", "pipeline")
     summary = {
-        "metric": "scaling_efficiency_N_to_4N",
+        "metric": f"scaling_efficiency_N_to_4N_{op}"
+        if op != "pipeline" else "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": sf_name,
@@ -186,7 +220,8 @@ def main() -> None:
     print(json.dumps(summary))
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "BENCH_scaling.json"),
+                     "BENCH_scaling.json" if op == "pipeline"
+                     else f"BENCH_scaling_{op}.json"),
         "w",
     ) as f:
         json.dump(summary, f, indent=2)
