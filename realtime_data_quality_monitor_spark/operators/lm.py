@@ -208,3 +208,92 @@ def lm_fluency_from_ref(
     return lm_fluency(
         docs, vocab, bigrams, vocab_size, scale, id_col, text_col
     )
+
+
+def lm_kn_fluency_from_ref(
+    docs: DataFrame,
+    ref: DataFrame,
+    vocab_size: int,
+    scale: int = LM_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney fluency — the KenLM smoothing family the
+    north star names (Heafield 2011; Kneser & Ney 1995), exact. Where
+    :func:`lm_fluency` Laplace-smooths, this scores each transition by
+    the quantized interpolated-KN likelihood with discount D = 3/4
+    (KenLM's default order-2 discount is estimated per-corpus; 3/4 is
+    the canonical fixed choice and keeps the algebra rational):
+
+      seen context (ctx(w1) > 0):
+        P = (max(c12 - D, 0) + D * N1+(w1,*) * Pcont(w2)) / ctx(w1)
+        Pcont(w2) = N1+(*,w2) / N1+(**)
+      unseen context: P = Pcont(w2)
+
+    over the SAME unk-mapped vocabulary as lm1, multiplied out to one
+    integer fraction: with NP = N1+(**) (distinct observed pairs),
+
+      q = floor(scale * (max(4*c12-3, 0)*NP + 3*N1+(w1,*)*N1+(*,w2))
+                      / (4*ctx(w1)*NP))
+
+    — integer-exact on both engines through DECIMAL(38,0)/HUGEINT.
+    NP is bounded by min(observed pairs, (V+1)^2): a MODEL statistic
+    (one count() on the checkpointed bigram table, never corpus-sized),
+    passed down as a literal like vocab_size itself. The continuation
+    counts N1+(w1,*) / N1+(*,w2) are per-group row counts of the model
+    table — two model-sized hash aggs that broadcast-join back into
+    scoring alongside the model. Corpus-side cost is identical to lm1:
+    row-local pair generation, two broadcast vocab joins, one hash agg
+    keyed by the document id.
+
+    Output: (id_col, n_bigrams, kn_fluency_u) — floor-mean of q; docs
+    with < 2 tokens carry (0, 0), ranking last as in lm1/DSIR."""
+    vocab = lm_vocab(ref, vocab_size, text_col).localCheckpoint(eager=True)
+    bigrams = lm_bigram_counts(ref, vocab, text_col).localCheckpoint(
+        eager=True
+    )
+    npairs = max(bigrams.count(), 1)  # model stat; guard empty ref
+
+    ctx = bigrams.groupBy("w1").agg(F.sum("c12").alias("__c1"))
+    n1p = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__d1"))
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("__d2"))
+
+    occ = _mapped_pairs(docs, vocab, [id_col], text_col)
+    np_dec = F.lit(int(npairs)).cast("decimal(38,0)")
+    sc_dec = F.lit(int(scale)).cast("decimal(38,0)")
+    c12v = F.coalesce(F.col("c12"), F.lit(0)).cast("long")
+    d2v = F.coalesce(F.col("__d2"), F.lit(0)).cast("long")
+    num_seen = (
+        F.greatest(F.lit(4).cast("long") * c12v - F.lit(3), F.lit(0))
+        .cast("decimal(38,0)") * np_dec * sc_dec
+        + F.lit(3).cast("decimal(38,0)")
+        * F.col("__d1").cast("decimal(38,0)")
+        * d2v.cast("decimal(38,0)") * sc_dec
+    )
+    den_seen = (
+        F.lit(4).cast("decimal(38,0)")
+        * F.col("__c1").cast("decimal(38,0)") * np_dec
+    )
+    q = F.when(
+        F.col("__c1").isNotNull(), idiv_big(num_seen, den_seen)
+    ).otherwise(idiv_big(d2v.cast("decimal(38,0)") * sc_dec, np_dec))
+    sums = (
+        occ.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(n1p, "w1", "left")
+        .join(cont, "w2", "left")
+        .select(id_col, q.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__q").cast("long").alias("__s"),
+        )
+    )
+    return docs.select(id_col).join(sums, id_col, "left").select(
+        id_col,
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.col("__n").isNotNull(), idiv_big(F.col("__s"), F.col("__n")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kn_fluency_u"),
+    )

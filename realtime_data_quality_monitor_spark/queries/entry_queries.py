@@ -6742,6 +6742,81 @@ SQL_E14 = """
 """
 
 
+def q_lm2_kn_fluency_documents(spark, sf_dir):
+    """Interpolated Kneser-Ney fluency (operators/lm.py::
+    lm_kn_fluency_from_ref) — the KenLM smoothing family the north star
+    names, exact: discount D = 3/4 as one integer fraction per
+    transition, continuation counts N1+(w1,*) / N1+(*,w2) from the same
+    checkpointed bigram model as lm1, same top-256 unk-mapped vocab.
+    All algebra DECIMAL(38,0) / HUGEINT; no ln anywhere."""
+    from ..operators import lm
+
+    d = _t(spark, sf_dir, "documents")
+    return lm.lm_kn_fluency_from_ref(
+        d, d.filter(F.col("lang") == "en"), vocab_size=256
+    )
+
+
+SQL_LM2 = """
+    WITH arr AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT t.tok AS token, COUNT(*) AS c
+        FROM arr, UNNEST(toks) AS t(tok)
+        WHERE lang = 'en'
+        GROUP BY t.tok)
+      QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 256),
+    pairs_ref AS (
+      SELECT
+        CASE WHEN toks[i] IN (SELECT token FROM vocab)
+             THEN toks[i] ELSE chr(1) END AS w1,
+        CASE WHEN toks[i+1] IN (SELECT token FROM vocab)
+             THEN toks[i+1] ELSE chr(1) END AS w2
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1
+      WHERE lang = 'en'),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs_ref GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    n1p AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS d1 FROM big GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS d2 FROM big GROUP BY w2),
+    np AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS npairs FROM big),
+    pairs_doc AS (
+      SELECT doc_id,
+        CASE WHEN toks[i] IN (SELECT token FROM vocab)
+             THEN toks[i] ELSE chr(1) END AS w1,
+        CASE WHEN toks[i+1] IN (SELECT token FROM vocab)
+             THEN toks[i+1] ELSE chr(1) END AS w2
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN c.c1 IS NOT NULL THEN
+               (GREATEST(4 * COALESCE(b.c12, 0) - 3, 0)::HUGEINT
+                  * np.npairs * 1000000
+                + 3::HUGEINT * n.d1 * COALESCE(ct.d2, 0) * 1000000)
+               // (4::HUGEINT * c.c1 * np.npairs)
+             ELSE (COALESCE(ct.d2, 0)::HUGEINT * 1000000) // np.npairs
+             END AS q
+      FROM pairs_doc p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN ctx c ON c.w1 = p.w1
+      LEFT JOIN n1p n ON n.w1 = p.w1
+      LEFT JOIN cont ct ON ct.w2 = p.w2
+      CROSS JOIN np),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) AS HUGEINT) AS s
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           CAST(COALESCE(a.s // a.n_bigrams, 0) AS BIGINT) AS kn_fluency_u
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8172,6 +8247,7 @@ ENTRY_QUERIES = {
     "e17_chat_pack_events": (q_e17_chat_pack_events, SQL_E17),
     "p15_pii_datasheet_documents": (q_p15_pii_datasheet_documents, SQL_P15),
     "gr3_triangle_counts_documents": (q_gr3_triangle_counts_documents, SQL_GR3),
+    "lm2_kn_fluency_documents": (q_lm2_kn_fluency_documents, SQL_LM2),
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Single-entry replica of scripts/check_entry.py for fast iteration:
+``python scripts/check_one.py <entry_name> [sf_dir ...]``. Same
+normalization/dtype rules as the full gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from check_entry import TABLES, dtype_report, normalize  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    names = [a for a in sys.argv[1:] if not a.startswith("/")]
+    sf_dirs = [a for a in sys.argv[1:] if a.startswith("/")] or [
+        "/root/testdata/sf0.01"
+    ]
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    spark = get_spark(app_name="check-one")
+    failures = 0
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in names:
+            spd = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{sf_dir} {name}: rows-only {len(spd)} rows")
+                continue
+            opd = con.sql(oracles[name]).df()
+            dt = dtype_report(spd, opd)
+            a, b = normalize(spd), normalize(opd)
+            status = []
+            if dt:
+                status.append("DTYPE " + "; ".join(dt[:4]))
+            if len(a) != len(b):
+                status.append(f"ROWS {len(a)} vs {len(b)}")
+            if list(a.columns) != list(b.columns):
+                status.append(f"SCHEMA {list(a.columns)} vs {list(b.columns)}")
+            if not status:
+                try:
+                    pd.testing.assert_frame_equal(
+                        a, b, check_dtype=False, check_exact=True
+                    )
+                except AssertionError as e:
+                    status.append("VALUES " + str(e).split("\n")[0])
+                    neq = (a != b) & ~(a.isna() & b.isna())
+                    for c in a.columns:
+                        if neq[c].any():
+                            i = neq[c].idxmax()
+                            status.append(
+                                f"  {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}"
+                            )
+                            break
+            if status:
+                failures += 1
+                print(f"{sf_dir} {name} MISMATCH: {'; '.join(status[:3])}")
+            else:
+                print(f"{sf_dir} {name} OK ({len(a)} rows)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -254,3 +254,88 @@ def test_bm25_saturation_vs_tfidf(spark):
     s1, s2, s4 = got[0], got[1], got[2]
     assert s1 < s2 < s4
     assert (s2 - s1) > (s4 - s2) / 2  # concave-ish growth in tf
+
+
+def _py_kn_fluency(ref_texts, doc_texts, vocab_size, scale=M):
+    """Pure-Python interpolated Kneser-Ney replica (D = 3/4), straight
+    from the lm_kn_fluency_from_ref contract."""
+    ref_tok = [t.split() for t in ref_texts]
+    counts = Counter(w for toks in ref_tok for w in toks)
+    vocab = set(
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+
+    def m(w):
+        return w if w in vocab else lm.LM_UNK
+
+    big = Counter()
+    for toks in ref_tok:
+        for a, b in zip(toks, toks[1:]):
+            big[(m(a), m(b))] += 1
+    ctx = Counter()
+    d1 = Counter()  # N1+(w1, *)
+    d2 = Counter()  # N1+(*, w2)
+    for (a, b), c in big.items():
+        ctx[a] += c
+        d1[a] += 1
+        d2[b] += 1
+    npairs = max(len(big), 1)
+    out = []
+    for i, t in enumerate(doc_texts):
+        toks = t.split()
+        pairs = [(m(a), m(b)) for a, b in zip(toks, toks[1:])]
+        if not pairs:
+            out.append((i, 0, 0))
+            continue
+        qs = []
+        for a, b in pairs:
+            if ctx[a] > 0:
+                num = (
+                    max(4 * big[(a, b)] - 3, 0) * npairs + 3 * d1[a] * d2[b]
+                ) * scale
+                qs.append(num // (4 * ctx[a] * npairs))
+            else:
+                qs.append(d2[b] * scale // npairs)
+        out.append((i, len(pairs), sum(qs) // len(qs)))
+    return out
+
+
+def test_lm_kn_fluency_matches_python_replica(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], ["doc_id", "text"]
+    )
+    for v in (2, 5, 50):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["kn_fluency_u"])
+            for r in lm.lm_kn_fluency_from_ref(
+                docs, ref, vocab_size=v
+            ).collect()
+        }
+        want = {i: (n, f) for i, n, f in _py_kn_fluency(REF, DOCS, v)}
+        assert got == want, f"vocab_size={v}"
+
+
+def test_lm_kn_seen_beats_unseen_continuation(spark):
+    """An in-model sentence must outscore a novel recombination, which
+    must outscore all-OOV junk — the ordering CCNet bucketing relies
+    on; and KN gives UNSEEN pairs of SEEN words nonzero continuation
+    mass (the property Laplace lacks a principled version of)."""
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["kn_fluency_u"]
+        for r in lm.lm_kn_fluency_from_ref(docs, ref, vocab_size=50).collect()
+    }
+    assert got[0] > got[1] > got[2]
+    # "dog ate": unseen pair of seen words -> strictly positive mass
+    assert got[1] > 0
