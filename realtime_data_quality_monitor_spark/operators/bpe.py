@@ -1,0 +1,181 @@
+"""Distributed BPE tokenizer training — the merge-learning inner loop
+of Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units"), the algorithm behind every GPT/Llama-style tokenizer's
+training phase. The catalog's t11 applies a byte-pair-ish regex
+pre-tokenizer; this module learns the merges themselves, exactly.
+
+Reference parity note: the reference repo has no tokenizer surface;
+this is training-data-pipeline surface per SURVEY.md §2.7 (a corpus
+engine that feeds LLM training needs to TRAIN tokenizers on the corpus
+it curates, not just apply them).
+
+Algorithm shape (the 100 TB story): classic BPE training never touches
+the corpus per merge — it iterates over the DISTINCT-WORD frequency
+table:
+
+  * ONE corpus-sized pass: explode tokens → hash-agg word counts
+    (map-side combine absorbs Zipf skew; the result is vocabulary-sized,
+    ~10M rows at 100 TB, not corpus-sized);
+  * per merge: adjacent-symbol-pair counts are a row-local transform +
+    one model-sized hash agg; the argmax pair is TakeOrdered(1); the
+    re-segmentation is one row-local ``replace``. A driver loop of
+    n_merges tiny jobs, exactly like PageRank's iteration loop
+    (operators/graph.py).
+
+Exactness contract (cross-engine, for the SQL oracle): a word's symbol
+state is a BRACKETED STRING — each symbol wrapped as \\x02·sym·\\x03 —
+so the greedy left-to-right non-overlapping merge of pair (a, b) is a
+LITERAL string replace of "\\x02a\\x03\\x02b\\x03" with "\\x02ab\\x03":
+both Spark's ``replace`` and DuckDB's ``replace`` scan left-to-right
+without overlap, which is precisely the original BPE script's
+re.sub semantics, and the brackets make cross-symbol-boundary false
+matches impossible (a merged symbol's interior never contains \\x02 or
+\\x03). Merge selection is argmax by (count DESC, left ASC, right ASC)
+— a total order, so the learned merge TABLE is engine-exact. Counts
+are BIGINT sums of BIGINT word frequencies: exact everywhere.
+
+The control brackets are reserved like lm.LM_UNK: unreachable by the
+whitespace tokenizer over the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+BPE_L = "\x02"  # symbol open bracket
+BPE_R = "\x03"  # symbol close bracket
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc): the distinct-word frequency table — the ONLY
+    corpus-sized pass in BPE training."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+
+
+def _bracketize(word: Column) -> Column:
+    """Initial symbol state: every character bracketed."""
+    return F.regexp_replace(word, "(.)", BPE_L + "$1" + BPE_R)
+
+
+def _symbols(s: Column) -> Column:
+    """Bracketed string → symbol array (strip outer brackets, split on
+    the inter-symbol boundary)."""
+    inner = F.substring(s, 2, F.length(s) - 2)
+    return F.split(inner, BPE_R + BPE_L)
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt) over a (s, wc) symbol-state table: row-local
+    adjacent-pair stream weighted by word frequency, one hash agg."""
+    syms = F.col("__syms")
+    n_pairs = F.size(syms) - F.lit(1)
+    starts = F.when(
+        n_pairs >= 1, F.sequence(F.lit(1), n_pairs)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        words.select(_symbols(F.col("s")).alias("__syms"), "wc")
+        .select(
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("lhs"),
+                        F.element_at(syms, i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("__p"),
+            "wc",
+        )
+        .groupBy("__p.lhs", "__p.rhs")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, lhs, rhs, pair_count) with step 1-based in learned order.
+    Stops early if the symbol table runs out of adjacent pairs."""
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    spark = df.sparkSession
+    words = (
+        word_counts(df, text_col)
+        .select(_bracketize(F.col("word")).alias("s"), "wc")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        best = (
+            pair_counts(words)
+            .orderBy(
+                F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
+        merges.append((step, lhs, rhs, int(cnt)))
+        words = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_L + lhs + BPE_R + BPE_L + rhs + BPE_R),
+                F.lit(BPE_L + lhs + rhs + BPE_R),
+            ).alias("s"),
+            "wc",
+        )
+        # model-sized; checkpoint keeps the per-step plan O(1) instead of
+        # re-running the whole replace chain under every later agg
+        words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Apply a learned merge list to every document: adds ``out_col``,
+    the per-token symbol arrays flattened document-wide (the tokenized
+    corpus a trained BPE vocabulary produces). Row-local — one chained
+    literal replace per merge, no shuffle, no UDF."""
+    word = F.col("__w")
+    s: Column = _bracketize(word)
+    for lhs, rhs in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_L + lhs + BPE_R + BPE_L + rhs + BPE_R),
+            F.lit(BPE_L + lhs + rhs + BPE_R),
+        )
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(
+                tokens_col(F.col(text_col)),
+                lambda w: _symbols(_apply_merges_str(w, merges)),
+            )
+        ),
+    )
+
+
+def _apply_merges_str(word: Column, merges: list[tuple[str, str]]) -> Column:
+    s: Column = _bracketize(word)
+    for lhs, rhs in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_L + lhs + BPE_R + BPE_L + rhs + BPE_R),
+            F.lit(BPE_L + lhs + rhs + BPE_R),
+        )
+    return s

@@ -6817,6 +6817,85 @@ SQL_LM2 = """
 """
 
 
+def q_bpe1_merges_documents(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py::bpe_train): learn the
+    first 4 merges over the corpus word-frequency table — Sennrich
+    BPE's inner loop, engine-exact via bracketed-symbol literal
+    replaces and (count DESC, lhs ASC, rhs ASC) argmax. One
+    corpus-sized pass (word counts); each merge is model-sized."""
+    from ..operators import bpe
+
+    return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+# 4 unrolled merge stages; each = symbol split -> weighted adjacent-pair
+# agg -> deterministic argmax -> greedy bracketed replace (left-to-right
+# non-overlapping in both engines).
+SQL_BPE1 = """
+    WITH arr AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    wc AS (
+      SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM arr, UNNEST(toks) AS t(tok) GROUP BY t.tok),
+    w0 AS (
+      SELECT regexp_replace(word, '(.)', chr(2) || '\\1' || chr(3), 'g')
+               AS s, wc
+      FROM wc),
+    s1 AS (SELECT string_split(s[2:length(s)-1], chr(3) || chr(2)) AS sym,
+                  wc FROM w0),
+    p1 AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs,
+                  CAST(SUM(wc) AS BIGINT) AS cnt
+           FROM s1 JOIN generate_series(1, 2048) g(i) ON i <= len(sym) - 1
+           GROUP BY lhs, rhs),
+    b1 AS (SELECT lhs, rhs, cnt FROM p1
+           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    w1 AS (SELECT replace(s,
+                    chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3),
+                    chr(2) || lhs || rhs || chr(3)) AS s, wc
+           FROM w0 CROSS JOIN b1),
+    s2 AS (SELECT string_split(s[2:length(s)-1], chr(3) || chr(2)) AS sym,
+                  wc FROM w1),
+    p2 AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs,
+                  CAST(SUM(wc) AS BIGINT) AS cnt
+           FROM s2 JOIN generate_series(1, 2048) g(i) ON i <= len(sym) - 1
+           GROUP BY lhs, rhs),
+    b2 AS (SELECT lhs, rhs, cnt FROM p2
+           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    w2 AS (SELECT replace(s,
+                    chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3),
+                    chr(2) || lhs || rhs || chr(3)) AS s, wc
+           FROM w1 CROSS JOIN b2),
+    s3 AS (SELECT string_split(s[2:length(s)-1], chr(3) || chr(2)) AS sym,
+                  wc FROM w2),
+    p3 AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs,
+                  CAST(SUM(wc) AS BIGINT) AS cnt
+           FROM s3 JOIN generate_series(1, 2048) g(i) ON i <= len(sym) - 1
+           GROUP BY lhs, rhs),
+    b3 AS (SELECT lhs, rhs, cnt FROM p3
+           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    w3 AS (SELECT replace(s,
+                    chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3),
+                    chr(2) || lhs || rhs || chr(3)) AS s, wc
+           FROM w2 CROSS JOIN b3),
+    s4 AS (SELECT string_split(s[2:length(s)-1], chr(3) || chr(2)) AS sym,
+                  wc FROM w3),
+    p4 AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs,
+                  CAST(SUM(wc) AS BIGINT) AS cnt
+           FROM s4 JOIN generate_series(1, 2048) g(i) ON i <= len(sym) - 1
+           GROUP BY lhs, rhs),
+    b4 AS (SELECT lhs, rhs, cnt FROM p4
+           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, cnt AS pair_count FROM b1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM b2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM b3
+    UNION ALL
+    SELECT CAST(4 AS INTEGER), lhs, rhs, cnt FROM b4
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8248,6 +8327,7 @@ ENTRY_QUERIES = {
     "p15_pii_datasheet_documents": (q_p15_pii_datasheet_documents, SQL_P15),
     "gr3_triangle_counts_documents": (q_gr3_triangle_counts_documents, SQL_GR3),
     "lm2_kn_fluency_documents": (q_lm2_kn_fluency_documents, SQL_LM2),
+    "bpe1_merges_documents": (q_bpe1_merges_documents, SQL_BPE1),
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""BPE training (operators/bpe.py): pure-Python Sennrich replica
+parity, greedy-overlap semantics, determinism of tie-breaks, and
+segmentation round-trip."""
+
+from collections import Counter
+
+from realtime_data_quality_monitor_spark.operators import bpe
+
+
+def _py_bpe(texts, n_merges):
+    """Reference implementation: the original subword-nmt algorithm on
+    (word -> freq), greedy left-to-right non-overlapping merge, argmax
+    by (count DESC, lhs ASC, rhs ASC)."""
+    wc = Counter(w for t in texts for w in t.split() if w)
+    words = {w: tuple(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, cnt))
+        new_words = {}
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges, words
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "newer newest new news low",
+    "aaaa aaa aa a aaaa aaaa",  # overlap-greedy stress: runs of 'a'
+    "wider wide widest lower",
+]
+
+
+def test_bpe_train_matches_python_replica(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(df, n_merges=10).orderBy("step").collect()
+    ]
+    want, _ = _py_bpe(TEXTS, 10)
+    assert got == want
+
+
+def test_bpe_overlap_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a) must become (aa, aa) — and 'aaa'
+    (aa, a) — the subword-nmt greedy semantics, not maximal matching."""
+    df = spark.createDataFrame([("aaaa aaa aaaa aaaa",)], ["text"])
+    merges = bpe.bpe_train(df, n_merges=1).collect()
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "a")
+    # 3 'aaaa' words contribute 3*3 pairs + 'aaa' contributes 2
+    assert merges[0]["pair_count"] == 11
+    seg = bpe.bpe_segment(df, [("a", "a")]).collect()[0]["symbols"]
+    assert seg == ["aa", "aa", "aa", "a", "aa", "aa", "aa", "aa"]
+
+
+def test_bpe_segment_matches_replica_states(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    merge_rows = bpe.bpe_train(df, n_merges=6).orderBy("step").collect()
+    learned = [(r["lhs"], r["rhs"]) for r in merge_rows]
+    _, words = _py_bpe(TEXTS, 6)
+    seg = bpe.bpe_segment(df, learned).collect()
+    for row in seg:
+        expect = [s for w in row["text"].split() if w for s in words[w]]
+        assert row["symbols"] == expect
+
+
+def test_bpe_empty_and_single_char_corpus(spark):
+    df = spark.createDataFrame([("",), ("x",), ("x y",)], ["text"])
+    merges = bpe.bpe_train(df, n_merges=3).collect()
+    assert merges == []  # no adjacent pairs anywhere -> early stop
