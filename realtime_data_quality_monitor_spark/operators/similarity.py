@@ -21,6 +21,8 @@ import struct as _struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import idiv_big
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in float64 (deterministic order)."""
@@ -1242,3 +1244,133 @@ def pca_project(
         lit_vec = F.array(*[F.lit(float(v)) for v in comps[:, c]])
         out = out.withColumn(f"pc{c + 1}", dot(F.col(vec_col), lit_vec))
     return out.drop(vec_col)
+
+
+# --- margin-based bitext mining ----------------------------------------------
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 10_000_000,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the CCMatrix/LASER method): score every candidate
+    (src, tgt) pair by its cosine similarity RELATIVE to both sides'
+    k-NN neighborhoods, pick each source's best target, and flag
+    mutual-best pairs (the 'max' + intersection strategies).
+
+    Exactness contract: cosines come from 1e-7-quantized integer dots
+    (identical doubles on every engine — the s1 pattern), then shift-
+    quantize to sq = floor((1 + cos) * 1e9) BIGINT so neighborhood
+    sums are integer-exact (a float sum of k cosines would be
+    summation-order-dependent). The ratio-of-means margin multiplies
+    out to ONE integer fraction:
+
+      margin_u = floor(sq * 2 * ns * nt * margin_scale
+                       / (ssrc * nt + stgt * ns))
+
+    where (ssrc, ns) / (stgt, nt) are each side's top-k shifted-cosine
+    sum and count (counts matter when a side has < k candidates).
+    Ties break (margin_u DESC, id ASC) — a total order.
+
+    Scale shape: this scores the CANDIDATE table. Here it is the full
+    cross join (fixture-sized); at corpus scale feed the same algebra
+    with IVF/LSH candidates (ivf_topk / lsh_topk produce exactly the
+    (src_id, tgt_id) pairs this needs) — the two window ranks then
+    shuffle only candidate rows, partitioned by src_id and tgt_id.
+
+    Output: (src_id, tgt_id, sq, margin_u, mutual) — one row per
+    source, its margin-best target; mutual = that target's margin-best
+    source is this source (the high-precision mined subset)."""
+    a = src.select(
+        F.col(id_col).alias("src_id"),
+        _quantize(F.col(vec_col), quant_scale).alias("__av"),
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        _quantize(F.col(vec_col), quant_scale).alias("__bv"),
+    )
+    cos = _qdot(F.col("__av"), F.col("__bv")).cast("double") / (
+        F.sqrt(_qdot(F.col("__av"), F.col("__av")).cast("double"))
+        * F.sqrt(_qdot(F.col("__bv"), F.col("__bv")).cast("double"))
+    )
+    sq = F.floor((F.lit(1.0) + cos) * F.lit(1e9)).cast("long")
+    pairs = a.crossJoin(b).select("src_id", "tgt_id", sq.alias("sq"))
+
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("sq").desc(), F.col("tgt_id").asc()
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("sq").desc(), F.col("src_id").asc()
+    )
+    ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
+        "__rt", F.row_number().over(wt)
+    )
+    ssrc = (
+        ranked.filter(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("sq").cast("long").alias("__ssrc"),
+            F.count(F.lit(1)).cast("long").alias("__ns"),
+        )
+    )
+    stgt = (
+        ranked.filter(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("sq").cast("long").alias("__stgt"),
+            F.count(F.lit(1)).cast("long").alias("__nt"),
+        )
+    )
+    den = F.greatest(
+        F.col("__ssrc") * F.col("__nt") + F.col("__stgt") * F.col("__ns"),
+        F.lit(1),
+    )
+    margin = idiv_big(
+        F.col("sq")
+        * F.lit(2)
+        * F.col("__ns")
+        * F.col("__nt")
+        * F.lit(int(margin_scale)),
+        den,
+    )
+    scored = (
+        pairs.join(ssrc, "src_id")
+        .join(stgt, "tgt_id")
+        .select("src_id", "tgt_id", "sq", margin.alias("margin_u"))
+    )
+    bs = Window.partitionBy("src_id").orderBy(
+        F.col("margin_u").desc(), F.col("tgt_id").asc()
+    )
+    bt = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_u").desc(), F.col("src_id").asc()
+    )
+    best = scored.withColumn("__bs", F.row_number().over(bs)).withColumn(
+        "__bt", F.row_number().over(bt)
+    )
+    fwd = best.filter(F.col("__bs") == 1).select(
+        "src_id", "tgt_id", "sq", "margin_u"
+    )
+    bwd = best.filter(F.col("__bt") == 1).select(
+        F.col("src_id").alias("__b_src"), F.col("tgt_id").alias("__b_tgt")
+    )
+    return (
+        fwd.join(
+            bwd,
+            (fwd.src_id == bwd.__b_src) & (fwd.tgt_id == bwd.__b_tgt),
+            "left",
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "sq",
+            "margin_u",
+            F.col("__b_src").isNotNull().alias("mutual"),
+        )
+    )

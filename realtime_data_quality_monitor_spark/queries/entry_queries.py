@@ -6896,6 +6896,78 @@ SQL_BPE1 = """
 """
 
 
+def q_b1_bitext_margin_embeddings(spark, sf_dir):
+    """Margin-based bitext mining (operators/similarity.py::
+    bitext_mine, Artetxe & Schwenk 2019): even labels are the source
+    'language', odd labels the target; k-NN-relative margin on
+    shift-quantized cosines (integer-exact neighborhood sums), each
+    source's margin-best target plus the mutual-best flag."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bitext_mine(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+    )
+
+
+SQL_B1 = """
+    WITH a AS (SELECT vec_id AS src_id, embedding AS v
+               FROM embeddings WHERE label % 2 = 0),
+    b AS (SELECT vec_id AS tgt_id, embedding AS v
+          FROM embeddings WHERE label % 2 = 1),
+    terms AS (
+      SELECT src_id, tgt_id,
+             CAST(floor(UNNEST(a.v)::DOUBLE * 10000000.0e0) AS BIGINT) AS qa,
+             CAST(floor(UNNEST(b.v)::DOUBLE * 10000000.0e0) AS BIGINT) AS qb
+      FROM a, b),
+    dots AS (
+      SELECT src_id, tgt_id,
+             CAST(SUM(qa * qb) AS DOUBLE) AS dab,
+             CAST(SUM(qa * qa) AS DOUBLE) AS daa,
+             CAST(SUM(qb * qb) AS DOUBLE) AS dbb
+      FROM terms GROUP BY src_id, tgt_id),
+    pairs AS (
+      SELECT src_id, tgt_id,
+             CAST(floor((1.0e0 + dab / (sqrt(daa) * sqrt(dbb)))
+                        * 1000000000.0e0) AS BIGINT) AS sq
+      FROM dots),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY sq DESC, tgt_id ASC) AS rs,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY sq DESC, src_id ASC) AS rt
+      FROM pairs),
+    ss AS (SELECT src_id, CAST(SUM(sq) AS BIGINT) AS ssrc,
+                  CAST(COUNT(*) AS BIGINT) AS ns
+           FROM rk WHERE rs <= 4 GROUP BY src_id),
+    st AS (SELECT tgt_id, CAST(SUM(sq) AS BIGINT) AS stgt,
+                  CAST(COUNT(*) AS BIGINT) AS nt
+           FROM rk WHERE rt <= 4 GROUP BY tgt_id),
+    sc AS (
+      SELECT p.src_id, p.tgt_id, p.sq,
+             (p.sq * 2 * ns * nt * 1000000)
+               // GREATEST(ssrc * nt + stgt * ns, 1) AS margin_u
+      FROM pairs p
+      JOIN ss ON ss.src_id = p.src_id
+      JOIN st ON st.tgt_id = p.tgt_id),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin_u DESC, tgt_id ASC) AS bs,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY margin_u DESC, src_id ASC) AS bt
+      FROM sc),
+    fwd AS (SELECT src_id, tgt_id, sq, CAST(margin_u AS BIGINT) AS margin_u
+            FROM best WHERE bs = 1),
+    bwd AS (SELECT src_id AS b_src, tgt_id AS b_tgt FROM best WHERE bt = 1)
+    SELECT f.src_id, f.tgt_id, f.sq, f.margin_u,
+           (b.b_src IS NOT NULL) AS mutual
+    FROM fwd f LEFT JOIN bwd b
+      ON f.src_id = b.b_src AND f.tgt_id = b.b_tgt
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8328,6 +8400,7 @@ ENTRY_QUERIES = {
     "gr3_triangle_counts_documents": (q_gr3_triangle_counts_documents, SQL_GR3),
     "lm2_kn_fluency_documents": (q_lm2_kn_fluency_documents, SQL_LM2),
     "bpe1_merges_documents": (q_bpe1_merges_documents, SQL_BPE1),
+    "b1_bitext_margin_embeddings": (q_b1_bitext_margin_embeddings, SQL_B1),
 }
 
 # ---------------------------------------------------------------------------
@@ -8419,10 +8492,11 @@ ENTRY_QUERIES = {
 # ---------------------------------------------------------------------------
 # ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
 # round; this is the rotation to execute AT THE START of round 4 (i.e.
-# once VERDICT r3 exists): the 41 entries that will then never have had a
-# driver verdict (added after the round-3 window was frozen) plus 9
-# round-green sentinels spread across families. To execute: replace
-# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
+# once VERDICT r3 exists): the 45 entries that will then never have had a
+# driver verdict (added after the round-3 window was frozen, including
+# the continuation-session additions gr3/lm2/bpe1/b1) plus 5 round-green
+# sentinels spread across families. To execute: replace _ROUND3_WINDOW
+# with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
 # import-validated, so the swap is a one-line change with no typo risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
@@ -8454,11 +8528,13 @@ _ROUND4_WINDOW_PLAN = [
     # URL filtering, OR-amplified LSH, governance datasheet
     "u1_url_filter_documents", "s5_lsh_multi_ann_embeddings",
     "p15_pii_datasheet_documents",
-    # round-green sentinels, one per major family
+    # continuation-session additions: triangle counting, Kneser-Ney LM,
+    # BPE tokenizer training, margin bitext mining
+    "gr3_triangle_counts_documents", "lm2_kn_fluency_documents",
+    "bpe1_merges_documents", "b1_bitext_margin_embeddings",
+    # round-green sentinels across major families
     "p7_overall_quality_events", "a1_window_stats_daily",
-    "d0_dedup_first_wins_events", "g1_gopher_stats_documents",
-    "e1_shuffle_documents", "m9_forecast_anomalies_daily",
-    "t2_token_stats_documents", "q1_pricing_summary",
+    "m9_forecast_anomalies_daily", "q1_pricing_summary",
     "s1_ann_cosine_topk",
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50

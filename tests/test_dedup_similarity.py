@@ -856,3 +856,88 @@ def test_minhash_bucket_cap_star_links_degenerate_buckets(spark):
         return {r[0]: r[1] for r in c.collect()}
 
     assert comps(full) == comps(capped)
+
+
+# --- bitext mining -----------------------------------------------------------
+
+
+def _py_bitext(src, tgt, k=4, scale=1_000_000):
+    import math
+
+    def qv(v):
+        return [math.floor(x * 1e7) for x in v]
+
+    def sq(a, b):
+        qa, qb = qv(a), qv(b)
+        dab = sum(x * y for x, y in zip(qa, qb))
+        daa = sum(x * x for x in qa)
+        dbb = sum(x * x for x in qb)
+        cos = dab / (math.sqrt(daa) * math.sqrt(dbb))
+        return math.floor((1.0 + cos) * 1e9)
+
+    pairs = {
+        (i, j): sq(a, b) for i, a in src.items() for j, b in tgt.items()
+    }
+    ss, st = {}, {}
+    for i in src:
+        row = sorted(((pairs[(i, j)], -j) for j in tgt), reverse=True)[:k]
+        ss[i] = (sum(s for s, _ in row), len(row))
+    for j in tgt:
+        col = sorted(((pairs[(i, j)], -i) for i in src), reverse=True)[:k]
+        st[j] = (sum(s for s, _ in col), len(col))
+    marg = {}
+    for (i, j), s in pairs.items():
+        ssrc, ns = ss[i]
+        stgt, nt = st[j]
+        marg[(i, j)] = s * 2 * ns * nt * scale // max(ssrc * nt + stgt * ns, 1)
+    fwd = {}
+    for i in src:
+        fwd[i] = max(tgt, key=lambda j: (marg[(i, j)], -j))
+    bwd = {}
+    for j in tgt:
+        bwd[j] = max(src, key=lambda i: (marg[(i, j)], -i))
+    return {
+        i: (j, pairs[(i, j)], marg[(i, j)], bwd[fwd[i]] == i)
+        for i, j in fwd.items()
+    }
+
+
+def test_bitext_mine_matches_python_replica(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    src = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(6)}
+    # targets 0-5 = noisy copies of sources (mutual pairs expected),
+    # targets 6-8 = unrelated
+    tgt = {
+        100 + i: [x + rng.uniform(-0.01, 0.01) for x in v]
+        for i, v in src.items()
+    }
+    for j in range(6, 9):
+        tgt[100 + j] = [rng.uniform(-1, 1) for _ in range(dim)]
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in src.items()],
+        "vec_id long, embedding array<float>",
+    )
+    tdf = spark.createDataFrame(
+        [(j, [float(x) for x in v]) for j, v in tgt.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 parquet-ish storage: replica must see the same float32
+    # values Spark reads
+    src32 = {
+        r["vec_id"]: list(r["embedding"]) for r in sdf.collect()
+    }
+    tgt32 = {
+        r["vec_id"]: list(r["embedding"]) for r in tdf.collect()
+    }
+    want = _py_bitext(src32, tgt32, k=4)
+    got = {
+        r["src_id"]: (r["tgt_id"], r["sq"], r["margin_u"], r["mutual"])
+        for r in similarity.bitext_mine(sdf, tdf, k=4).collect()
+    }
+    assert got == want
+    # every noisy copy should be mined as its source's mutual best
+    for i in range(6):
+        assert got[i][0] == 100 + i and got[i][3]

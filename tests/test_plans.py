@@ -11,6 +11,7 @@ import datetime as dt
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from realtime_data_quality_monitor_spark.operators import temporal
 from realtime_data_quality_monitor_spark.queries import entry_queries as eq
@@ -394,3 +395,58 @@ def test_e12_domain_cap_two_bounded_exchanges(spark):
     df = eq.q_e12_domain_cap_documents(spark, SF)
     assert _n_shuffles(spark, df) == 2
     assert "Exchange rangepartitioning" not in _plan(spark, df, "simple")
+
+
+def test_bpe_pair_counts_is_one_aggregate_exchange(spark):
+    """BPE merge-candidate counting over the symbol-state table: one
+    hash exchange (the pair agg, with map-side partial) — the per-merge
+    work is model-sized and must never re-shuffle the corpus."""
+    from realtime_data_quality_monitor_spark.operators import bpe
+
+    words = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            F.regexp_replace("word", "(.)", "\x02$1\x03").alias("s"), "wc"
+        )
+    )
+    pc = bpe.pair_counts(words)
+    # words itself costs one exchange; pair counting adds exactly one
+    assert _n_shuffles(spark, pc) - _n_shuffles(spark, words) == 1
+    p = _plan(spark, pc, "simple")
+    assert "partial_sum" in p or "partial_count" in p  # map-side combine
+
+
+def test_bpe_segment_is_row_local(spark):
+    """Applying a learned merge list is a chained literal replace:
+    zero exchanges on top of the scan."""
+    from realtime_data_quality_monitor_spark.operators import bpe
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seg = bpe.bpe_segment(df, [("t", "h"), ("th", "e")])
+    assert _n_shuffles(spark, seg) == 0
+
+
+def test_bitext_margin_windows_share_pair_table(spark):
+    """bitext_mine plan shape: the pair table is scored once and ranked
+    by two window partitionings (src then tgt) — hash exchanges only,
+    no rangepartitioning (no global sort), and the final mutual join
+    stays a hash/broadcast join, not nested-loop."""
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.bitext_mine(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+    )
+    p = _plan(spark, df, "simple")
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p.replace(
+        "CartesianProduct", "X", 1
+    )  # exactly the one candidate cross join, no second
