@@ -239,3 +239,62 @@ def triangle_counts(
         .otherwise(F.lit(0).cast("long"))
         .alias("lcc_ppm"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, vertices: DataFrame, n_rounds: int = 2
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007,
+    the LPA GraphX ships) — deterministic variant: labels start as the
+    vertex id; each round every vertex adopts the most frequent label
+    among its (symmetrized, multiplicity-weighted) neighbors with ties
+    broken label-ASC — a total order, so R rounds produce identical
+    communities on any engine and a SQL oracle can unroll the rounds
+    as chained CTEs (the pagerank/k-means pattern). Synchronous update
+    can oscillate on bipartite structures; R is a fixed pinned
+    parameter (curation uses the round-2 communities as grouping keys,
+    not a convergence claim — same stance as pagerank's 2 iterations).
+
+    Scale shape: one (join + vote hash-agg + argmax window) per round,
+    all keyed by vertex — the join co-partitions with the previous
+    round's agg; per-round ``localCheckpoint`` truncates lineage.
+    Isolated vertices keep their own label via the left join.
+
+    Returns (vertex, community)."""
+    if n_rounds < 1:
+        raise ValueError("label_propagation: n_rounds must be >= 1")
+    from pyspark.sql import Window
+
+    verts = vertices.select("vertex")
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = verts.select("vertex", F.col("vertex").alias("community"))
+    w = Window.partitionBy("__v").orderBy(
+        F.col("__c").desc(), F.col("community").asc()
+    )
+    for _ in range(int(n_rounds)):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("vertex").alias("dst"), "community"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("__v"), "community")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("__v").alias("vertex"), "community")
+        )
+        labels = (
+            verts.join(best, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("community", F.col("vertex")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -399,3 +399,95 @@ def source_ngram_diversity(
         .cast("long")
         .alias("distinct_ratio_u"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation extraction — the classic corpus-analytics pass
+    (Church & Hanks 1990; the word2vec-era phrase detector of Mikolov
+    et al. 2013 is the same statistic with a discount): rank adjacent
+    token pairs by pointwise mutual information, keep the top-k above a
+    minimum pair count.
+
+    Exactness: PMI itself is a log, but its RANKING is strictly
+    monotone in the likelihood ratio p(w1,w2)/(p(w1)p(w2)), so the
+    score is the quantized exact rational
+
+      pmi_u = floor(scale * c12 * NT^2 / (NP * c1 * c2))
+
+    (c = unigram counts, NT = total tokens, c12 = pair counts,
+    NP = total pairs) through DECIMAL(38,0) — the lm1/DSIR move.
+    Magnitude bound (ADVICE r2 convention): exact while
+    c12 * NT^2 * scale < 1e38, i.e. corpora to ~4e10 tokens at
+    scale=1e6; beyond that drop scale to 1e3 (~4e11 tokens) or shard
+    the count tables per source — the docstring bound, not a silent
+    overflow (DECIMAL overflow raises under ANSI).
+
+    Scale shape: two corpus passes (unigram + pair hash aggs, map-side
+    combine), then everything is model-sized: the two scalar totals
+    are 1-row cross joins, the unigram table joins back by token (AQE
+    broadcasts when small), top-k is TakeOrderedAndProject with the
+    (pmi_u DESC, w1 ASC, w2 ASC) total order. min_count prunes the
+    hapax tail BEFORE the joins."""
+    from ..functions.exact import idiv_big
+
+    toks = tokens_col(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tarr = F.col("__toks")
+    n_pairs = F.size(tarr) - F.lit(1)
+    starts = F.when(
+        n_pairs >= 1, F.sequence(F.lit(1), n_pairs)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        df.select(toks.alias("__toks"))
+        .select(
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        F.element_at(tarr, i).alias("w1"),
+                        F.element_at(tarr, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.w1", "__p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    nt = uni.agg(F.sum("c").cast("long").alias("__nt"))
+    np_ = pairs.agg(F.sum("c12").cast("long").alias("__np"))
+    dec = "decimal(38,0)"
+    scored = (
+        pairs.filter(F.col("c12") >= int(min_count))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2")), "w2")
+        .crossJoin(nt)
+        .crossJoin(np_)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            idiv_big(
+                F.col("c12").cast(dec)
+                * F.col("__nt").cast(dec)
+                * F.col("__nt").cast(dec)
+                * F.lit(int(scale)).cast(dec),
+                F.col("__np").cast(dec)
+                * F.col("__c1").cast(dec)
+                * F.col("__c2").cast(dec),
+            ).alias("pmi_u"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(k))

@@ -6968,6 +6968,90 @@ SQL_B1 = """
 """
 
 
+def q_gr4_label_propagation_documents(spark, sf_dir):
+    """Label-propagation communities over the derived doc link graph
+    (graph.label_propagation): 2 synchronous rounds, multiplicity-
+    weighted symmetrized neighbor votes, (count DESC, label ASC)
+    argmax — engine-exact; oracle unrolls the rounds as chained CTEs
+    with the independent QUALIFY formulation."""
+    docs = _t(spark, sf_dir, "documents")
+    return graph.label_propagation(
+        _doc_link_edges(docs),
+        docs.select(F.col("doc_id").alias("vertex")),
+        n_rounds=2,
+    )
+
+
+SQL_GR4 = f"""
+    WITH {_SQL_GR_EDGES},
+    sym AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    l0 AS (SELECT doc_id AS vertex, doc_id AS community FROM documents),
+    v1 AS (
+      SELECT s.src AS vertex, l.community, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym s JOIN l0 l ON l.vertex = s.dst
+      GROUP BY s.src, l.community),
+    b1 AS (
+      SELECT vertex, community FROM v1
+      QUALIFY row_number() OVER (PARTITION BY vertex
+                                 ORDER BY c DESC, community ASC) = 1),
+    l1 AS (
+      SELECT d.doc_id AS vertex, COALESCE(b.community, d.doc_id) AS community
+      FROM documents d LEFT JOIN b1 b ON b.vertex = d.doc_id),
+    v2 AS (
+      SELECT s.src AS vertex, l.community, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym s JOIN l1 l ON l.vertex = s.dst
+      GROUP BY s.src, l.community),
+    b2 AS (
+      SELECT vertex, community FROM v2
+      QUALIFY row_number() OVER (PARTITION BY vertex
+                                 ORDER BY c DESC, community ASC) = 1),
+    l2 AS (
+      SELECT d.doc_id AS vertex, COALESCE(b.community, d.doc_id) AS community
+      FROM documents d LEFT JOIN b2 b ON b.vertex = d.doc_id)
+    SELECT vertex, CAST(community AS BIGINT) AS community FROM l2
+"""
+
+
+def q_t16_collocations_documents(spark, sf_dir):
+    """PMI collocation extraction (operators/textstats.py::
+    collocations): top-50 adjacent-pair collocations with c12 >= 5 by
+    the quantized exact likelihood ratio c12*NT^2/(NP*c1*c2) — the
+    log-free monotone PMI ranking, DECIMAL(38,0)/HUGEINT."""
+    return textstats.collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
+SQL_T16 = """
+    WITH arr AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM arr, UNNEST(toks) AS t(tok) GROUP BY t.tok),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+    pr AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pr GROUP BY w1, w2),
+    np AS (SELECT CAST(SUM(c12) AS BIGINT) AS np FROM big),
+    sc AS (
+      SELECT w1, w2, c12,
+             CAST((c12::HUGEINT * nt.nt * nt.nt * 1000000)
+                  // (np.np::HUGEINT * u1.c * u2.c) AS BIGINT) AS pmi_u
+      FROM big
+      JOIN uni u1 ON u1.w = big.w1
+      JOIN uni u2 ON u2.w = big.w2
+      CROSS JOIN nt CROSS JOIN np
+      WHERE c12 >= 5)
+    SELECT w1, w2, c12, pmi_u FROM sc
+    ORDER BY pmi_u DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8401,6 +8485,11 @@ ENTRY_QUERIES = {
     "lm2_kn_fluency_documents": (q_lm2_kn_fluency_documents, SQL_LM2),
     "bpe1_merges_documents": (q_bpe1_merges_documents, SQL_BPE1),
     "b1_bitext_margin_embeddings": (q_b1_bitext_margin_embeddings, SQL_B1),
+    "t16_collocations_documents": (q_t16_collocations_documents, SQL_T16),
+    "gr4_label_propagation_documents": (
+        q_gr4_label_propagation_documents,
+        SQL_GR4,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8492,12 +8581,13 @@ ENTRY_QUERIES = {
 # ---------------------------------------------------------------------------
 # ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
 # round; this is the rotation to execute AT THE START of round 4 (i.e.
-# once VERDICT r3 exists): the 45 entries that will then never have had a
+# once VERDICT r3 exists): the 47 entries that will then never have had a
 # driver verdict (added after the round-3 window was frozen, including
-# the continuation-session additions gr3/lm2/bpe1/b1) plus 5 round-green
-# sentinels spread across families. To execute: replace _ROUND3_WINDOW
-# with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
-# import-validated, so the swap is a one-line change with no typo risk.
+# the continuation-session additions gr3/lm2/bpe1/b1/t16/gr4) plus 3
+# round-green sentinels spread across families. To execute: replace
+# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept
+# here, import-validated, so the swap is a one-line change with no typo
+# risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
     # TPC-H shapes never driver-verified (derived-partsupp family included)
@@ -8529,12 +8619,13 @@ _ROUND4_WINDOW_PLAN = [
     "u1_url_filter_documents", "s5_lsh_multi_ann_embeddings",
     "p15_pii_datasheet_documents",
     # continuation-session additions: triangle counting, Kneser-Ney LM,
-    # BPE tokenizer training, margin bitext mining
+    # BPE tokenizer training, margin bitext mining, PMI collocations,
+    # label-propagation communities
     "gr3_triangle_counts_documents", "lm2_kn_fluency_documents",
     "bpe1_merges_documents", "b1_bitext_margin_embeddings",
+    "t16_collocations_documents", "gr4_label_propagation_documents",
     # round-green sentinels across major families
-    "p7_overall_quality_events", "a1_window_stats_daily",
-    "m9_forecast_anomalies_daily", "q1_pricing_summary",
+    "p7_overall_quality_events", "q1_pricing_summary",
     "s1_ann_cosine_topk",
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50

@@ -127,3 +127,60 @@ def test_triangle_counts_star_has_none(spark):
     rows = graph.triangle_counts(df).collect()
     assert all(r["triangles"] == 0 for r in rows)
     assert {r["degree"] for r in rows} == {1, 20}
+
+
+# --- label propagation -------------------------------------------------------
+
+
+def _py_lpa(edge_list, vertices, n_rounds):
+    from collections import Counter
+
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    labels = {v: v for v in vertices}
+    for _ in range(n_rounds):
+        new = {}
+        for v in vertices:
+            votes = Counter(labels[d] for s, d in sym if s == v)
+            if votes:
+                new[v] = min(
+                    votes, key=lambda lb: (-votes[lb], lb)
+                )
+            else:
+                new[v] = v
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_replica(spark):
+    # two 4-cliques bridged by one edge + one isolated vertex
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges_list = k1 + k2 + [(3, 10)]
+    verts = list(range(4)) + list(range(10, 14)) + [99]
+    edf = spark.createDataFrame(edges_list, "src long, dst long")
+    vdf = spark.createDataFrame([(v,) for v in verts], "vertex long")
+    for rounds in (1, 2, 3):
+        got = {
+            r["vertex"]: r["community"]
+            for r in graph.label_propagation(
+                edf, vdf, n_rounds=rounds
+            ).collect()
+        }
+        assert got == _py_lpa(edges_list, verts, rounds), f"rounds={rounds}"
+
+
+def test_label_propagation_finds_clique_communities(spark):
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edf = spark.createDataFrame(k1 + k2, "src long, dst long")
+    vdf = spark.createDataFrame(
+        [(v,) for v in list(range(4)) + list(range(10, 14))], "vertex long"
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in graph.label_propagation(edf, vdf, n_rounds=2).collect()
+    }
+    # each clique collapses onto one community, and they differ
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert got[0] != got[10]

@@ -529,3 +529,44 @@ def test_udf_interior_flag_both_paths_identical():
         else:
             os.environ["SPARK_GRAFT_UDF_INTERIOR"] = old
         importlib.reload(cfg)
+
+
+# --- PMI collocations --------------------------------------------------------
+
+
+def test_collocations_ranks_fixed_phrase_first(spark):
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    # "hong kong" always together; "the" everywhere (high freq, low PMI)
+    docs = [
+        "the visit to hong kong was long",
+        "hong kong the harbor the lights",
+        "they flew to hong kong the next day",
+        "hong kong hosts the summit",
+        "the the the filler filler the",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    rows = textstats.collocations(df, min_count=4, k=10).collect()
+    assert rows[0]["w1"] == "hong" and rows[0]["w2"] == "kong"
+    assert rows[0]["c12"] == 4
+    # replica check of the quantized ratio for the top pair
+    toks = [w for t in docs for w in t.split()]
+    nt = len(toks)
+    pairs = [
+        (a, b)
+        for t in docs
+        for a, b in zip(t.split(), t.split()[1:])
+    ]
+    npairs = len(pairs)
+    c_hong = toks.count("hong")
+    c_kong = toks.count("kong")
+    want = 4 * nt * nt * 1_000_000 // (npairs * c_hong * c_kong)
+    assert rows[0]["pmi_u"] == want
+
+
+def test_collocations_min_count_prunes(spark):
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    df = spark.createDataFrame([("a b a b a b c d",)], ["text"])
+    rows = textstats.collocations(df, min_count=3, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
