@@ -1387,3 +1387,100 @@ def bitext_mine(
             F.col("__b_src").isNotNull().alias("mutual"),
         )
     )
+
+
+# --- embedding outlier audit -------------------------------------------------
+
+
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant_scale: int = 10_000_000,
+) -> DataFrame:
+    """Per-label prototypicality audit — the SemDeDup/D4-family
+    complement (Abbas et al. 2023 dedups the CENTER of each cluster;
+    this surfaces the EDGE): for every label, the k vectors farthest
+    from the label centroid, the standard mislabeled/noise-candidate
+    triage over an embedded corpus.
+
+    Exactness: centroids are never materialized as floats. With
+    quantized vectors q and per-label component sums S over n members,
+
+      n^2 * ||v - mean||^2  =  sum_d (n*q_d - S_d)^2
+
+    — all integers. The emitted score is msd_u = that sum // n^2
+    (mean squared distance in quantized units, exact floor through
+    DECIMAL(38,0): n*q_d reaches ~2^60 at 1e9-member labels, and the
+    squared sum far exceeds BIGINT by design).
+
+    Scale shape: component sums via posexplode → (label, dim) hash agg
+    (one exchange of n*dim skinny rows, map-side combined — the s11
+    Gram-matrix substrate would drop this to per-batch numpy partials
+    if dim*labels is large); sums re-assemble per label (dim-sized
+    collect_list, deterministic via sort_array on the unique dim key)
+    and BROADCAST back; the distance pass is row-local; top-k per
+    label is one window over score-ranked members.
+
+    Returns (label, vec_id, rank, msd_u), rank 1 = farthest,
+    ties (msd_u DESC, vec_id ASC)."""
+    qv = _quantize(F.col(vec_col), quant_scale)
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        qv.alias("__q"),
+    )
+    sums = (
+        base.select(
+            "label", F.posexplode(F.col("__q")).alias("__d", "__x")
+        )
+        .groupBy("label", "__d")
+        .agg(F.sum("__x").cast("long").alias("__s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__d", "__s"))
+            ).alias("__ds")
+        )
+        .select(
+            "label",
+            F.transform(F.col("__ds"), lambda e: e["__s"]).alias("__sums"),
+        )
+    )
+    counts = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    dec = "decimal(38,0)"
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.col("__sums"),
+            lambda q, s: (
+                F.col("__n").cast(dec) * q.cast(dec) - s.cast(dec)
+            )
+            * (F.col("__n").cast(dec) * q.cast(dec) - s.cast(dec)),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        base.join(F.broadcast(sums), "label")
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "vec_id",
+            idiv_big(
+                dist2, (F.col("__n") * F.col("__n")).cast(dec)
+            ).alias("msd_u"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("msd_u").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("label", "vec_id", "rank", "msd_u")
+    )

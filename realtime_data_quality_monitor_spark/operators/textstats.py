@@ -491,3 +491,71 @@ def collocations(
     return scored.orderBy(
         F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(int(k))
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 10,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve — the corpus-composition
+    audit that shows whether a source keeps contributing new vocabulary
+    or has gone repetitive: bucket the corpus into ``n_buckets`` equal
+    id-ranges in a FIXED deterministic order (doc_id — the curve is
+    only meaningful against a pinned order), find each n-gram's
+    first-occurrence bucket, and emit new-type and cumulative-vocab
+    counts per bucket. ``n`` sets the type granularity: unigrams
+    saturate instantly on a bounded vocabulary; higher n measures
+    compositional novelty (the WIMBD-style n-gram-novelty audit).
+
+    Exactness: first occurrence = MIN(doc_id) per type; bucket =
+    min(first * n_buckets // n_docs, n_buckets-1) — integer floor on
+    contiguous 0-based doc_ids (the testdata layout; the gr-family
+    assumption). All counts BIGINT.
+
+    Scale shape: ONE corpus pass (row-local n-gram explode → min-agg
+    keyed by type, map-side combine), then everything is
+    vocabulary-sized: a bucket groupBy of the distinct-type table and
+    a cumulative window over n_buckets rows (single tiny partition by
+    construction).
+
+    Returns (bucket, new_tokens, cum_vocab), bucket 0-based."""
+    from pyspark.sql import Window
+
+    from ..functions.exact import idiv
+
+    if n_buckets < 1:
+        raise ValueError("vocab_growth: n_buckets must be >= 1")
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    toks = F.col("__toks")
+    first = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id", F.explode(ngram_occurrence_col(toks, n)).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.min("__id").cast("long").alias("__first"))
+    )
+    bucket = F.least(
+        idiv(F.col("__first") * F.lit(int(n_buckets)), F.col("__n")),
+        F.lit(int(n_buckets) - 1),
+    ).cast("int")
+    per_bucket = (
+        first.crossJoin(F.broadcast(n_docs))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -7052,6 +7052,87 @@ SQL_T16 = """
 """
 
 
+def q_t17_vocab_growth_documents(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (operators/textstats.py::
+    vocab_growth): first-occurrence decile per TRIGRAM type over the
+    pinned doc_id order, new-type and cumulative counts per decile
+    (trigram granularity keeps the fixture curve non-degenerate — the
+    bounded synthetic unigram vocab saturates in decile 0). One corpus
+    pass; the curve itself is vocabulary-sized."""
+    return textstats.vocab_growth(_t(spark, sf_dir, "documents"), n=3)
+
+
+SQL_T17 = """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    first AS (
+      SELECT array_to_string(list_slice(toks, i, i + 2), ' ') AS w,
+             CAST(MIN(doc_id) AS BIGINT) AS f
+      FROM arr JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 2
+      GROUP BY 1),
+    b AS (SELECT LEAST((f * 10) // n_docs, 9) AS bucket FROM first, n),
+    pb AS (
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM b GROUP BY bucket)
+    SELECT bucket, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_vocab
+    FROM pb
+"""
+
+
+def q_s12_embedding_outliers(spark, sf_dir):
+    """Per-label embedding-outlier audit (operators/similarity.py::
+    embedding_outliers): top-3 farthest members from each label
+    centroid by exact integer mean-squared distance — centroids never
+    materialized as floats (n^2*||v-mean||^2 = sum_d (n*q_d - S_d)^2,
+    DECIMAL(38,0)/HUGEINT, msd_u = // n^2)."""
+    return similarity.embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), k=3
+    )
+
+
+SQL_S12 = """
+    WITH q AS (
+      SELECT label, vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000000.0e0) AS BIGINT)) AS qv
+      FROM embeddings),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM q GROUP BY label),
+    comp AS (
+      SELECT label, vec_id, d, qv[d] AS x
+      FROM q JOIN generate_series(1, 4096) g(d) ON d <= len(qv)),
+    sums AS (
+      SELECT label, d, CAST(SUM(x) AS BIGINT) AS s
+      FROM comp GROUP BY label, d),
+    dist AS (
+      SELECT c.label, c.vec_id,
+             CAST(SUM((n.n::HUGEINT * c.x - s.s)
+                      * (n.n::HUGEINT * c.x - s.s)) AS HUGEINT) AS d2,
+             ANY_VALUE(n.n) AS n
+      FROM comp c
+      JOIN sums s ON s.label = c.label AND s.d = c.d
+      JOIN cnt n ON n.label = c.label
+      GROUP BY c.label, c.vec_id),
+    scored AS (
+      SELECT label, vec_id,
+             CAST(d2 // (n::HUGEINT * n) AS BIGINT) AS msd_u
+      FROM dist),
+    rk AS (
+      SELECT label, vec_id, msd_u,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY msd_u DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT label, vec_id, CAST(rank AS INTEGER) AS rank, msd_u
+    FROM rk WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8490,6 +8571,8 @@ ENTRY_QUERIES = {
         q_gr4_label_propagation_documents,
         SQL_GR4,
     ),
+    "t17_vocab_growth_documents": (q_t17_vocab_growth_documents, SQL_T17),
+    "s12_embedding_outliers": (q_s12_embedding_outliers, SQL_S12),
 }
 
 # ---------------------------------------------------------------------------
@@ -8581,13 +8664,13 @@ ENTRY_QUERIES = {
 # ---------------------------------------------------------------------------
 # ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
 # round; this is the rotation to execute AT THE START of round 4 (i.e.
-# once VERDICT r3 exists): the 47 entries that will then never have had a
+# once VERDICT r3 exists): the 49 entries that will then never have had a
 # driver verdict (added after the round-3 window was frozen, including
-# the continuation-session additions gr3/lm2/bpe1/b1/t16/gr4) plus 3
-# round-green sentinels spread across families. To execute: replace
-# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept
-# here, import-validated, so the swap is a one-line change with no typo
-# risk.
+# the continuation-session additions gr3/lm2/bpe1/b1/t16/gr4/t17/s12)
+# plus 1 round-green sentinel (p7, the core rules family). To execute:
+# replace _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above.
+# Kept here, import-validated, so the swap is a one-line change with no
+# typo risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
     # TPC-H shapes never driver-verified (derived-partsupp family included)
@@ -8620,13 +8703,13 @@ _ROUND4_WINDOW_PLAN = [
     "p15_pii_datasheet_documents",
     # continuation-session additions: triangle counting, Kneser-Ney LM,
     # BPE tokenizer training, margin bitext mining, PMI collocations,
-    # label-propagation communities
+    # label-propagation communities, Heaps-curve, embedding outliers
     "gr3_triangle_counts_documents", "lm2_kn_fluency_documents",
     "bpe1_merges_documents", "b1_bitext_margin_embeddings",
     "t16_collocations_documents", "gr4_label_propagation_documents",
-    # round-green sentinels across major families
-    "p7_overall_quality_events", "q1_pricing_summary",
-    "s1_ann_cosine_topk",
+    "t17_vocab_growth_documents", "s12_embedding_outliers",
+    # round-green sentinel (rules family, the north-star core)
+    "p7_overall_quality_events",
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)

@@ -941,3 +941,48 @@ def test_bitext_mine_matches_python_replica(spark):
     # every noisy copy should be mined as its source's mutual best
     for i in range(6):
         assert got[i][0] == 100 + i and got[i][3]
+
+
+def test_embedding_outliers_matches_replica(spark):
+    import math
+
+    rows = [
+        # label 0: tight cluster + one far point (id 3 must rank 1)
+        (0, 0, [1.0, 0.0]), (1, 0, [1.01, 0.02]), (2, 0, [0.99, -0.01]),
+        (3, 0, [-5.0, 4.0]),
+        # label 1: two symmetric points -> equidistant, id-ASC tie-break
+        (10, 1, [2.0, 2.0]), (11, 1, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    stored = {r["vec_id"]: (r["label"], list(r["embedding"])) for r in df.collect()}
+    qv = {
+        i: [math.floor(x * 1e7) for x in v] for i, (lb, v) in stored.items()
+    }
+    want = {}
+    for lb in (0, 1):
+        members = [i for i, (l, _) in stored.items() if l == lb]
+        nn = len(members)
+        dim = len(next(iter(qv.values())))
+        sums = [sum(qv[i][d] for i in members) for d in range(dim)]
+        sc = sorted(
+            (
+                (
+                    -(sum((nn * qv[i][d] - sums[d]) ** 2 for d in range(dim))
+                      // (nn * nn)),
+                    i,
+                )
+                for i in members
+            )
+        )
+        want[lb] = [(i, -d) for d, i in sc][:3]
+    got = {}
+    for r in similarity.embedding_outliers(df, k=3).collect():
+        got.setdefault(r["label"], []).append(
+            (r["rank"], r["vec_id"], r["msd_u"])
+        )
+    for lb, lst in got.items():
+        lst.sort()
+        assert [(v, m) for _, v, m in lst] == want[lb], f"label={lb}"
+    assert got[0][0][1] == 3  # the far point is rank 1

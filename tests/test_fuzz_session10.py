@@ -1,0 +1,216 @@
+"""Hypothesis fuzz for the continuation-session operators vs their
+pure-Python oracles: BPE merge learning, label-propagation communities,
+PMI collocations, Kneser-Ney fluency. One Spark job per example; small
+max_examples accordingly (the test_fuzz_curation convention)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_data_quality_monitor_spark.operators import (
+    bpe,
+    graph,
+    lm,
+    textstats,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary of short words built from 2 letters -> merges collide,
+# tie-breaks and overlap cases actually exercise
+_word = st.text(alphabet="ab", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _py_bpe(texts, n_merges):
+    wc = Counter(w for t in texts for w in t.split() if w)
+    words = {w: tuple(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, cnt))
+        new_words = {}
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, n_merges=st.integers(1, 5))
+def test_fuzz_bpe_train(spark, corpus, n_merges):
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(corpus, n_merges)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _py_lpa(edge_list, vertices, n_rounds):
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    labels = {v: v for v in vertices}
+    for _ in range(n_rounds):
+        new = {}
+        for v in vertices:
+            votes = Counter(labels[d] for s, d in sym if s == v)
+            new[v] = (
+                min(votes, key=lambda lb: (-votes[lb], lb)) if votes else v
+            )
+        labels = new
+    return labels
+
+
+@settings(**_SETTINGS)
+@given(edges=_edges, rounds=st.integers(1, 3))
+def test_fuzz_label_propagation(spark, edges, rounds):
+    verts = list(range(8))
+    # self-loops allowed by the strategy: they are legitimate
+    # multiplicity-weighted votes for the vertex's own label
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    vdf = spark.createDataFrame([(v,) for v in verts], "vertex long")
+    got = {
+        r["vertex"]: r["community"]
+        for r in graph.label_propagation(edf, vdf, n_rounds=rounds).collect()
+    }
+    assert got == _py_lpa(edges, verts, rounds)
+
+
+def _py_collocations(texts, min_count, k, scale=1_000_000):
+    toks = [w for t in texts for w in t.split() if w]
+    uni = Counter(toks)
+    nt = len(toks)
+    pairs: Counter = Counter()
+    for t in texts:
+        tk = [w for w in t.split() if w]
+        for a, b in zip(tk, tk[1:]):
+            pairs[(a, b)] += 1
+    np_ = sum(pairs.values())
+    sc = [
+        (
+            scale * c12 * nt * nt // (np_ * uni[a] * uni[b]),
+            a,
+            b,
+            c12,
+        )
+        for (a, b), c12 in pairs.items()
+        if c12 >= min_count
+    ]
+    sc.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return [(a, b, c12, p) for p, a, b, c12 in sc[:k]]
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, min_count=st.integers(1, 3))
+def test_fuzz_collocations(spark, corpus, min_count):
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    rows = textstats.collocations(df, min_count=min_count, k=10).collect()
+    got = [(r["w1"], r["w2"], r["c12"], r["pmi_u"]) for r in rows]
+    assert got == _py_collocations(corpus, min_count, 10)
+
+
+def _py_kn(ref_texts, doc_texts, vocab_size, scale=1_000_000):
+    ref_tok = [t.split() for t in ref_texts]
+    counts = Counter(w for tk in ref_tok for w in tk if w)
+    vocab = set(
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+
+    def m(w):
+        return w if w in vocab else lm.LM_UNK
+
+    big: Counter = Counter()
+    for tk in ref_tok:
+        tk = [w for w in tk if w]
+        for a, b in zip(tk, tk[1:]):
+            big[(m(a), m(b))] += 1
+    ctx: Counter = Counter()
+    d1: Counter = Counter()
+    d2: Counter = Counter()
+    for (a, b), c in big.items():
+        ctx[a] += c
+        d1[a] += 1
+        d2[b] += 1
+    npairs = max(len(big), 1)
+    out = {}
+    for i, t in enumerate(doc_texts):
+        tk = [w for w in t.split() if w]
+        prs = [(m(a), m(b)) for a, b in zip(tk, tk[1:])]
+        if not prs:
+            out[i] = (0, 0)
+            continue
+        qs = []
+        for a, b in prs:
+            if ctx[a] > 0:
+                num = (
+                    max(4 * big[(a, b)] - 3, 0) * npairs + 3 * d1[a] * d2[b]
+                ) * scale
+                qs.append(num // (4 * ctx[a] * npairs))
+            else:
+                qs.append(d2[b] * scale // npairs)
+        out[i] = (len(prs), sum(qs) // len(qs))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    ref=_corpus,
+    docs=_corpus,
+    vocab_size=st.integers(1, 6),
+)
+def test_fuzz_kn_fluency(spark, ref, docs, vocab_size):
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref)], ["doc_id", "text"]
+    )
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_fluency_u"])
+        for r in lm.lm_kn_fluency_from_ref(
+            ddf, rdf, vocab_size=vocab_size
+        ).collect()
+    }
+    assert got == _py_kn(ref, docs, vocab_size)

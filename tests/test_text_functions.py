@@ -570,3 +570,39 @@ def test_collocations_min_count_prunes(spark):
     df = spark.createDataFrame([("a b a b a b c d",)], ["text"])
     rows = textstats.collocations(df, min_count=3, k=10).collect()
     assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+
+
+def test_vocab_growth_matches_replica(spark):
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    docs = [
+        (0, "a b c d"),
+        (1, "a b x"),
+        (2, "c d a b"),
+        (3, "y z"),
+        (4, ""),
+        (5, "q"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for n, buckets in ((1, 3), (2, 3), (1, 10)):
+        first = {}
+        for d, t in docs:
+            tk = [w for w in t.split() if w]
+            for i in range(len(tk) - n + 1):
+                g = " ".join(tk[i : i + n])
+                first.setdefault(g, d)
+        want = {}
+        for g, f in first.items():
+            b = min(f * buckets // len(docs), buckets - 1)
+            want[b] = want.get(b, 0) + 1
+        rows = (
+            textstats.vocab_growth(df, n_buckets=buckets, n=n)
+            .orderBy("bucket")
+            .collect()
+        )
+        got = {r["bucket"]: r["new_tokens"] for r in rows}
+        assert got == want, f"n={n} buckets={buckets}"
+        cum = 0
+        for r in rows:
+            cum += r["new_tokens"]
+            assert r["cum_vocab"] == cum
