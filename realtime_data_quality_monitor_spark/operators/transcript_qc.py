@@ -390,3 +390,94 @@ def self_repetition(
         .cast("int")
         .alias("stuck_flag"),
     )
+
+
+def timing_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("t", "event_id"),
+    ts_col: str = "t",
+    long_pause_us: int = 300_000_000,
+) -> DataFrame:
+    """Per-conversation timing QC — the cadence audit an agent-
+    transcript corpus needs before the text audits mean anything:
+    conversations assembled from logs routinely carry giant wall-clock
+    holes (session resumed next day), bursts (replayed events with
+    identical timestamps) or clock skew, and every gap-sensitive
+    downstream op (session windows w3, tool loops w6) keys off the
+    same timestamps.
+
+    Per conversation, over turns in ``order_cols`` order (ts first, so
+    consecutive gaps are >= 0 by construction):
+
+      n_turns, span_us      — count and max(ts)-min(ts),
+      median_gap_us         — POSITIONAL lower median of the n-1
+                              consecutive gaps (the repo's exact-median
+                              convention, a13/m12: element (n+1)//2 of
+                              the sorted gaps — no averaging, stays
+                              integer-exact),
+      max_gap_us, long_pauses — the largest hole and how many gaps
+                              reach ``long_pause_us`` (default 5 min).
+
+    Single-turn conversations emit (span, median, max, pauses) = 0.
+
+    ONE conversation-keyed exchange (the w6 shape): groupBy collects
+    (order, ts) structs, sort_array orders row-locally, gaps and their
+    sorted median are array algebra — no window, no second shuffle.
+    All values are epoch-microsecond BIGINTs: engine-exact."""
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(ts_col).cast("long").alias("ts"),
+            )
+        )
+    )
+    g = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(arr.alias("arr"))
+    ts = F.transform(F.col("arr"), lambda x: x["ts"])
+    nts = F.size(F.col("__ts"))
+    idx = F.when(
+        nts >= 2, F.sequence(F.lit(1), nts - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gaps = F.transform(
+        idx,
+        lambda i: F.element_at(F.col("__ts"), i + 1)
+        - F.element_at(F.col("__ts"), i),
+    )
+    staged = g.select(
+        "conv_id",
+        F.size(F.col("arr")).cast("long").alias("n_turns"),
+        ts.alias("__ts"),
+    ).select(
+        "conv_id",
+        "n_turns",
+        F.array_sort(gaps).alias("__sg"),
+        gaps.alias("__g"),
+    )
+    ng = F.size(F.col("__sg"))
+    zero = F.lit(0).cast("long")
+    return staged.select(
+        "conv_id",
+        "n_turns",
+        F.coalesce(
+            F.aggregate(
+                F.col("__g"), zero, lambda a, x: a + x.cast("long")
+            ),
+            zero,
+        ).alias("span_us"),
+        F.when(
+            ng >= 1,
+            F.element_at(F.col("__sg"), ((ng + 1) / 2).cast("int")),
+        )
+        .otherwise(zero)
+        .cast("long")
+        .alias("median_gap_us"),
+        F.coalesce(F.array_max("__sg"), zero).cast("long").alias("max_gap_us"),
+        F.size(
+            F.filter(
+                F.col("__g"), lambda x: x >= F.lit(int(long_pause_us))
+            )
+        )
+        .cast("long")
+        .alias("long_pauses"),
+    )

@@ -7612,6 +7612,55 @@ def _agent_turns(spark, sf_dir):
     )
 
 
+def q_w12_timing_stats_events(spark, sf_dir):
+    """Per-conversation timing QC (transcript_qc.timing_stats): span,
+    POSITIONAL lower-median and max of consecutive turn gaps, and
+    long-pause count (>= 5 min) — the cadence audit behind the
+    gap-sensitive ops (w3 session windows, w6 tool loops). ONE
+    conversation-keyed exchange, gaps/median as row-local array
+    algebra; oracle uses the independent lag + row_number median."""
+    return transcript_qc.timing_stats(
+        _event_turns(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("t", "event_id"),
+        ts_col="t",
+    )
+
+
+SQL_W12 = f"""
+    WITH t AS ({_SQL_EVENT_TURNS}),
+    o AS (
+      SELECT conv_id, tu,
+             lag(tu) OVER (PARTITION BY conv_id
+                           ORDER BY tu, event_id) AS pt
+      FROM t),
+    gaps AS (SELECT conv_id, tu - pt AS gap FROM o WHERE pt IS NOT NULL),
+    base AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(MAX(tu) - MIN(tu) AS BIGINT) AS span_us
+      FROM t GROUP BY conv_id),
+    med AS (
+      SELECT conv_id, CAST(gap AS BIGINT) AS med_gap FROM (
+        SELECT conv_id, gap,
+               row_number() OVER (PARTITION BY conv_id ORDER BY gap) AS rn,
+               COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+        FROM gaps)
+      WHERE rn = (cnt + 1) // 2),
+    agg AS (
+      SELECT conv_id, CAST(MAX(gap) AS BIGINT) AS max_gap,
+             CAST(COUNT(CASE WHEN gap >= 300000000 THEN 1 END) AS BIGINT)
+               AS pauses
+      FROM gaps GROUP BY conv_id)
+    SELECT b.conv_id, b.n_turns, b.span_us,
+           COALESCE(m.med_gap, 0) AS median_gap_us,
+           COALESCE(a.max_gap, 0) AS max_gap_us,
+           COALESCE(a.pauses, 0) AS long_pauses
+    FROM base b
+    LEFT JOIN med m USING (conv_id)
+    LEFT JOIN agg a USING (conv_id)
+"""
+
+
 def q_w6_tool_stats_events(spark, sf_dir):
     """Agent tool-call telemetry + same-tool loop detection
     (transcript_qc.tool_stats): per conversation, the tool-call count,
@@ -8573,6 +8622,7 @@ ENTRY_QUERIES = {
     ),
     "t17_vocab_growth_documents": (q_t17_vocab_growth_documents, SQL_T17),
     "s12_embedding_outliers": (q_s12_embedding_outliers, SQL_S12),
+    "w12_timing_stats_events": (q_w12_timing_stats_events, SQL_W12),
 }
 
 # ---------------------------------------------------------------------------
@@ -8664,13 +8714,13 @@ ENTRY_QUERIES = {
 # ---------------------------------------------------------------------------
 # ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
 # round; this is the rotation to execute AT THE START of round 4 (i.e.
-# once VERDICT r3 exists): the 49 entries that will then never have had a
-# driver verdict (added after the round-3 window was frozen, including
-# the continuation-session additions gr3/lm2/bpe1/b1/t16/gr4/t17/s12)
-# plus 1 round-green sentinel (p7, the core rules family). To execute:
-# replace _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above.
-# Kept here, import-validated, so the swap is a one-line change with no
-# typo risk.
+# once VERDICT r3 exists): exactly the 50 entries that will then never
+# have had a driver verdict (added after the round-3 window was frozen,
+# including the continuation-session additions
+# gr3/lm2/bpe1/b1/t16/gr4/t17/s12/w12 — no sentinel slots left; every
+# slot retires verification debt). To execute: replace _ROUND3_WINDOW
+# with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
+# import-validated, so the swap is a one-line change with no typo risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
     # TPC-H shapes never driver-verified (derived-partsupp family included)
@@ -8708,8 +8758,7 @@ _ROUND4_WINDOW_PLAN = [
     "bpe1_merges_documents", "b1_bitext_margin_embeddings",
     "t16_collocations_documents", "gr4_label_propagation_documents",
     "t17_vocab_growth_documents", "s12_embedding_outliers",
-    # round-green sentinel (rules family, the north-star core)
-    "p7_overall_quality_events",
+    "w12_timing_stats_events",
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)

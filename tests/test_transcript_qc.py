@@ -320,3 +320,38 @@ def test_turn_dedup_no_text_in_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_timing_stats_replica(spark):
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    us = 1_000_000
+    rows = [
+        # conv A: gaps 10s, 400s (long), 10s -> sorted [10,10,400]s,
+        # lower median = element 2 = 10s
+        ("A", 0 * us, 1), ("A", 10 * us, 2), ("A", 410 * us, 3),
+        ("A", 420 * us, 4),
+        # conv B: single turn
+        ("B", 50 * us, 5),
+        # conv C: two identical timestamps (tie broken by event_id),
+        # gap 0 -> median 0, no pauses
+        ("C", 7 * us, 6), ("C", 7 * us, 7),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, t long, event_id long")
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["span_us"], r["median_gap_us"],
+            r["max_gap_us"], r["long_pauses"],
+        )
+        for r in transcript_qc.timing_stats(df).collect()
+    }
+    assert got["A"] == (4, 420 * us, 10 * us, 400 * us, 1)
+    assert got["B"] == (1, 0, 0, 0, 0)
+    assert got["C"] == (2, 0, 0, 0, 0)
+    # even gap count: lower median (element (2+1)//2 = 1 of sorted)
+    df2 = spark.createDataFrame(
+        [("D", 0, 1), ("D", 3 * us, 2), ("D", 10 * us, 3)],
+        "conv_id string, t long, event_id long",
+    )
+    r = transcript_qc.timing_stats(df2).collect()[0]
+    assert r["median_gap_us"] == 3 * us
