@@ -72,8 +72,12 @@ def main():
 
     import realtime_data_quality_monitor_spark.operators.rules as rules
 
-    # warmup (C2 JIT)
-    _noop(with_quality(read().limit(150_000)))
+    # warmup: FULL-SIZE, not a slice (CLAUDE.md "Lazy-faulted RAM"): the
+    # first full pass in a fresh JVM pays first-touch faults over the
+    # whole working set — a slice warmup only faults a slice, and the
+    # first *timed* variant then absorbs the remainder (measured: 'full'
+    # read 34.7 s vs 18.4 s steady-state when this warmup was a slice).
+    _noop(with_quality(read()))
 
     out = {}
     out["full"] = timed(lambda: with_quality(read()))
@@ -89,6 +93,10 @@ def main():
     rules.scrub_udf = real_scrub
 
     out["no_cross_turn"] = timed(lambda: with_quality(read(), cross_turn=False))
+    # re-time the full pipeline LAST: full vs full_end brackets epoch
+    # drift over the profile run (they should agree within noise; if
+    # they don't, distrust the whole table)
+    out["full_end"] = timed(lambda: with_quality(read()))
 
     # candidate fraction for the scrub gate
     q = with_quality(read())

@@ -88,6 +88,14 @@ def main():
         transcript_qc.lang_consistency(turns)), results)
     timed("w11_self_repetition", lambda: _noop(
         transcript_qc.self_repetition(turns, order_cols=order)), results)
+    turns_ts = spark.read.parquet(path).selectExpr(
+        "conv_id",
+        "cast(unix_micros(ts) as long) as t",
+        "cast(turn_idx as long) as event_id",
+    )
+    timed("w12_timing_stats", lambda: _noop(
+        transcript_qc.timing_stats(turns_ts, order_cols=("t", "event_id"))),
+        results)
 
     total = round(sum(results.values()), 2)
     spark.stop()  # before the epoch probe so JVM threads don't contend
