@@ -450,3 +450,59 @@ def test_bitext_margin_windows_share_pair_table(spark):
     assert "CartesianProduct" not in p.replace(
         "CartesianProduct", "X", 1
     )  # exactly the one candidate cross join, no second
+
+
+def test_timing_stats_single_exchange(spark):
+    """w12 timing QC: ONE conversation-keyed hash exchange (the w6
+    family contract) — gaps, median and pause counts are row-local
+    array algebra after the collect_list agg; no window, no sort."""
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    df = spark.createDataFrame(
+        [("a", 1, 1)], "conv_id string, t long, event_id long"
+    )
+    out = transcript_qc.timing_stats(df)
+    assert _n_shuffles(spark, out) == 1
+    p = _plan(spark, out, "simple")
+    assert "Exchange rangepartitioning" not in p
+    assert "Window" not in p
+
+
+def test_vocab_growth_two_bounded_exchanges(spark):
+    """t17 Heaps curve: the corpus-sized exchange is the token min-agg;
+    the bucket agg and n_buckets-row cumulative window move only
+    vocabulary-sized data. No global sort of the corpus."""
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textstats.vocab_growth(df, n=3)
+    p = _plan(spark, out, "simple")
+    # token agg + bucket agg hash exchanges; the 10-row window adds a
+    # single-partition exchange, not a rangepartitioning sort
+    assert "Exchange rangepartitioning" not in p
+    assert _n_shuffles(spark, out) == 2
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    """t16: the final top-k must compile to TakeOrderedAndProject (heap
+    per partition + driver merge), never a global sort of the pair
+    table."""
+    from realtime_data_quality_monitor_spark.operators import textstats
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textstats.collocations(df, min_count=5, k=50)
+    p = _plan(spark, out, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_embedding_outliers_broadcasts_model_tables(spark):
+    """s12: the per-label sums/counts join back via BROADCAST (they are
+    label-count-sized); the corpus-side distance pass must not hash-
+    shuffle the vectors a second time."""
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.embedding_outliers(df, k=3)
+    p = _plan(spark, out, "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
