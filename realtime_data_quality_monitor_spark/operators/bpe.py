@@ -35,7 +35,16 @@ matches impossible (a merged symbol's interior never contains \\x02 or
 are BIGINT sums of BIGINT word frequencies: exact everywhere.
 
 The control brackets are reserved like lm.LM_UNK: unreachable by the
-whitespace tokenizer over the documents fixture."""
+whitespace tokenizer over the documents fixture.
+
+Character-granularity bound (the ADVICE r2 docstring-bound convention):
+the initial split uses the regex ``(.)`` — one UTF-16 code unit under
+Java, one rune under RE2 — so NON-BMP codepoints (emoji, rare CJK)
+would be split into surrogate halves on the Spark side but kept whole
+by a DuckDB oracle. Cross-engine exactness therefore holds for BMP
+text (the fixture and typical tokenizer-training corpora after NFC);
+byte-level BPE over UTF-8 bytes (the GPT-2 variant) is the documented
+escape for corpora where this matters."""
 
 from __future__ import annotations
 

@@ -1341,16 +1341,21 @@ def bitext_mine(
             F.count(F.lit(1)).cast("long").alias("__nt"),
         )
     )
+    # both sides in DECIMAL(38,0): with large k the LONG products
+    # overflow around k ~ 3e4 (ssrc ~ k*2e9 times nt ~ k) — ANSI would
+    # raise rather than corrupt, but the decimal route just stays exact
+    dec38 = "decimal(38,0)"
     den = F.greatest(
-        F.col("__ssrc") * F.col("__nt") + F.col("__stgt") * F.col("__ns"),
-        F.lit(1),
+        F.col("__ssrc").cast(dec38) * F.col("__nt").cast(dec38)
+        + F.col("__stgt").cast(dec38) * F.col("__ns").cast(dec38),
+        F.lit(1).cast(dec38),
     )
     margin = idiv_big(
-        F.col("sq")
-        * F.lit(2)
-        * F.col("__ns")
-        * F.col("__nt")
-        * F.lit(int(margin_scale)),
+        F.col("sq").cast(dec38)
+        * F.lit(2).cast(dec38)
+        * F.col("__ns").cast(dec38)
+        * F.col("__nt").cast(dec38)
+        * F.lit(int(margin_scale)).cast(dec38),
         den,
     )
     scored = (
