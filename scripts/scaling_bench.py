@@ -96,6 +96,23 @@ def _frame_builder():
             )
 
         return op, build
+    if op == "bpe":
+        # BPE training's corpus-side work: the word-frequency pass plus
+        # the first merge's weighted pair count (everything after is
+        # model-sized per merge). Lazy frame -> noop sink, so the same
+        # harness times it; the driver-loop collect of later merges is
+        # deliberately out of scope (it is bounded by vocab, not corpus).
+        from pyspark.sql import functions as F
+
+        from realtime_data_quality_monitor_spark.operators import bpe
+
+        def build(df, num_partitions):
+            words = bpe.word_counts(df, text_col="text").select(
+                bpe._bracketize(F.col("word")).alias("s"), "wc"
+            )
+            return bpe.pair_counts(words)
+
+        return op, build
     from realtime_data_quality_monitor_spark.operators.rules import (
         with_quality,
     )
