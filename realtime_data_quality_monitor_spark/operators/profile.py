@@ -92,3 +92,134 @@ def source_datasheet(
             ).alias("avg_quality")
         )
     return staged.groupBy(F.col(source_col).alias("source")).agg(*aggs)
+
+
+def fd_strength(
+    df: DataFrame,
+    lhs_cols,
+    rhs_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Approximate-functional-dependency audit (the TANE/Metanome g3
+    measure): how nearly does lhs -> rhs hold? For each lhs group the
+    minimal repair removes every row not carrying the group's majority
+    rhs value, so
+
+      strength_ppm = floor(1e6 * sum(majority_count) / n_rows)
+
+    — exact integers; majority ties break value-ASC (total order).
+
+    Output: one summary row (lhs = NULL sentinel) with the corpus
+    strength, followed by the top-``k`` most-violating groups
+    (violations DESC, lhs ASC) — bounded output however many groups
+    exist.
+
+    Scale shape: one (lhs, rhs) hash agg (map-side combined), an
+    lhs-keyed argmax window over the GROUP table (never raw rows), a
+    scalar rollup; top-k is TakeOrderedAndProject. Text/values never
+    shuffle twice."""
+    from pyspark.sql import Window
+
+    from ..functions.exact import idiv_big
+
+    if isinstance(lhs_cols, str):
+        lhs_cols = [lhs_cols]
+    # null determinism: concat_ws renders null lhs parts as '' (its
+    # SQL-standard skip behavior); null rhs maps to the \x01 sentinel
+    # (the lm.LM_UNK convention) so majority tie-breaks never compare
+    # NULL (Spark sorts nulls first, DuckDB last — a silent divergence)
+    lhs = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs_cols])
+    pairs = (
+        df.select(
+            lhs.alias("lhs"),
+            F.coalesce(
+                F.col(rhs_col).cast("string"), F.lit("\x01")
+            ).alias("rhs"),
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("lhs").orderBy(F.col("c").desc(), F.col("rhs").asc())
+    groups = (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .groupBy("lhs")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+            F.max(F.when(F.col("__r") == 1, F.col("c")))
+            .cast("long")
+            .alias("majority_c"),
+        )
+        .select(
+            "lhs",
+            "n_rows",
+            "n_distinct_rhs",
+            (F.col("n_rows") - F.col("majority_c")).alias("violations"),
+        )
+    )
+    total = groups.agg(
+        F.sum("n_rows").cast("long").alias("__n"),
+        F.sum("violations").cast("long").alias("__v"),
+    ).select(
+        F.lit(None).cast("string").alias("lhs"),
+        F.col("__n").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_distinct_rhs"),
+        F.col("__v").alias("violations"),
+        idiv_big(
+            (F.col("__n") - F.col("__v")) * F.lit(1_000_000), F.col("__n")
+        ).alias("strength_ppm"),
+    )
+    top = (
+        groups.orderBy(F.col("violations").desc(), F.col("lhs").asc())
+        .limit(int(k))
+        .withColumn("strength_ppm", F.lit(None).cast("long"))
+    )
+    return total.unionByName(top)
+
+
+def ref_integrity(
+    relations,
+) -> DataFrame:
+    """Referential-integrity audit over (name, child_df, child_key,
+    parent_df, parent_key) relations: per relation, child row count,
+    orphan rows (non-null key with no parent) and orphan_ppm — the
+    data-quality complement of the rule engine's accuracy checks, run
+    table-level instead of row-level.
+
+    Scale shape per relation: one LEFT ANTI join on the key (AQE
+    broadcasts small parents) over the child's non-null keys + two
+    scalar aggs; relations' results union row-wise (bounded output)."""
+    from ..functions.exact import idiv_big
+
+    out = None
+    for name, child, child_key, parent, parent_key in relations:
+        keys = child.select(F.col(child_key).alias("__k")).filter(
+            F.col("__k").isNotNull()
+        )
+        parents = parent.select(F.col(parent_key).alias("__k")).distinct()
+        n_child = keys.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        )
+        orphans = keys.join(parents, "__k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        row = (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                F.when(
+                    F.col("n_child") > 0,
+                    idiv_big(
+                        F.col("n_orphans") * F.lit(1_000_000),
+                        F.col("n_child"),
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

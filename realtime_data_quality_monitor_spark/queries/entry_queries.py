@@ -7133,6 +7133,112 @@ SQL_S12 = """
 """
 
 
+def q_p16_fd_strength_events(spark, sf_dir):
+    """Approximate-FD audit (operators/profile.py::fd_strength, the
+    TANE g3 measure): how nearly user_id -> event_type holds — corpus
+    strength_ppm summary row + top-20 most-violating users. Group-table
+    algebra only; raw rows shuffle once."""
+    from ..operators import profile as prof
+
+    return prof.fd_strength(
+        _t(spark, sf_dir, "events"), ["user_id"], "event_type", k=20
+    )
+
+
+SQL_P16 = """
+    WITH pairs AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '') AS lhs,
+             COALESCE(CAST(event_type AS VARCHAR), chr(1)) AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT lhs, CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_rhs,
+             CAST(SUM(c) - MAX(c) AS BIGINT) AS violations
+      FROM pairs GROUP BY lhs),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS n,
+             CAST(SUM(violations) AS BIGINT) AS v
+      FROM g)
+    SELECT CAST(NULL AS VARCHAR) AS lhs, n AS n_rows,
+           CAST(NULL AS BIGINT) AS n_distinct_rhs, v AS violations,
+           CAST(((n - v) * 1000000) // n AS BIGINT) AS strength_ppm
+    FROM tot
+    UNION ALL
+    SELECT lhs, n_rows, n_distinct_rhs, violations,
+           CAST(NULL AS BIGINT) AS strength_ppm
+    FROM (SELECT * FROM g ORDER BY violations DESC, lhs ASC LIMIT 20)
+"""
+
+
+def q_p17_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit (operators/profile.py::
+    ref_integrity): orphan counts + ppm for three true FK relations
+    (all 0 on the TPC-H-shaped fixture — the audit proving it) and the
+    deliberately-unenforced events.user_id -> customer relation (the
+    non-degenerate row)."""
+    from ..operators import profile as prof
+
+    return prof.ref_integrity(
+        [
+            (
+                "orders->customer",
+                _t(spark, sf_dir, "orders"), "o_custkey",
+                _t(spark, sf_dir, "customer"), "c_custkey",
+            ),
+            (
+                "lineitem->orders",
+                _t(spark, sf_dir, "lineitem"), "l_orderkey",
+                _t(spark, sf_dir, "orders"), "o_orderkey",
+            ),
+            (
+                "lineitem->part",
+                _t(spark, sf_dir, "lineitem"), "l_partkey",
+                _t(spark, sf_dir, "part"), "p_partkey",
+            ),
+            (
+                "events->customer",
+                _t(spark, sf_dir, "events"), "user_id",
+                _t(spark, sf_dir, "customer"), "c_custkey",
+            ),
+        ]
+    )
+
+
+SQL_P17 = """
+    SELECT 'orders->customer' AS relation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l_partkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'events->customer',
+           (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+           (SELECT COUNT(*) FROM events e
+            WHERE user_id IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+"""
+SQL_P17 = (
+    "SELECT relation, n_child, n_orphans, "
+    "CASE WHEN n_child > 0 THEN (n_orphans * 1000000) // n_child "
+    "ELSE 0 END AS orphan_ppm FROM (" + SQL_P17 + ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8623,6 +8729,8 @@ ENTRY_QUERIES = {
     "t17_vocab_growth_documents": (q_t17_vocab_growth_documents, SQL_T17),
     "s12_embedding_outliers": (q_s12_embedding_outliers, SQL_S12),
     "w12_timing_stats_events": (q_w12_timing_stats_events, SQL_W12),
+    "p16_fd_strength_events": (q_p16_fd_strength_events, SQL_P16),
+    "p17_ref_integrity": (q_p17_ref_integrity, SQL_P17),
 }
 
 # ---------------------------------------------------------------------------
@@ -8718,9 +8826,11 @@ ENTRY_QUERIES = {
 # have had a driver verdict (added after the round-3 window was frozen,
 # including the continuation-session additions
 # gr3/lm2/bpe1/b1/t16/gr4/t17/s12/w12 — no sentinel slots left; every
-# slot retires verification debt). To execute: replace _ROUND3_WINDOW
-# with _ROUND4_WINDOW_PLAN in the reorder above. Kept here,
-# import-validated, so the swap is a one-line change with no typo risk.
+# slot retires verification debt). p16/p17 (added after this plan
+# filled) queue for the ROUND-5 window. To execute: replace
+# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept
+# here, import-validated, so the swap is a one-line change with no typo
+# risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
     # TPC-H shapes never driver-verified (derived-partsupp family included)

@@ -43,3 +43,41 @@ def test_source_datasheet_without_quality(spark):
     [row] = profile.source_datasheet(df).collect()
     assert "avg_quality" not in row.asDict()
     assert row["n_docs"] == 1 and row["total_tokens"] == 2
+
+
+def test_fd_strength_replica(spark):
+    from realtime_data_quality_monitor_spark.operators import profile as prof
+
+    rows = [
+        ("u1", "a"), ("u1", "a"), ("u1", "b"),      # 1 violation
+        ("u2", "x"), ("u2", "x"),                   # 0 violations
+        ("u3", "p"), ("u3", "q"),                   # tie -> majority 1, viol 1
+        (None, "z"),                                # null lhs -> '' group
+        ("u4", None),                               # null rhs -> sentinel
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    out = prof.fd_strength(df, ["user_id"], "event_type", k=10).collect()
+    summary = [r for r in out if r["lhs"] is None][0]
+    # 9 rows, violations: u1=1, u3=1 -> strength = (9-2)/9
+    assert summary["n_rows"] == 9 and summary["violations"] == 2
+    assert summary["strength_ppm"] == (9 - 2) * 1_000_000 // 9
+    groups = {r["lhs"]: r for r in out if r["lhs"] is not None}
+    assert groups["u1"]["violations"] == 1
+    assert groups["u3"]["violations"] == 1
+    assert groups[""]["n_rows"] == 1 and groups[""]["violations"] == 0
+    assert groups["u4"]["n_distinct_rhs"] == 1  # sentinel, not NULL-dropped
+
+
+def test_ref_integrity_counts_orphans(spark):
+    from realtime_data_quality_monitor_spark.operators import profile as prof
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = prof.ref_integrity(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()[0]
+    # null keys excluded; 99 is the orphan (1 of 4)
+    assert out["n_child"] == 4 and out["n_orphans"] == 1
+    assert out["orphan_ppm"] == 250_000
