@@ -62,50 +62,92 @@ def dtype_report(spd: pd.DataFrame, opd: pd.DataFrame) -> list[str]:
     return diffs
 
 
-def main(sf_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+def check_one_entry(spark, con, sf_dir, name, fn, oracles) -> str:
+    """Run one entry + oracle; returns the report line ('' = pass)."""
+    sdf = fn(spark, sf_dir)
+    spd = sdf.toPandas()
+    if name not in oracles:
+        return (
+            f"{name:35s} rows-only: {len(spd)} rows, {len(spd.columns)} cols"
         )
-    spark = get_spark(app_name="check-entry")
+    opd = con.sql(oracles[name]).df()
+    dt = dtype_report(spd, opd)
+    a, b = normalize(spd), normalize(opd)
+    status = []
+    if dt:
+        status.append("DTYPE " + "; ".join(dt[:4]))
+    if len(a) != len(b):
+        status.append(f"ROWS {len(a)} vs {len(b)}")
+    if list(a.columns) != list(b.columns):
+        status.append(f"SCHEMA {list(a.columns)} vs {list(b.columns)}")
+    if not status:
+        try:
+            pd.testing.assert_frame_equal(
+                a, b, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            status.append("VALUES " + str(e).split("\n")[0])
+            # show first differing cells
+            neq = (a != b) & ~(a.isna() & b.isna())
+            for c in a.columns:
+                if neq[c].any():
+                    i = neq[c].idxmax()
+                    status.append(f"  {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}")
+                    break
+    if status:
+        return f"{name:35s} MISMATCH: {'; '.join(status[:3])}"
+    return f"{name:35s} OK ({len(a)} rows)"
 
+
+def main(sf_dir: str) -> int:
+    """Entries are independent, so they check in a thread pool: Spark
+    schedules concurrent driver actions fine (FAIR-ish FIFO on 32
+    cores), and each worker thread gets its own DuckDB connection
+    (connections are not thread-safe; views are per-connection). ~3x
+    wall-clock on the full catalog vs serial. SPARK_GRAFT_CHECK_JOBS=1
+    restores serial order-of-output for debugging."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = int(os.environ.get("SPARK_GRAFT_CHECK_JOBS", "4"))
+    spark = get_spark(app_name="check-entry")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+
+    tl = threading.local()
+
+    def get_con():
+        if not hasattr(tl, "con"):
+            tl.con = duckdb.connect()
+            for t in TABLES:
+                tl.con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+        return tl.con
+
+    def run(item):
+        name, fn = item
+        try:
+            return name, check_one_entry(
+                spark, get_con(), sf_dir, name, fn, oracles
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't abort the gate
+            return name, f"{name:35s} MISMATCH: ERROR {str(e)[:160]}"
+
+    if jobs <= 1:
+        results = [run(it) for it in qs.items()]
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(run, qs.items()))
+
     failures = 0
-    for name, fn in qs.items():
-        sdf = fn(spark, sf_dir)
-        spd = sdf.toPandas()
-        if name not in oracles:
-            print(f"{name:35s} rows-only: {len(spd)} rows, {len(spd.columns)} cols")
-            continue
-        opd = con.sql(oracles[name]).df()
-        dt = dtype_report(spd, opd)
-        a, b = normalize(spd), normalize(opd)
-        status = []
-        if dt:
-            status.append("DTYPE " + "; ".join(dt[:4]))
-        if len(a) != len(b):
-            status.append(f"ROWS {len(a)} vs {len(b)}")
-        if list(a.columns) != list(b.columns):
-            status.append(f"SCHEMA {list(a.columns)} vs {list(b.columns)}")
-        if not status:
-            try:
-                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            except AssertionError as e:
-                status.append("VALUES " + str(e).split("\n")[0])
-                # show first differing cells
-                neq = (a != b) & ~(a.isna() & b.isna())
-                for c in a.columns:
-                    if neq[c].any():
-                        i = neq[c].idxmax()
-                        status.append(f"  {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}")
-                        break
-        if status:
+    by_name = dict(results)
+    for name in qs:
+        line = by_name[name]
+        if "MISMATCH" in line:
             failures += 1
-            print(f"{name:35s} MISMATCH: {'; '.join(status[:3])}")
-        else:
-            print(f"{name:35s} OK ({len(a)} rows)")
+        print(line)
     spark.stop()
     print(f"\n{failures} failures / {len(qs)} queries")
     return 1 if failures else 0
