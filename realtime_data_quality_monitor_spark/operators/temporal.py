@@ -287,3 +287,85 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple = ("t", "event_id"),
+) -> DataFrame:
+    """Ordered conversion-funnel analysis — the classic event-sequence
+    query (view -> click -> purchase): per user, greedy-earliest match
+    of the step sequence in (order_cols) order, then per-step reach and
+    conversion. Greedy-earliest is the standard funnel semantics and a
+    total order: step k's match is the first step-k event strictly
+    AFTER step k-1's match in the (ts, tie-break-id) tuple order, so
+    every engine agrees even on identical timestamps.
+
+    Output (one row per step, bounded): (step 1-based, step_name,
+    n_users reached, conversion_ppm = floor(1e6 * n_users /
+    step-1 reach); step 1 carries 1e6 by definition, 0 when nobody
+    enters the funnel).
+
+    Scale shape: ONE user-keyed exchange (the w6/w12 shape): groupBy
+    collects (order, type) structs filtered to funnel types BEFORE the
+    exchange (non-funnel events never shuffle), sort_array orders
+    row-locally, and the greedy match is a struct-accumulator
+    F.aggregate; the per-step rollup is a tiny conditional agg."""
+    from ..functions.exact import idiv
+
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(type_col).alias("typ"),
+            )
+        )
+    )
+    g = (
+        df.filter(F.col(type_col).isin(*steps))
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(arr.alias("__arr"))
+    )
+    # greedy sequential match: acc = number of steps matched so far
+    step_lits = [F.lit(s) for s in steps]
+    acc0 = F.lit(0)
+
+    def _step(acc, e):
+        nxt = None
+        for i, s in enumerate(step_lits):
+            cond = (acc == i) & (e["typ"] == s)
+            nxt = F.when(cond, acc + 1) if nxt is None else nxt.when(
+                cond, acc + 1
+            )
+        return nxt.otherwise(acc)
+
+    done = F.aggregate(F.col("__arr"), acc0, _step)
+    per_user = g.select(done.alias("__done"))
+    aggs = [
+        F.sum((F.col("__done") >= i + 1).cast("long")).alias(f"__n{i}")
+        for i in range(len(steps))
+    ]
+    totals = per_user.agg(*aggs)
+    rows = None
+    spark_lit_zero = F.lit(0).cast("long")
+    for i, name in enumerate(steps):
+        prev = F.coalesce(
+            F.col(f"__n{i - 1}" if i > 0 else f"__n{0}"), spark_lit_zero
+        )
+        cur = F.coalesce(F.col(f"__n{i}"), spark_lit_zero)
+        conv = F.when(
+            prev > 0, idiv(cur * F.lit(1_000_000), prev)
+        ).otherwise(spark_lit_zero)
+        row = totals.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            cur.alias("n_users"),
+            conv.cast("long").alias("conversion_ppm"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

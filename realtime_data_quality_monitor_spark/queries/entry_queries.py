@@ -7239,6 +7239,79 @@ SQL_P17 = (
 )
 
 
+def q_w13_funnel_events(spark, sf_dir):
+    """Conversion-funnel analysis (operators/temporal.py::funnel):
+    greedy-earliest view -> click -> purchase per user in strict
+    (ts, event_id) tuple order; per-step reach + conversion_ppm.
+    Spark matches with one user-keyed struct-accumulator fold; the
+    oracle recomputes each step independently as first-event-after
+    windows — two formulations, one pinned semantics."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return temporal.funnel(
+        ev.select(
+            "user_id",
+            _us("ts").alias("t"),
+            "event_id",
+            "event_type",
+        ),
+        steps=["view", "click", "purchase"],
+        user_col="user_id",
+        type_col="event_type",
+        order_cols=("t", "event_id"),
+    )
+
+
+SQL_W13 = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, event_type
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    s1 AS (
+      SELECT user_id, tu, event_id FROM (
+        SELECT user_id, tu, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tu, event_id) AS rn
+        FROM e WHERE event_type = 'view') WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, tu, event_id FROM (
+        SELECT e.user_id, e.tu, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.tu, e.event_id) AS rn
+        FROM e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND (e.tu > s1.tu OR (e.tu = s1.tu AND e.event_id > s1.event_id)))
+      WHERE rn = 1),
+    s3 AS (
+      SELECT user_id FROM (
+        SELECT e.user_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.tu, e.event_id) AS rn
+        FROM e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND (e.tu > s2.tu OR (e.tu = s2.tu AND e.event_id > s2.event_id)))
+      WHERE rn = 1),
+    n AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, n1 AS n_users,
+           CASE WHEN n1 > 0 THEN CAST(1000000 AS BIGINT) ELSE 0 END
+             AS conversion_ppm
+    FROM n
+    UNION ALL
+    SELECT 2, 'click', n2,
+           CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE 0 END FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+           CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8731,6 +8804,7 @@ ENTRY_QUERIES = {
     "w12_timing_stats_events": (q_w12_timing_stats_events, SQL_W12),
     "p16_fd_strength_events": (q_p16_fd_strength_events, SQL_P16),
     "p17_ref_integrity": (q_p17_ref_integrity, SQL_P17),
+    "w13_funnel_events": (q_w13_funnel_events, SQL_W13),
 }
 
 # ---------------------------------------------------------------------------

@@ -241,3 +241,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
     for lid, rid in want.items():
         g = got[lid]
         assert (g is None and pd.isna(rid)) or g == rid
+
+
+def test_funnel_greedy_earliest_semantics(spark):
+    from realtime_data_quality_monitor_spark.operators import temporal
+
+    rows = [
+        # u1 completes all three in order
+        ("u1", 10, 1, "view"), ("u1", 20, 2, "click"),
+        ("u1", 30, 3, "purchase"),
+        # u2: purchase BEFORE view -> only view+click count
+        ("u2", 5, 4, "purchase"), ("u2", 10, 5, "view"),
+        ("u2", 20, 6, "click"),
+        # u3: click only -> reaches nothing (no view)
+        ("u3", 10, 7, "click"),
+        # u4: same-timestamp view/click ordered by event_id tie-break
+        ("u4", 10, 8, "view"), ("u4", 10, 9, "click"),
+        # u5: click before view, none after -> view only
+        ("u5", 5, 10, "click"), ("u5", 10, 11, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, t long, event_id long, event_type string"
+    )
+    out = {
+        r["step"]: (r["step_name"], r["n_users"], r["conversion_ppm"])
+        for r in temporal.funnel(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    # views: u1, u2, u4, u5 -> 4; clicks after view: u1, u2, u4 -> 3;
+    # purchases after click: u1 -> 1
+    assert out[1] == ("view", 4, 1_000_000)
+    assert out[2] == ("click", 3, 3 * 1_000_000 // 4)
+    assert out[3] == ("purchase", 1, 1 * 1_000_000 // 3)
+
+
+def test_funnel_empty_and_single_step(spark):
+    from realtime_data_quality_monitor_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [], "user_id string, t long, event_id long, event_type string"
+    )
+    out = temporal.funnel(df, ["view", "click"]).collect()
+    assert [(r["n_users"], r["conversion_ppm"]) for r in out] == [
+        (0, 0), (0, 0)
+    ]
