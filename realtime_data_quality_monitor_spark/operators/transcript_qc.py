@@ -481,3 +481,55 @@ def timing_stats(
         .cast("long")
         .alias("long_pauses"),
     )
+
+
+def cross_turn_scrub(
+    turns: DataFrame,
+    detect_pattern: str,
+    replacement: str = "[NAME]",
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level contextual scrub — the cross-turn complement
+    of the per-turn regex scrub (w9): an entity DECLARED once (e.g.
+    "my name is Alice") must be redacted at every later AND earlier
+    mention in the conversation, including bare mentions no per-turn
+    pattern can recognize. The standard transcript-anonymization
+    requirement (dialogue PII does not respect turn boundaries).
+
+    Mechanics: per turn, ``detect_pattern``'s group-1 captures are the
+    declared entities; the conversation's entity set is the sorted
+    distinct union (sort_array — a pinned fold order, so chained
+    replaces are engine-exact even when one entity is a substring of
+    another); scrubbing folds literal all-occurrence replaces of each
+    entity over the turn text.
+
+    Scale shape: ONE conversation-keyed exchange builds the entity
+    sets (captures explode pre-shuffle, full text never shuffles); the
+    apply side is an equi-join of turns against the conversation-keyed
+    entity table (AQE broadcasts it when small — entity sets are
+    conversations-sized, not turns-sized) and a row-local fold.
+
+    Returns the input columns + (conv_entities, scrubbed)."""
+    caps = F.regexp_extract_all(F.col(text_col), F.lit(detect_pattern), 1)
+    names = (
+        turns.select(F.col(conv_col).alias("__c"), F.explode(caps).alias("__n"))
+        .groupBy("__c")
+        .agg(F.sort_array(F.collect_set("__n")).alias("conv_entities"))
+    )
+    joined = turns.join(
+        names, turns[conv_col] == names["__c"], "left"
+    ).drop("__c")
+    ents = F.coalesce(
+        F.col("conv_entities"), F.array().cast("array<string>")
+    )
+    scrubbed = F.aggregate(
+        ents,
+        F.col(text_col),
+        lambda acc, n: F.replace(acc, n, F.lit(replacement)),
+    )
+    return joined.select(
+        *turns.columns,
+        ents.alias("conv_entities"),
+        scrubbed.alias("scrubbed"),
+    )

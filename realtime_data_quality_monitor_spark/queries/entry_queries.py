@@ -7840,6 +7840,91 @@ SQL_W12 = f"""
 """
 
 
+def q_w14_cross_turn_scrub_events(spark, sf_dir):
+    """Conversation-level contextual scrub (transcript_qc.
+    cross_turn_scrub): deterministic name plants — declarations
+    ("my name is N<k>"/"M<k>") on event_id % 11/13 turns, BARE mentions
+    (" N<k>") on % 7 turns that only cross-turn propagation can catch —
+    then every mention in every turn of the conversation is redacted.
+    Per-turn (n_entities, scrub_len, scrub_md5); oracle rebuilds the
+    fold with list_prepend + list_reduce."""
+    t = _event_turns(spark, sf_dir)
+    empty = F.lit("")
+    planted = t.select(
+        "conv_id",
+        "event_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("event_id") % 11 == 0,
+                F.concat(
+                    F.lit(" my name is N"),
+                    (F.col("conv_id") % 50).cast("string"),
+                ),
+            ).otherwise(empty),
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(
+                    F.lit(" N"), (F.col("conv_id") % 50).cast("string")
+                ),
+            ).otherwise(empty),
+            F.when(
+                F.col("event_id") % 13 == 0,
+                F.concat(
+                    F.lit(" my name is M"),
+                    (F.col("conv_id") % 40).cast("string"),
+                ),
+            ).otherwise(empty),
+        ).alias("text"),
+    )
+    out = transcript_qc.cross_turn_scrub(
+        planted, r"my name is ([MN]\d+)"
+    )
+    return out.select(
+        "conv_id",
+        "event_id",
+        F.size("conv_entities").alias("n_entities"),
+        F.length("scrubbed").cast("long").alias("scrub_len"),
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+SQL_W14 = f"""
+    WITH t AS ({{_SQL_EVENT_TURNS}}),
+    p AS (
+      SELECT conv_id, event_id,
+             text ||
+             CASE WHEN event_id % 11 = 0
+                  THEN ' my name is N' || CAST(conv_id % 50 AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN event_id % 7 = 0
+                  THEN ' N' || CAST(conv_id % 50 AS VARCHAR) ELSE '' END ||
+             CASE WHEN event_id % 13 = 0
+                  THEN ' my name is M' || CAST(conv_id % 40 AS VARCHAR)
+                  ELSE '' END AS text
+      FROM t),
+    nm AS (
+      SELECT conv_id,
+             list_sort(list_distinct(flatten(list(
+               regexp_extract_all(text, 'my name is ([MN][0-9]+)', 1)))))
+               AS ents
+      FROM p GROUP BY conv_id),
+    s AS (
+      SELECT p.conv_id, p.event_id,
+             COALESCE(n.ents, []) AS ents,
+             list_reduce(
+               list_prepend(p.text, COALESCE(n.ents, [])),
+               (a, b) -> replace(a, b, '[NAME]')) AS scrubbed
+      FROM p LEFT JOIN nm n ON n.conv_id = p.conv_id)
+    SELECT conv_id, event_id,
+           CAST(len(ents) AS INTEGER) AS n_entities,
+           CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+           md5(scrubbed) AS scrub_md5
+    FROM s
+"""
+SQL_W14 = SQL_W14.replace("{_SQL_EVENT_TURNS}", _SQL_EVENT_TURNS)
+
+
 def q_w6_tool_stats_events(spark, sf_dir):
     """Agent tool-call telemetry + same-tool loop detection
     (transcript_qc.tool_stats): per conversation, the tool-call count,
@@ -8805,6 +8890,7 @@ ENTRY_QUERIES = {
     "p16_fd_strength_events": (q_p16_fd_strength_events, SQL_P16),
     "p17_ref_integrity": (q_p17_ref_integrity, SQL_P17),
     "w13_funnel_events": (q_w13_funnel_events, SQL_W13),
+    "w14_cross_turn_scrub_events": (q_w14_cross_turn_scrub_events, SQL_W14),
 }
 
 # ---------------------------------------------------------------------------

@@ -355,3 +355,32 @@ def test_timing_stats_replica(spark):
     )
     r = transcript_qc.timing_stats(df2).collect()[0]
     assert r["median_gap_us"] == 3 * us
+
+
+def test_cross_turn_scrub_propagates_entities(spark):
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    rows = [
+        # Alice declared in turn 2; bare mention in turn 1 (EARLIER)
+        # and turn 3 must still be redacted
+        ("c1", 1, "hi Alice how are you"),
+        ("c1", 2, "my name is Alice"),
+        ("c1", 3, "thanks Alice bye"),
+        # c2 declares Bob; c1's Alice must NOT leak into c2
+        ("c2", 1, "my name is Bob"),
+        ("c2", 2, "Alice is not here, Bob is"),
+        # c3: no declaration -> untouched
+        ("c3", 1, "no names declared Alice"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, text string")
+    out = {
+        (r["conv_id"], r["event_id"]): (r["conv_entities"], r["scrubbed"])
+        for r in transcript_qc.cross_turn_scrub(
+            df, r"my name is ([A-Z][a-z]+)"
+        ).collect()
+    }
+    assert out[("c1", 1)] == (["Alice"], "hi [NAME] how are you")
+    assert out[("c1", 2)][1] == "my name is [NAME]"
+    assert out[("c1", 3)][1] == "thanks [NAME] bye"
+    assert out[("c2", 2)] == (["Bob"], "Alice is not here, [NAME] is")
+    assert out[("c3", 1)] == ([], "no names declared Alice")
