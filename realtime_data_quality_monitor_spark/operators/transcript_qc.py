@@ -533,3 +533,49 @@ def cross_turn_scrub(
         ents.alias("conv_entities"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def conv_gate(
+    turns: DataFrame,
+    keep_col: str = "keep",
+    critical_col: str | None = None,
+    conv_col: str = "conv_id",
+    max_drop_ppm: int = 300_000,
+) -> DataFrame:
+    """Conversation-level keep/drop gate — the roll-up that turns the
+    per-turn rule verdicts into corpus-building decisions: a
+    conversation survives iff at most ``max_drop_ppm`` of its turns
+    were dropped AND (when ``critical_col`` is given) no turn tripped
+    a critical rule. Dropping whole conversations around bad turns is
+    the standard SFT-corpus practice (a hole mid-dialogue poisons the
+    surrounding context even when the remaining turns pass).
+
+    One conversation-keyed hash agg (map-side combined); drop_ppm via
+    exact integer division. Returns (conv_id, n_turns, n_dropped,
+    n_critical, drop_ppm, conv_keep)."""
+    crit = (
+        F.col(critical_col).cast("boolean")
+        if critical_col
+        else F.lit(False)
+    )
+    g = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((~F.col(keep_col).cast("boolean")).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(crit.cast("long")).cast("long").alias("n_critical"),
+    )
+    drop_ppm = idiv(
+        F.col("n_dropped") * F.lit(PPM), F.col("n_turns")
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "n_dropped",
+        "n_critical",
+        drop_ppm.alias("drop_ppm"),
+        (
+            (drop_ppm <= F.lit(int(max_drop_ppm)))
+            & (F.col("n_critical") == 0)
+        ).alias("conv_keep"),
+    )

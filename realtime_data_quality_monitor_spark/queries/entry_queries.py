@@ -256,6 +256,34 @@ SQL_P7 = f"""
 """
 
 
+def q_p18_conv_gate_events(spark, sf_dir):
+    """Conversation-level keep/drop gate (transcript_qc.conv_gate):
+    the per-turn rule verdicts rolled into corpus-building decisions —
+    a conversation survives iff <= 30% of turns dropped AND no
+    critical-staleness turn. One conversation-keyed hash agg."""
+    ev = _event_quality(_t(spark, sf_dir, "events")).withColumn(
+        "conv_id", F.coalesce(F.col("user_id"), F.lit(-1)).cast("long")
+    ).withColumn("crit", F.col("freshness") == 0)
+    return transcript_qc.conv_gate(
+        ev, keep_col="keep", critical_col="crit", conv_col="conv_id"
+    )
+
+
+SQL_P18 = f"""
+    WITH q AS ({_EVENT_OVERALL_SQL}),
+    g AS (SELECT COALESCE(user_id, -1) AS conv_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_turns,
+                 CAST(SUM((NOT keep)::INT) AS BIGINT) AS n_dropped,
+                 CAST(SUM((freshness = 0)::INT) AS BIGINT) AS n_critical
+          FROM q GROUP BY 1)
+    SELECT conv_id, n_turns, n_dropped, n_critical,
+           (n_dropped * 1000000) // n_turns AS drop_ppm,
+           ((n_dropped * 1000000) // n_turns <= 300000
+            AND n_critical = 0) AS conv_keep
+    FROM g
+"""
+
+
 def q_p8_severity_histogram_events(spark, sf_dir):
     """Severity dispatch over issue strings + custom severity sort (A5)."""
     ev = _event_quality(_t(spark, sf_dir, "events"))
@@ -8891,6 +8919,7 @@ ENTRY_QUERIES = {
     "p17_ref_integrity": (q_p17_ref_integrity, SQL_P17),
     "w13_funnel_events": (q_w13_funnel_events, SQL_W13),
     "w14_cross_turn_scrub_events": (q_w14_cross_turn_scrub_events, SQL_W14),
+    "p18_conv_gate_events": (q_p18_conv_gate_events, SQL_P18),
 }
 
 # ---------------------------------------------------------------------------

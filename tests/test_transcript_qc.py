@@ -384,3 +384,31 @@ def test_cross_turn_scrub_propagates_entities(spark):
     assert out[("c1", 3)][1] == "thanks [NAME] bye"
     assert out[("c2", 2)] == (["Bob"], "Alice is not here, [NAME] is")
     assert out[("c3", 1)] == ([], "no names declared Alice")
+
+
+def test_conv_gate_thresholds(spark):
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    rows = [
+        # c1: 1/4 dropped (25% <= 30%), no critical -> keep
+        ("c1", True, False), ("c1", True, False), ("c1", True, False),
+        ("c1", False, False),
+        # c2: 2/4 dropped (50%) -> drop
+        ("c2", True, False), ("c2", True, False), ("c2", False, False),
+        ("c2", False, False),
+        # c3: clean but one critical turn -> drop
+        ("c3", True, True), ("c3", True, False),
+        # c4: exactly at the 300000 ppm boundary (3/10) -> keep
+        *[("c4", i >= 3, False) for i in range(10)],
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, keep boolean, crit boolean")
+    got = {
+        r["conv_id"]: (r["n_dropped"], r["n_critical"], r["conv_keep"])
+        for r in transcript_qc.conv_gate(
+            df, keep_col="keep", critical_col="crit"
+        ).collect()
+    }
+    assert got["c1"] == (1, 0, True)
+    assert got["c2"] == (2, 0, False)
+    assert got["c3"] == (0, 1, False)
+    assert got["c4"] == (3, 0, True)
