@@ -9015,8 +9015,8 @@ ENTRY_QUERIES = {
 # have had a driver verdict (added after the round-3 window was frozen,
 # including the continuation-session additions
 # gr3/lm2/bpe1/b1/t16/gr4/t17/s12/w12 — no sentinel slots left; every
-# slot retires verification debt). p16/p17 (added after this plan
-# filled) queue for the ROUND-5 window. To execute: replace
+# slot retires verification debt). p16/p17/w13/w14/p18 (added after
+# this plan filled) queue for the ROUND-5 window. To execute: replace
 # _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept
 # here, import-validated, so the swap is a one-line change with no typo
 # risk.
