@@ -6859,8 +6859,10 @@ def q_bpe1_merges_documents(spark, sf_dir):
 # 4 unrolled merge stages; each = symbol split -> weighted adjacent-pair
 # agg -> deterministic argmax -> greedy bracketed replace (left-to-right
 # non-overlapping in both engines).
-SQL_BPE1 = """
-    WITH arr AS (
+# shared 4-merge CTE chain (bpe1 reports the merge table; bpe2 applies
+# the same learned merges corpus-wide for the fertility eval)
+_SQL_BPE_CTES = """
+arr AS (
       SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
       FROM documents),
     wc AS (
@@ -6914,6 +6916,11 @@ SQL_BPE1 = """
            GROUP BY lhs, rhs),
     b4 AS (SELECT lhs, rhs, cnt FROM p4
            ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)
+"""
+
+
+SQL_BPE1 = (
+    "WITH " + _SQL_BPE_CTES + """
     SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, cnt AS pair_count FROM b1
     UNION ALL
     SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM b2
@@ -6922,6 +6929,8 @@ SQL_BPE1 = """
     UNION ALL
     SELECT CAST(4 AS INTEGER), lhs, rhs, cnt FROM b4
 """
+)
+
 
 
 def q_b1_bitext_margin_embeddings(spark, sf_dir):
@@ -7338,6 +7347,93 @@ SQL_W13 = """
     SELECT 3, 'purchase', n3,
            CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END FROM n
 """
+
+
+def q_bpe2_fertility_documents(spark, sf_dir):
+    """Tokenizer fertility evaluation (operators/bpe.py): the full
+    train -> apply -> eval loop — learn 4 merges (bpe1's loop), apply
+    them corpus-wide (bpe_segment, row-local chained replaces), report
+    per-source words / symbols / chars plus the fertility ratios
+    (symbols-per-word, chars-per-symbol, both exact ppm) — the metric
+    tokenizer teams use to compare vocabularies across corpora."""
+    from ..functions.exact import idiv_big as _idb
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    mr = sorted(
+        bpe.bpe_train(docs, n_merges=4).collect(), key=lambda r: r["step"]
+    )
+    learned = [(r["lhs"], r["rhs"]) for r in mr]
+    seg = bpe.bpe_segment(docs.select("source", "text"), learned)
+    toks = textstats.tokens_col(F.col("text"))
+    per_doc = seg.select(
+        "source",
+        F.size(toks).cast("long").alias("__w"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("__c"),
+        F.size("symbols").cast("long").alias("__s"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__s").cast("long").alias("n_symbols"),
+            F.sum("__c").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_symbols",
+            "n_chars",
+            _idb(
+                F.col("n_symbols") * F.lit(1_000_000), F.col("n_words")
+            ).alias("sym_per_word_u"),
+            _idb(
+                F.col("n_chars") * F.lit(1_000_000), F.col("n_symbols")
+            ).alias("chars_per_sym_u"),
+        )
+    )
+
+
+SQL_BPE2 = (
+    "WITH " + _SQL_BPE_CTES + """,
+    docsrc AS (
+      SELECT source, t.tok AS word
+      FROM (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents) d, UNNEST(toks) AS t(tok)),
+    seg0 AS (
+      SELECT source, word,
+             replace(replace(replace(replace(
+               regexp_replace(word, '(.)', chr(2) || '\\1' || chr(3), 'g'),
+               chr(2) || b1.lhs || chr(3) || chr(2) || b1.rhs || chr(3),
+               chr(2) || b1.lhs || b1.rhs || chr(3)),
+               chr(2) || b2.lhs || chr(3) || chr(2) || b2.rhs || chr(3),
+               chr(2) || b2.lhs || b2.rhs || chr(3)),
+               chr(2) || b3.lhs || chr(3) || chr(2) || b3.rhs || chr(3),
+               chr(2) || b3.lhs || b3.rhs || chr(3)),
+               chr(2) || b4.lhs || chr(3) || chr(2) || b4.rhs || chr(3),
+               chr(2) || b4.lhs || b4.rhs || chr(3)) AS s
+      FROM docsrc CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4),
+    seg AS (
+      SELECT source, CAST(length(word) AS BIGINT) AS n_chars,
+             CAST(len(string_split(s[2:length(s)-1], chr(3) || chr(2)))
+                  AS BIGINT) AS n_sym
+      FROM seg0),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM seg GROUP BY source)
+    SELECT source, n_words, n_symbols, n_chars,
+           (n_symbols * 1000000) // n_words AS sym_per_word_u,
+           (n_chars * 1000000) // n_symbols AS chars_per_sym_u
+    FROM g
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -8920,6 +9016,7 @@ ENTRY_QUERIES = {
     "w13_funnel_events": (q_w13_funnel_events, SQL_W13),
     "w14_cross_turn_scrub_events": (q_w14_cross_turn_scrub_events, SQL_W14),
     "p18_conv_gate_events": (q_p18_conv_gate_events, SQL_P18),
+    "bpe2_fertility_documents": (q_bpe2_fertility_documents, SQL_BPE2),
 }
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,27 @@ def test_bpe_empty_and_single_char_corpus(spark):
     df = spark.createDataFrame([("",), ("x",), ("x y",)], ["text"])
     merges = bpe.bpe_train(df, n_merges=3).collect()
     assert merges == []  # no adjacent pairs anywhere -> early stop
+
+
+def test_bpe_merges_reduce_symbol_count(spark):
+    """Applying learned merges must strictly reduce total symbols on a
+    corpus whose top pairs repeat (fertility improves with vocab), and
+    n_symbols always stays within [n_words, n_chars]."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    merge_rows = bpe.bpe_train(df, n_merges=6).orderBy("step").collect()
+    learned = [(r["lhs"], r["rhs"]) for r in merge_rows]
+
+    def total_symbols(merges):
+        seg = bpe.bpe_segment(df, merges)
+        return seg.select(
+            F.sum(F.size("symbols")).alias("s")
+        ).collect()[0]["s"]
+
+    n_chars = sum(len(w) for t in TEXTS for w in t.split())
+    n_words = sum(1 for t in TEXTS for w in t.split())
+    s0 = total_symbols([])
+    s6 = total_symbols(learned)
+    assert s0 == n_chars
+    assert n_words <= s6 < s0
