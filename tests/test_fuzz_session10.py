@@ -214,3 +214,108 @@ def test_fuzz_kn_fluency(spark, ref, docs, vocab_size):
         ).collect()
     }
     assert got == _py_kn(ref, docs, vocab_size)
+
+
+# --- funnel / cross-turn scrub / conv gate fuzz ------------------------------
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user
+        st.integers(0, 20),           # t
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _py_funnel(rows, steps):
+    # rows: (user, t, event_id, type); greedy-earliest in (t, id) order
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for u, t, i, ty in rows:
+        if ty in steps:
+            by_u[u].append((t, i, ty))
+    reached = [0] * len(steps)
+    for u, evs in by_u.items():
+        done = 0
+        for _, _, ty in sorted(evs):
+            if done < len(steps) and ty == steps[done]:
+                done += 1
+        for k in range(done):
+            reached[k] += 1
+    out = []
+    for k in range(len(steps)):
+        prev = reached[k - 1] if k else reached[0]
+        conv = (
+            reached[k] * 1_000_000 // prev if prev > 0 else 0
+        )
+        out.append((k + 1, steps[k], reached[k], conv))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(evs=_ev)
+def test_fuzz_funnel(spark, evs):
+    from realtime_data_quality_monitor_spark.operators import temporal
+
+    rows = [(f"u{u}", t, i, ty) for i, (u, t, ty) in enumerate(evs)]
+    if rows:
+        df = spark.createDataFrame(
+            rows, "user_id string, t long, event_id long, event_type string"
+        )
+    else:
+        df = spark.createDataFrame(
+            [], "user_id string, t long, event_id long, event_type string"
+        )
+    steps = ["view", "click", "purchase"]
+    got = [
+        (r["step"], r["step_name"], r["n_users"], r["conversion_ppm"])
+        for r in temporal.funnel(df, steps).orderBy("step").collect()
+    ]
+    want = _py_funnel(
+        [(u, t, i, ty) for (u, t, i, ty) in rows], steps
+    )
+    assert got == want
+
+
+_convs = st.lists(
+    st.tuples(
+        st.integers(0, 2),                       # conv
+        st.sampled_from(
+            ["hello Ada", "my name is Ada", "my name is Bo x",
+             "Bo and Ada", "plain text"]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(turns=_convs)
+def test_fuzz_cross_turn_scrub(spark, turns):
+    import re
+
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    rows = [(f"c{c}", i, txt) for i, (c, txt) in enumerate(turns)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, event_id long, text string"
+    )
+    pat = r"my name is ([A-Z][a-z]+)"
+    ents = {}
+    for c, i, txt in rows:
+        ents.setdefault(c, set()).update(re.findall(pat, txt))
+    want = {}
+    for c, i, txt in rows:
+        s = txt
+        for n in sorted(ents[c]):
+            s = s.replace(n, "[NAME]")
+        want[(c, i)] = (sorted(ents[c]), s)
+    got = {
+        (r["conv_id"], r["event_id"]): (r["conv_entities"], r["scrubbed"])
+        for r in transcript_qc.cross_turn_scrub(df, pat).collect()
+    }
+    assert got == want
