@@ -506,3 +506,54 @@ def test_embedding_outliers_broadcasts_model_tables(spark):
     out = similarity.embedding_outliers(df, k=3)
     p = _plan(spark, out, "simple")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_funnel_filters_before_exchange(spark):
+    """w13: non-funnel event types must be filtered BEFORE the one
+    user-keyed exchange (a funnel over 5% of events should shuffle 5%
+    of rows), and the fold adds no window/sort."""
+    from realtime_data_quality_monitor_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, "view")],
+        "user_id string, t long, event_id long, event_type string",
+    )
+    out = temporal.funnel(df, ["view", "click"])
+    p = _plan(spark, out, "simple")
+    # the Filter on event_type sits below the first Exchange
+    first_ex = p.index("Exchange")
+    assert "Filter" in p[first_ex:], "type filter must precede the shuffle"
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_cross_turn_scrub_text_not_in_entity_shuffle(spark):
+    """w14: the entity-set agg explodes pattern captures BEFORE its
+    exchange — the full text column must not feed that aggregate's
+    shuffle (only the apply-side join carries text, and it arrives via
+    the join, not a shuffle of the entity table)."""
+    from realtime_data_quality_monitor_spark.operators import transcript_qc
+
+    df = spark.createDataFrame(
+        [("c", 1, "my name is Ada")],
+        "conv_id string, event_id long, text string",
+    )
+    out = transcript_qc.cross_turn_scrub(df, r"my name is ([A-Z][a-z]+)")
+    p = _plan(spark, out, "formatted")
+    # the hash aggregate over entities groups by conv and aggregates
+    # collect_set of the exploded capture, never the text column
+    agg_lines = [ln for ln in p.splitlines() if "collect_set" in ln]
+    assert agg_lines and all("text" not in ln for ln in agg_lines)
+
+
+def test_fd_strength_windows_group_table_only(spark):
+    """p16: the argmax window runs over the (lhs, rhs) GROUP table —
+    a HashAggregate must appear below the Window (raw rows are never
+    window-sorted)."""
+    from realtime_data_quality_monitor_spark.operators import profile as prof
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    out = prof.fd_strength(df, ["user_id"], "event_type", k=5)
+    p = _plan(spark, out, "simple")
+    win = p.index("Window")
+    assert "HashAggregate" in p[win:], "window input must be the group table"
