@@ -7436,6 +7436,44 @@ SQL_BPE2 = (
 )
 
 
+def q_gr5_harmonic_documents(spark, sf_dir):
+    """Truncated 2-hop harmonic centrality over the derived doc link
+    graph (graph.harmonic_centrality_2hop) — the Common-Crawl host
+    rank, exact: scale/1 per 1-hop in-neighbor + scale//2 per strict
+    2-hop, incoming shortest paths, all integers."""
+    return graph.harmonic_centrality_2hop(
+        _doc_link_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
+SQL_GR5 = f"""
+    WITH {_SQL_GR_EDGES},
+    e AS (SELECT DISTINCT src, dst FROM edges WHERE src != dst),
+    verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    d1 AS (SELECT DISTINCT dst AS vertex, src AS u FROM e),
+    two AS (
+      SELECT DISTINCT y.dst AS vertex, x.src AS u
+      FROM e x JOIN e y ON x.dst = y.src
+      WHERE y.dst != x.src),
+    d2 AS (
+      SELECT t.vertex, t.u FROM two t
+      WHERE NOT EXISTS (SELECT 1 FROM d1
+                        WHERE d1.vertex = t.vertex AND d1.u = t.u)),
+    n1 AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_dist1
+           FROM d1 GROUP BY vertex),
+    n2 AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_dist2
+           FROM d2 GROUP BY vertex)
+    SELECT v.vertex,
+           COALESCE(n1.n_dist1, 0) AS n_dist1,
+           COALESCE(n2.n_dist2, 0) AS n_dist2,
+           CAST(COALESCE(n1.n_dist1, 0) * 1000000
+                + COALESCE(n2.n_dist2, 0) * 500000 AS BIGINT) AS h_u
+    FROM verts v
+    LEFT JOIN n1 ON n1.vertex = v.vertex
+    LEFT JOIN n2 ON n2.vertex = v.vertex
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9017,6 +9055,7 @@ ENTRY_QUERIES = {
     "w14_cross_turn_scrub_events": (q_w14_cross_turn_scrub_events, SQL_W14),
     "p18_conv_gate_events": (q_p18_conv_gate_events, SQL_P18),
     "bpe2_fertility_documents": (q_bpe2_fertility_documents, SQL_BPE2),
+    "gr5_harmonic_documents": (q_gr5_harmonic_documents, SQL_GR5),
 }
 
 # ---------------------------------------------------------------------------

@@ -184,3 +184,33 @@ def test_label_propagation_finds_clique_communities(spark):
     assert len({got[v] for v in range(4)}) == 1
     assert len({got[v] for v in range(10, 14)}) == 1
     assert got[0] != got[10]
+
+
+def test_harmonic_centrality_2hop_replica(spark):
+    # path graph a->b->c->d plus shortcut a->c
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: (r["n_dist1"], r["n_dist2"], r["h_u"])
+        for r in graph.harmonic_centrality_2hop(edf).collect()
+    }
+    # v=1: in {0}, 2-hop {} -> (1, 0)
+    # v=2: in {0,1}, 2-hop {} (0 reaches in 1 via shortcut) -> (2, 0)
+    # v=3: in {2}, 2-hop {0,1} -> (1, 2)
+    # v=0: nothing reaches it
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (1, 0, 1_000_000)
+    assert got[2] == (2, 0, 2_000_000)
+    assert got[3] == (1, 2, 2_000_000)
+
+
+def test_harmonic_centrality_ignores_self_loops_and_multiedges(spark):
+    edf = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (1, 2)], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: (r["n_dist1"], r["n_dist2"])
+        for r in graph.harmonic_centrality_2hop(edf).collect()
+    }
+    assert got[1] == (1, 0)     # multi-edge counts once, self-loop dropped
+    assert got[2] == (1, 1)     # 1 <- direct, 0 at distance 2
