@@ -9151,11 +9151,11 @@ ENTRY_QUERIES = {
 # have had a driver verdict (added after the round-3 window was frozen,
 # including the continuation-session additions
 # gr3/lm2/bpe1/b1/t16/gr4/t17/s12/w12 — no sentinel slots left; every
-# slot retires verification debt). p16/p17/w13/w14/p18 (added after
-# this plan filled) queue for the ROUND-5 window. To execute: replace
-# _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above. Kept
-# here, import-validated, so the swap is a one-line change with no typo
-# risk.
+# slot retires verification debt). p16/p17/w13/w14/p18/bpe2/gr5 (added
+# after this plan filled) queue for the ROUND-5 window. To execute:
+# replace _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above.
+# Kept here, import-validated, so the swap is a one-line change with no
+# typo risk.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
     # TPC-H shapes never driver-verified (derived-partsupp family included)
