@@ -160,14 +160,6 @@ def bpe_segment(
     the per-token symbol arrays flattened document-wide (the tokenized
     corpus a trained BPE vocabulary produces). Row-local — one chained
     literal replace per merge, no shuffle, no UDF."""
-    word = F.col("__w")
-    s: Column = _bracketize(word)
-    for lhs, rhs in merges:
-        s = F.replace(
-            s,
-            F.lit(BPE_L + lhs + BPE_R + BPE_L + rhs + BPE_R),
-            F.lit(BPE_L + lhs + rhs + BPE_R),
-        )
     return df.withColumn(
         out_col,
         F.flatten(

@@ -117,18 +117,35 @@ def fd_strength(
     Scale shape: one (lhs, rhs) hash agg (map-side combined), an
     lhs-keyed argmax window over the GROUP table (never raw rows), a
     scalar rollup; top-k is TakeOrderedAndProject. Text/values never
-    shuffle twice."""
+    shuffle twice.
+
+    Key encoding: multi-column lhs parts join on \\x01 with \\x02 as
+    the per-part null sentinel — distinct tuples cannot collide unless
+    a data value itself contains those control characters (the
+    documented collision bound)."""
     from pyspark.sql import Window
 
     from ..functions.exact import idiv_big
 
     if isinstance(lhs_cols, str):
         lhs_cols = [lhs_cols]
-    # null determinism: concat_ws renders null lhs parts as '' (its
-    # SQL-standard skip behavior); null rhs maps to the \x01 sentinel
+    # null determinism: a single lhs column renders null as '' (the
+    # oracle-pinned p16 form); null rhs maps to the \x01 sentinel
     # (the lm.LM_UNK convention) so majority tie-breaks never compare
-    # NULL (Spark sorts nulls first, DuckDB last — a silent divergence)
-    lhs = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs_cols])
+    # NULL (Spark sorts nulls first, DuckDB last — a silent divergence).
+    # Multi-column keys join on \x01 with a \x02 null sentinel PER PART
+    # — unlike concat_ws('|', ...), distinct tuples like ('a|b','c') vs
+    # ('a','b|c') or ('a', NULL) vs ('a', '') cannot collide (ADVICE r3)
+    if len(lhs_cols) == 1:
+        lhs = F.coalesce(F.col(lhs_cols[0]).cast("string"), F.lit(""))
+    else:
+        lhs = F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+                for c in lhs_cols
+            ],
+        )
     pairs = (
         df.select(
             lhs.alias("lhs"),

@@ -1249,6 +1249,54 @@ def pca_project(
 # --- margin-based bitext mining ----------------------------------------------
 
 
+def bitext_pair_scores(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 10_000_000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Scored (src_id, tgt_id, sq) candidate table for bitext_mine,
+    un-materialized so the plan is inspectable (tests/test_plans.py
+    pins that the candidate path has no Cartesian/BNL node while the
+    exhaustive path is an explicit cross join). sq is the shift-
+    quantized cosine floor((1+cos)*1e9) from 1e-7-quantized integer
+    dots — see bitext_mine for the exactness contract."""
+    # per-side self-norms are computed ONCE (n rows each), not per pair
+    # — the pair expression is then a single integer dot (3x less fold
+    # work; measured 18.3 s -> 6 s on 2.5k x 2.5k x 64-dim at sf0.1)
+    a = src.select(
+        F.col(id_col).alias("src_id"),
+        _quantize(F.col(vec_col), quant_scale).alias("__av"),
+    ).withColumn(
+        "__na", F.sqrt(_qdot(F.col("__av"), F.col("__av")).cast("double"))
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        _quantize(F.col(vec_col), quant_scale).alias("__bv"),
+    ).withColumn(
+        "__nb", F.sqrt(_qdot(F.col("__bv"), F.col("__bv")).cast("double"))
+    )
+    cos = _qdot(F.col("__av"), F.col("__bv")).cast("double") / (
+        F.col("__na") * F.col("__nb")
+    )
+    sq = F.floor((F.lit(1.0) + cos) * F.lit(1e9)).cast("long")
+    if candidates is None:
+        joined = a.crossJoin(b)
+    else:
+        # candidate path: two hash equi-joins attach the quantized
+        # vectors to the (src_id, tgt_id) pairs — candidate volume,
+        # never |src| x |tgt|
+        joined = (
+            candidates.select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"])
+            .join(a, "src_id")
+            .join(b, "tgt_id")
+        )
+    return joined.select("src_id", "tgt_id", sq.alias("sq"))
+
+
 def bitext_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -1257,6 +1305,7 @@ def bitext_mine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant_scale: int = 10_000_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -1277,44 +1326,38 @@ def bitext_mine(
 
     where (ssrc, ns) / (stgt, nt) are each side's top-k shifted-cosine
     sum and count (counts matter when a side has < k candidates).
-    Ties break (margin_u DESC, id ASC) — a total order.
+    Ties break (margin_u DESC, id ASC) — a total order. Note the
+    shifted ratio (1+cos)/(1+mean-neighbor-cos) is a DELIBERATE
+    exactness-preserving variant, not a monotone transform of the
+    paper's unshifted cos/mean ratio: best-target selection can
+    diverge from the LASER/CCMatrix reference on the same embeddings
+    (the shift compresses relative differences near cos ~ 1). The
+    trade was made so the margin is a single integer fraction the
+    DuckDB oracle reproduces cell-exactly.
 
-    Scale shape: this scores the CANDIDATE table. Here it is the full
-    cross join (fixture-sized); at corpus scale feed the same algebra
-    with IVF/LSH candidates (ivf_topk / lsh_topk produce exactly the
-    (src_id, tgt_id) pairs this needs) — the two window ranks then
-    shuffle only candidate rows, partitioned by src_id and tgt_id.
+    Scale shape: this scores the CANDIDATE table. With
+    ``candidates=None`` (fixture scale) that is the exact full cross
+    join; at corpus scale pass ``candidates`` — a ``(src_id, tgt_id)``
+    DataFrame, e.g. from ``ivf_topk`` / ``lsh_topk_multi`` run both
+    directions — and the same margin/mutual-best algebra runs on
+    candidate rows only: two equi-joins rebuild the scored pair table
+    (no Cartesian/BNL node, plan-pinned in tests/test_plans.py), and
+    the rank windows shuffle only candidate rows, partitioned by
+    src_id and tgt_id. Neighborhood sums are then over each side's
+    top-k RETRIEVED candidates — exactly the CCMatrix/LASER practice
+    of computing the margin over ANN neighborhoods. Duplicate
+    candidate pairs are deduped so each pair is scored once.
 
     Output: (src_id, tgt_id, sq, margin_u, mutual) — one row per
-    source, its margin-best target; mutual = that target's margin-best
-    source is this source (the high-precision mined subset)."""
-    # per-side self-norms are computed ONCE (n rows each), not per pair
-    # — the pair expression is then a single integer dot (3x less fold
-    # work; measured 18.3 s -> 6 s on 2.5k x 2.5k x 64-dim at sf0.1)
-    a = src.select(
-        F.col(id_col).alias("src_id"),
-        _quantize(F.col(vec_col), quant_scale).alias("__av"),
-    ).withColumn(
-        "__na", F.sqrt(_qdot(F.col("__av"), F.col("__av")).cast("double"))
-    )
-    b = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        _quantize(F.col(vec_col), quant_scale).alias("__bv"),
-    ).withColumn(
-        "__nb", F.sqrt(_qdot(F.col("__bv"), F.col("__bv")).cast("double"))
-    )
-    cos = _qdot(F.col("__av"), F.col("__bv")).cast("double") / (
-        F.col("__na") * F.col("__nb")
-    )
-    sq = F.floor((F.lit(1.0) + cos) * F.lit(1e9)).cast("long")
+    source that has >= 1 candidate, its margin-best target;
+    mutual = that target's margin-best source is this source (the
+    high-precision mined subset)."""
     # materialize the scored candidate table: it feeds two rank windows,
     # two neighborhood sums and the margin join — without this each
-    # consumer would re-run the cross join + dot products
-    pairs = (
-        a.crossJoin(b)
-        .select("src_id", "tgt_id", sq.alias("sq"))
-        .localCheckpoint(eager=True)
-    )
+    # consumer would re-run the join + dot products
+    pairs = bitext_pair_scores(
+        src, tgt, id_col, vec_col, quant_scale, candidates
+    ).localCheckpoint(eager=True)
 
     ws = Window.partitionBy("src_id").orderBy(
         F.col("sq").desc(), F.col("tgt_id").asc()

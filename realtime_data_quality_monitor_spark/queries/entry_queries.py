@@ -9145,27 +9145,23 @@ ENTRY_QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# ROUND-4 WINDOW PLAN — INACTIVE. The driver scores the first 50 keys per
-# round; this is the rotation to execute AT THE START of round 4 (i.e.
-# once VERDICT r3 exists): exactly the 50 entries that will then never
-# have had a driver verdict (added after the round-3 window was frozen,
-# including the continuation-session additions
-# gr3/lm2/bpe1/b1/t16/gr4/t17/s12/w12 — no sentinel slots left; every
-# slot retires verification debt). p16/p17/w13/w14/p18/bpe2/gr5 (added
-# after this plan filled) queue for the ROUND-5 window. To execute:
-# replace _ROUND3_WINDOW with _ROUND4_WINDOW_PLAN in the reorder above.
-# Kept here, import-validated, so the swap is a one-line change with no
-# typo risk.
+# ROUND-4 WINDOW PLAN — ACTIVE (reorder below). The driver scores the
+# first 50 keys per round; this window contains exactly the 49
+# oracle-backed entries that have never had a driver verdict (per
+# VERDICT r3: the round-3 window retired q4/q7/q12/q13/q15/q17/q19/q22,
+# so those 8 slots now go to the 7 late additions
+# bpe2/gr5/p16/p17/p18/w13/w14 plus one round-3-green regression
+# sentinel, sk1). m8 is deliberately excluded: seeded-forest randomness
+# has no DuckDB-oracle form, so a driver slot can only ever report
+# `no_oracle` — it is pinned by the pytest determinism test instead
+# (see README). Executing this window retires ALL remaining
+# verification debt in one round.
 # ---------------------------------------------------------------------------
 _ROUND4_WINDOW_PLAN = [
-    # TPC-H shapes never driver-verified (derived-partsupp family included)
-    "q2_min_cost_supplier", "q4_priority_semijoin", "q7_volume_shipping",
-    "q9_product_type_profit", "q11_important_stock",
-    "q12_priority_linestatus", "q13_order_count_distribution",
-    "q15_top_supplier_revenue", "q16_supplier_part_counts",
-    "q17_small_qty_revenue", "q19_disjunct_revenue",
+    # TPC-H shapes never driver-verified (derived-partsupp family)
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q16_supplier_part_counts",
     "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "q22_idle_customer_balance",
     # export tail + curation additions
     "e12_domain_cap_documents", "e13_ccnet_buckets_documents",
     "e14_overlap_fraction_documents", "e15_unimax_sample_documents",
@@ -9194,6 +9190,21 @@ _ROUND4_WINDOW_PLAN = [
     "t16_collocations_documents", "gr4_label_propagation_documents",
     "t17_vocab_growth_documents", "s12_embedding_outliers",
     "w12_timing_stats_events",
+    # late additions that missed the original plan freeze (VERDICT r3 #1):
+    # BPE fertility eval, 2-hop harmonic centrality, approximate-FD,
+    # referential integrity, conversation gate, ordered funnel,
+    # cross-turn scrub
+    "bpe2_fertility_documents", "gr5_harmonic_documents",
+    "p16_fd_strength_events", "p17_ref_integrity",
+    "p18_conv_gate_events", "w13_funnel_events",
+    "w14_cross_turn_scrub_events",
+    # round-3-green regression sentinel
+    "sk1_hll_registers_events",
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)
+ENTRY_QUERIES = {
+    **{k: ENTRY_QUERIES[k] for k in _ROUND4_WINDOW_PLAN},
+    **{k: v for k, v in ENTRY_QUERIES.items()
+       if k not in set(_ROUND4_WINDOW_PLAN)},
+}

@@ -19,12 +19,29 @@ from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("/")]
-    sf_dirs = [a for a in sys.argv[1:] if a.startswith("/")] or [
-        "/root/testdata/sf0.01"
-    ]
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # classify by catalog membership, not leading '/': relative sf-dir
+    # paths work and unknown names get a clear error instead of KeyError
+    names, sf_dirs, bad = [], [], []
+    for a in sys.argv[1:]:
+        if a in qs:
+            names.append(a)
+        elif os.path.isdir(a):
+            sf_dirs.append(a)
+        else:
+            bad.append(a)
+    if bad:
+        print(
+            "unknown entry name(s) / missing dir(s): " + ", ".join(bad),
+            file=sys.stderr,
+        )
+        return 2
+    if not names:
+        print("usage: check_one.py <entry> [<entry>...] [sf_dir ...]",
+              file=sys.stderr)
+        return 2
+    sf_dirs = sf_dirs or ["/root/testdata/sf0.01"]
     spark = get_spark(app_name="check-one")
     failures = 0
     for sf_dir in sf_dirs:

@@ -943,6 +943,85 @@ def test_bitext_mine_matches_python_replica(spark):
         assert got[i][0] == 100 + i and got[i][3]
 
 
+def _bitext_fixture(spark, n_src=6, n_noise=3, dim=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    src = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n_src)}
+    tgt = {
+        100 + i: [x + rng.uniform(-0.01, 0.01) for x in v]
+        for i, v in src.items()
+    }
+    for j in range(n_src, n_src + n_noise):
+        tgt[100 + j] = [rng.uniform(-1, 1) for _ in range(dim)]
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in src.items()],
+        "vec_id long, embedding array<float>",
+    )
+    tdf = spark.createDataFrame(
+        [(j, [float(x) for x in v]) for j, v in tgt.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return sdf, tdf
+
+
+def test_bitext_mine_full_candidate_set_equals_cross_join(spark):
+    """The candidate path with ALL pairs as candidates is pinned
+    row-identical to the exhaustive cross-join path — the two builds
+    of the scored pair table are interchangeable."""
+    sdf, tdf = _bitext_fixture(spark)
+    cand = sdf.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tdf.select(F.col("vec_id").alias("tgt_id"))
+    )
+    exact = sorted(
+        map(tuple, similarity.bitext_mine(sdf, tdf, k=4).collect())
+    )
+    via_cand = sorted(
+        map(
+            tuple,
+            similarity.bitext_mine(sdf, tdf, k=4, candidates=cand).collect(),
+        )
+    )
+    assert via_cand == exact
+
+
+def test_bitext_mine_ann_candidates_recall(spark):
+    """CCMatrix-at-scale shape: candidates from OR-amplified LSH run in
+    BOTH directions, margin/mutual-best algebra on candidate rows only.
+    The mined mutual pairs must recover most of the exact path's mutual
+    pairs (deterministic fixture -> deterministic recall)."""
+    sdf, tdf = _bitext_fixture(spark, n_src=8, n_noise=4)
+    fwd = similarity.lsh_topk_multi(
+        corpus=tdf, queries=sdf, k=4, n_planes=4, n_tables=4, dim=8
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+    )
+    bwd = similarity.lsh_topk_multi(
+        corpus=sdf, queries=tdf, k=4, n_planes=4, n_tables=4, dim=8
+    ).select(
+        F.col("neighbor_id").alias("src_id"),
+        F.col("query_id").alias("tgt_id"),
+    )
+    cand = fwd.unionByName(bwd)
+    mutual_exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.bitext_mine(sdf, tdf, k=4).collect()
+        if r["mutual"]
+    }
+    mutual_cand = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.bitext_mine(
+            sdf, tdf, k=4, candidates=cand
+        ).collect()
+        if r["mutual"]
+    }
+    # all 8 noisy copies are mutual on the exact path; the LSH candidate
+    # path must recover at least 6 of them (measured: deterministic)
+    assert len(mutual_exact) >= 8
+    assert len(mutual_cand & mutual_exact) >= 6
+
+
 def test_embedding_outliers_matches_replica(spark):
     import math
 

@@ -452,6 +452,31 @@ def test_bitext_margin_windows_share_pair_table(spark):
     )  # exactly the one candidate cross join, no second
 
 
+def test_bitext_candidate_path_no_cartesian(spark):
+    """b1 at corpus scale: with a candidates DataFrame the scored pair
+    table is built by two hash equi-joins — no Cartesian or
+    BroadcastNestedLoop node anywhere in the plan (VERDICT r3 #2).
+    Sanity-checked against the exhaustive path, which IS a cross
+    join (so this test would catch a silent fallback)."""
+    from realtime_data_quality_monitor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    p0 = _plan(spark, similarity.bitext_pair_scores(src, tgt), "simple")
+    assert "CartesianProduct" in p0 or "BroadcastNestedLoop" in p0
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 3), (2, 1)], "src_id long, tgt_id long"
+    )
+    p1 = _plan(
+        spark,
+        similarity.bitext_pair_scores(src, tgt, candidates=cand),
+        "simple",
+    )
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoop" not in p1
+
+
 def test_timing_stats_single_exchange(spark):
     """w12 timing QC: ONE conversation-keyed hash exchange (the w6
     family contract) — gaps, median and pause counts are row-local

@@ -68,6 +68,26 @@ def test_fd_strength_replica(spark):
     assert groups["u4"]["n_distinct_rhs"] == 1  # sentinel, not NULL-dropped
 
 
+def test_fd_strength_multicol_keys_do_not_collide(spark):
+    """ADVICE r3: ('a|b','c') vs ('a','b|c') and ('a', NULL) vs
+    ('a', '') must stay distinct lhs groups under the \\x01/\\x02
+    encoding (concat_ws('|') merged them)."""
+    from realtime_data_quality_monitor_spark.operators import profile as prof
+
+    rows = [
+        ("a|b", "c", "r1"), ("a", "b|c", "r2"),
+        ("a", None, "r3"), ("a", "", "r4"),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v string")
+    out = prof.fd_strength(df, ["k1", "k2"], "v", k=10).collect()
+    groups = [r for r in out if r["lhs"] is not None]
+    # four distinct tuples -> four groups, each with 1 row, 0 violations
+    assert len(groups) == 4
+    assert all(r["n_rows"] == 1 and r["violations"] == 0 for r in groups)
+    summary = [r for r in out if r["lhs"] is None][0]
+    assert summary["violations"] == 0 and summary["strength_ppm"] == 1_000_000
+
+
 def test_ref_integrity_counts_orphans(spark):
     from realtime_data_quality_monitor_spark.operators import profile as prof
 
