@@ -301,7 +301,11 @@ def label_propagation(
 
 
 def harmonic_centrality_2hop(
-    edges: DataFrame, scale: int = 1_000_000
+    edges: DataFrame,
+    scale: int = 1_000_000,
+    hub_fanout_cap: int = 1 << 24,
+    p: int = 12,
+    seed: str = "gr5",
 ) -> DataFrame:
     """Truncated (2-hop) harmonic centrality — the rank Common Crawl
     actually publishes for hosts (harmonic centrality, Boldi & Vigna
@@ -310,18 +314,38 @@ def harmonic_centrality_2hop(
       h_u(v) = scale * |{u : d(u,v) = 1}| + (scale // 2) * |{u : d(u,v) = 2}|
 
     over INCOMING shortest paths — all integers, engine-exact.
-    Truncation at k = 2 is the standard bounded-frontier variant
-    (HyperBall truncates by sketching instead; this repo's exactness
-    contract prefers the exact bounded hop count and documents the
-    bound): at web scale the exact 2-hop frontier of a mega-hub is the
-    d12-style hot-key concern — the sketches module's HLL (sk1) is the
-    escape for k > 2.
+    Truncation at k = 2 is the standard bounded-frontier variant.
 
-    Plan shape: one distinct edge pass, one self-equi-join on the
-    middle vertex for the 2-hop frontier, two distinct aggs keyed by
-    the target, a left-anti to drop frontier overlap — hash exchanges
-    only, no corpus sort. Output: (vertex, n_dist1, n_dist2, h_u) for
-    every edge endpoint."""
+    Mega-hub escape (STRUCTURAL, the s10 cluster_cap pattern): the
+    exact 2-hop frontier self-join is quadratic in the middle vertex's
+    in x out degree — a Common-Crawl-shaped graph has exactly such
+    hubs at hop <= 2. Middle vertices whose in_deg * out_deg exceeds
+    ``hub_fanout_cap`` (default 2^24; any real host graph trips it,
+    no fixture does) are routed through the HyperBall move: targets
+    reached THROUGH a capped hub get their 2-hop count from merged
+    per-vertex HLL register frames (the sk1 machinery, 2^p registers,
+    ~1.04/sqrt(2^p) relative error) as
+
+      n_dist2 ~= round(est(U In(b) for b in In(c), union In(c), {c}))
+                 - (n_dist1 + 1)
+
+    while every other target keeps the EXACT count: the hub-free
+    2-hop join filters its target side to non-hub-reached vertices
+    BEFORE the self-join, so a capped hub's fan-out never
+    materializes anywhere — per-edge work on the sketch path is
+    bounded by min(in_deg, 2^p) register rows. Both branches are in
+    ONE static plan (the hub set is a filter, not a driver decision);
+    n_dist1 is exact everywhere.
+
+    Plan shape: one distinct edge pass; degree agg + broadcast hub
+    semi/anti filters; one self-equi-join on the middle vertex over
+    the hub-free frontier; register-frame joins sized |edges| x 2^p
+    worst-case on the hub branch; two aggs keyed by target — hash
+    exchanges only, no corpus sort. Output: (vertex, n_dist1,
+    n_dist2, h_u) for every edge endpoint; rows whose vertex is
+    hub-reached carry the documented sketch estimate in n_dist2."""
+    from . import sketches as sk
+
     e = edges.select("src", "dst").where(
         F.col("src") != F.col("dst")
     ).distinct()
@@ -331,25 +355,88 @@ def harmonic_centrality_2hop(
         .distinct()
     )
     d1 = e.select(F.col("dst").alias("vertex"), F.col("src").alias("u"))
-    # a -> b -> c: u=a reaches vertex=c in two hops via any b
+    n1 = d1.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dist1")
+    )
+    # hub middles: in_deg * out_deg above the cap; ht = every target
+    # reachable THROUGH a hub (exactly the vertices whose exact 2-hop
+    # count would touch the quadratic fan-out)
+    din = e.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("__din")
+    )
+    dout = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("__dout")
+    )
+    hubs = (
+        din.join(dout, "vertex")
+        .where(F.col("__din") * F.col("__dout") > F.lit(int(hub_fanout_cap)))
+        .select("vertex")
+    )
+    ht = (
+        e.join(
+            F.broadcast(hubs.withColumnRenamed("vertex", "src")),
+            "src",
+            "semi",
+        )
+        .select(F.col("dst").alias("vertex"))
+        .distinct()
+    )
+    # exact branch: a -> b -> c for every target c NOT reached through
+    # a hub. Filtering the y side BEFORE the join removes every hub
+    # out-edge (a hub's targets are all in ht), so the quadratic
+    # fan-out never reaches the join
+    y_safe = e.join(
+        ht.withColumnRenamed("vertex", "dst"), "dst", "left_anti"
+    )
     two = (
         e.alias("x")
-        .join(
-            e.alias("y"), F.col("x.dst") == F.col("y.src")
-        )
-        .select(
-            F.col("y.dst").alias("vertex"), F.col("x.src").alias("u")
-        )
+        .join(y_safe.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .select(F.col("y.dst").alias("vertex"), F.col("x.src").alias("u"))
         .where(F.col("vertex") != F.col("u"))
         .distinct()
     )
     d2 = two.join(d1, ["vertex", "u"], "left_anti")
-    n1 = d1.groupBy("vertex").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dist1")
-    )
-    n2 = d2.groupBy("vertex").agg(
+    n2_exact = d2.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("long").alias("n_dist2")
     )
+    # sketch branch: per-vertex In-set register frames; a hub-reached
+    # target c merges the frames of every b in In(c) with In(c)'s own
+    # frame and {c}, then n2 = est - (n1 + 1) by HLL union difference
+    ins = sk.hll_sketch_grouped(e, ["dst"], "src", seed, p)
+    e_ht = e.join(ht.withColumnRenamed("vertex", "dst"), "dst", "semi")
+    u_sk = (
+        e_ht.select(F.col("src").alias("__b"), F.col("dst").alias("vertex"))
+        .join(ins.withColumnRenamed("dst", "__b"), "__b")
+        .select("vertex", "register", "max_rank")
+    )
+    inc_sk = (
+        ins.withColumnRenamed("dst", "vertex")
+        .join(ht, "vertex", "semi")
+        .select("vertex", "register", "max_rank")
+    )
+    reg_c, rank_c = sk.hll_register_rank(F.col("vertex"), seed, p)
+    self_sk = ht.select(
+        "vertex", reg_c.alias("register"), rank_c.alias("max_rank")
+    )
+    all_sk = (
+        u_sk.unionByName(inc_sk)
+        .unionByName(self_sk)
+        .groupBy("vertex", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = sk.hll_estimate_grouped(all_sk, ["vertex"], p)
+    n2_hub = (
+        est.join(n1, "vertex", "left")
+        .select(
+            "vertex",
+            F.greatest(
+                F.round(F.col("est")).cast("long")
+                - (F.coalesce("n_dist1", F.lit(0)) + F.lit(1)),
+                F.lit(0),
+            ).alias("n_dist2"),
+        )
+    )
+    n2 = n2_exact.unionByName(n2_hub)
     half = int(scale) // 2
     return (
         verts.join(n1, "vertex", "left")

@@ -218,6 +218,32 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     return raw
 
 
+def hll_estimate_grouped(
+    sketch: DataFrame, group_cols: list, p: int = 12
+) -> DataFrame:
+    """Columnar, fully-distributed version of ``hll_estimate`` for a
+    grouped register frame (``hll_sketch_grouped`` output): one hash
+    agg over |groups| x <=2^p rows -> (group_cols..., est DOUBLE).
+    Same math — raw harmonic-mean estimate with the linear-counting
+    small-range correction — expressed as native Column algebra so
+    nothing is collected (the driver-loop-free shape a per-vertex
+    estimator needs, e.g. graph.harmonic_centrality_2hop's hub path)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__psum"),
+    )
+    inv_sum = (F.lit(float(m)) - F.col("__used")) + F.col("__psum")
+    raw = F.lit(alpha * m * m) / inv_sum
+    zeros = F.lit(m) - F.col("__used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est"))
+
+
 # --- count-min sketch -------------------------------------------------------
 
 

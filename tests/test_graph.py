@@ -204,6 +204,71 @@ def test_harmonic_centrality_2hop_replica(spark):
     assert got[3] == (1, 2, 2_000_000)
 
 
+def test_harmonic_hub_escape_close_to_exact(spark):
+    """VERDICT r3 #4: a mega-hub middle (10k in-edges x 50 out-edges)
+    must complete through the HLL branch with bounded per-edge work —
+    the exact branch filters hub out-edges BEFORE the self-join — and
+    the sketched n_dist2 must land within HLL error of the exact
+    count. Same fixture under the default cap stays exact."""
+    hub = 999_999
+    n_in, n_out = 10_000, 50
+    edges = [(u, hub) for u in range(n_in)] + [
+        (hub, 1_000_000 + c) for c in range(n_out)
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long").coalesce(8)
+
+    # default cap (2^24): fanout 10k*50 = 5e5 stays exact
+    exact = {
+        r["vertex"]: (r["n_dist1"], r["n_dist2"])
+        for r in graph.harmonic_centrality_2hop(edf).collect()
+    }
+    assert exact[hub] == (n_in, 0)
+    for c in range(n_out):
+        assert exact[1_000_000 + c] == (1, n_in)
+
+    # cap below the hub's fanout: targets through the hub get the
+    # sketch estimate (p=12 -> ~1.6% expected error; assert 5%)
+    est = {
+        r["vertex"]: (r["n_dist1"], r["n_dist2"])
+        for r in graph.harmonic_centrality_2hop(
+            edf, hub_fanout_cap=1000
+        ).collect()
+    }
+    assert est[hub] == (n_in, 0)  # hub itself is NOT hub-reached: exact
+    for c in range(n_out):
+        n1, n2 = est[1_000_000 + c]
+        assert n1 == 1
+        assert abs(n2 - n_in) <= n_in * 0.05, (c, n2)
+
+
+def test_harmonic_hub_escape_only_rewires_hub_targets(spark):
+    """Vertices NOT reached through a capped hub keep cell-exact
+    counts even when the cap is low enough to trip on another part of
+    the graph."""
+    hub = 50
+    edges = (
+        [(u, hub) for u in range(30)]          # 30 -> hub
+        + [(hub, 60), (hub, 61)]               # hub -> {60, 61}
+        + [(0, 1), (1, 2), (2, 3), (0, 2)]     # the exact-path chain
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: (r["n_dist1"], r["n_dist2"], r["h_u"])
+        for r in graph.harmonic_centrality_2hop(
+            edf, hub_fanout_cap=10
+        ).collect()
+    }
+    # chain vertices are exact (v=2 also gains hub-unrelated nothing);
+    # NB vertex 1,2,3 reached only through non-hub middles
+    assert got[1][:2] == (1, 0)
+    assert got[2][:2] == (2, 0)
+    assert got[3][:2] == (1, 2)
+    # hub targets: In(hub) = 30 sources, none 1-hop to 60/61; at this
+    # tiny cardinality linear counting is integer-exact after rounding
+    assert got[60][:2] == (1, 30)
+    assert got[61][:2] == (1, 30)
+
+
 def test_harmonic_centrality_ignores_self_loops_and_multiedges(spark):
     edf = spark.createDataFrame(
         [(0, 1), (0, 1), (1, 1), (1, 2)], "src long, dst long"

@@ -270,6 +270,25 @@ def test_hll_grouped_equals_per_group_sketches(spark, keys):
     assert got == want
 
 
+def test_hll_estimate_grouped_matches_scalar_estimate(spark, keys):
+    """The distributed grouped estimator reproduces hll_estimate's
+    math bit-for-bit on each group's register frame (same raw/linear-
+    counting switch), so the gr5 hub path inherits the pinned
+    accuracy bounds."""
+    grouped = sketches.hll_sketch_grouped(keys, ["half"], "k", "g", p=9)
+    got = {
+        r["half"]: r["est"]
+        for r in sketches.hll_estimate_grouped(
+            grouped, ["half"], p=9
+        ).collect()
+    }
+    for h in (0, 1):
+        frame = grouped.where(f"half = {h}").select("register", "max_rank")
+        assert got[h] == pytest.approx(
+            sketches.hll_estimate(frame, p=9), rel=1e-12
+        )
+
+
 def test_probe_duplicates_pass_through(spark):
     """cms_lookup and bloom_contains preserve probe-side row count —
     duplicate probe rows (common in dedup batches) are not collapsed."""
