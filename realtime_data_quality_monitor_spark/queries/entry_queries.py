@@ -7474,6 +7474,197 @@ SQL_GR5 = f"""
 """
 
 
+def q_c1_curation_pipeline_documents(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE lineage entry (VERDICT r3
+    #7): the catalog verifies each operator individually; this entry
+    composes the flagship chain so the driver certifies the
+    COMPOSITION —
+
+      documents
+        -> Gopher keep (quality_filters.gopher_keep_flag, g1/g3 rules)
+        -> corpus duplicate-line removal on the raw text
+           (dedup.drop_duplicate_lines, d12; single-line docs make
+           this the corpus exact-dup boilerplate pass), empty
+           survivors dropped
+        -> SemDeDup over the survivors' embeddings
+           (similarity.semantic_dedup, s10: k=4, iters=2, thr=0.4;
+           vec_id == doc_id by fixture construction)
+        -> DSIR top-50 toward the src0/en target slice
+           (importance.dsir_topk, i2)
+        -> UniMax budget=40 over languages (export.unimax_sample, e15)
+        -> sequence packing at 256 tokens x 4 shards
+           (export.pack_sequences, e7)
+
+    Output: one row per finally-selected doc with its UniMax rank +
+    quota and its packed coordinates. The oracle replays every stage
+    as chained CTEs — the reusable per-entry CTE bodies re-targeted at
+    each stage's survivor set (CTE-shadowing by table-name
+    substitution), so a cell mismatch localizes the broken stage.
+    Every stage is one-to-two bounded exchanges at corpus scale (see
+    the per-entry plan notes); the composition adds no new shuffle."""
+    from ..operators import importance
+
+    docs = _t(spark, sf_dir, "documents")
+    a = (
+        quality_filters.gopher_keep_flag(docs)
+        .where(F.col("keep") == 1)
+        .select("doc_id", "text", "lang", "source")
+    )
+    b = (
+        dedup.drop_duplicate_lines(a, "doc_id", "text")
+        .where(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    bmeta = a.select("doc_id", "lang", "source").join(b, "doc_id")
+    emb = _t(spark, sf_dir, "embeddings").join(
+        bmeta.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    sd = similarity.semantic_dedup(emb, k=4, iters=2, threshold=0.4)
+    kept = sd.where(F.col("is_kept") == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    c = bmeta.join(kept, "doc_id")
+    target = c.where((F.col("source") == "src0") & (F.col("lang") == "en"))
+    d = importance.dsir_topk(c, target, k=50)
+    dsel = c.join(d.select("doc_id"), "doc_id")
+    e = export.unimax_sample(
+        dsel, "lang", budget=40, id_col="doc_id", seed="c1mix"
+    )
+    packed = export.pack_sequences(
+        e.select("doc_id").join(dsel.select("doc_id", "text"), "doc_id"),
+        seed="c1pack",
+        budget_tokens=256,
+        n_shards=4,
+        shuffle=False,
+    )
+    return e.select("doc_id", "lang", "grp_rank", "quota").join(
+        packed.select(
+            "doc_id", "shard", "n_tokens", "tok_start", "seq_id",
+            "tok_offset",
+        ),
+        "doc_id",
+    )
+
+
+SQL_C1 = f"""
+    WITH RECURSIVE
+    {_SQL_G_TOKS},
+    {_SQL_G_REP},
+    docs_a AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.lang, d.source
+      FROM documents d JOIN rep r USING (doc_id)
+      WHERE NOT (r.n_words < 10 OR r.n_words > 100000
+                 OR r.mean_word_len_u < 3000000
+                 OR r.mean_word_len_u > 10000000
+                 OR r.stop_hits < 1 OR r.top2_frac_u > 300000
+                 OR r.dup3_frac_u > 600000)),
+    dls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs_a),
+    dlines AS (
+      SELECT doc_id, gs.i AS pos, arr[gs.i] AS line
+      FROM dls JOIN generate_series(1, 100000) gs(i) ON gs.i <= len(arr)),
+    dcounted AS (
+      SELECT doc_id, pos, line, count(*) OVER (PARTITION BY line) AS cnt
+      FROM dlines),
+    dclean AS MATERIALIZED (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN cnt < 2 THEN line END, chr(10)
+                                 ORDER BY pos), '') AS text
+      FROM dcounted GROUP BY doc_id),
+    docs_b AS MATERIALIZED (
+      SELECT c.doc_id, c.text, a.lang, a.source
+      FROM dclean c JOIN docs_a a USING (doc_id)
+      WHERE c.text <> ''),
+    emb_c AS MATERIALIZED (
+      SELECT e.* FROM embeddings e JOIN docs_b b ON e.vec_id = b.doc_id),
+    {_sql_s6_ctes().replace("FROM embeddings", "FROM emb_c")},
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS csz FROM afinal GROUP BY cid),
+    fenced AS (
+      SELECT f.id, f.cid,
+             CAST('0x' || substr(md5(CAST(f.id AS VARCHAR)), 1, 8) AS BIGINT)
+               % ((s.csz + 4095) // 4096) AS fence
+      FROM afinal f JOIN sizes s USING (cid)),
+    pairs0 AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM fenced a JOIN fenced b
+        ON a.cid = b.cid AND a.fence = b.fence AND a.id < b.id),
+    terms AS (
+      SELECT p.id_a, p.id_b,
+        CAST(floor(UNNEST(ea.embedding)::DOUBLE * 10000000.0e0) AS BIGINT)
+          AS qa,
+        CAST(floor(UNNEST(eb.embedding)::DOUBLE * 10000000.0e0) AS BIGINT)
+          AS qb
+      FROM pairs0 p
+      JOIN emb_c ea ON ea.vec_id = p.id_a
+      JOIN emb_c eb ON eb.vec_id = p.id_b),
+    dots AS (
+      SELECT id_a, id_b, CAST(SUM(qa * qb) AS DOUBLE) AS dab,
+             CAST(SUM(qa * qa) AS DOUBLE) AS daa,
+             CAST(SUM(qb * qb) AS DOUBLE) AS dbb
+      FROM terms GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT id_b FROM dots
+      WHERE dab / NULLIF(sqrt(daa) * sqrt(dbb), 0) >= 0.4e0),
+    docs_c AS MATERIALIZED (
+      SELECT b.* FROM docs_b b
+      JOIN afinal f ON b.doc_id = f.id
+      LEFT JOIN dropped dr ON f.id = dr.id_b
+      WHERE dr.id_b IS NULL),
+    {_SQL_DSIR_CORE.replace("documents", "docs_c")},
+    dsel AS MATERIALIZED (
+      SELECT doc_id FROM dsir
+      QUALIFY row_number() OVER (ORDER BY avg_q DESC, doc_id ASC) <= 50),
+    docs_d AS MATERIALIZED (SELECT c2.* FROM docs_c c2 JOIN dsel USING (doc_id)),
+    ucounts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM docs_d GROUP BY lang),
+    uord AS (
+      SELECT lang, n_docs,
+             CAST(row_number() OVER (ORDER BY n_docs ASC, lang ASC)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_groups
+      FROM ucounts),
+    ualloc AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS lang,
+             CAST(0 AS BIGINT) AS quota, CAST(40 AS BIGINT) AS b_rem
+      UNION ALL
+      SELECT o.i, o.lang,
+             LEAST(o.n_docs, a.b_rem // (o.n_groups - a.i)),
+             a.b_rem - LEAST(o.n_docs, a.b_rem // (o.n_groups - a.i))
+      FROM ualloc a JOIN uord o ON o.i = a.i + 1),
+    usel AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|c1mix|') ASC,
+                        doc_id ASC) AS BIGINT) AS grp_rank
+      FROM docs_d),
+    docs_e AS MATERIALIZED (
+      SELECT s.doc_id, s.lang, s.grp_rank, al.quota
+      FROM usel s JOIN ualloc al ON s.lang = al.lang
+      WHERE s.grp_rank <= al.quota),
+    ph AS (
+      SELECT e.doc_id,
+             CAST('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)
+                  || '|c1pack|'), 1, 8) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM docs_e e JOIN docs_d d USING (doc_id)),
+    ps AS (
+      SELECT doc_id, CAST(hh % 4 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY hh % 4 ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+      FROM ph)
+    SELECT e.doc_id, e.lang, e.grp_rank, e.quota, p.shard, p.n_tokens,
+           p.tok_start,
+           CAST((p.tok_start - p.tok_start % 256) / 256 AS BIGINT) AS seq_id,
+           CAST(p.tok_start % 256 AS BIGINT) AS tok_offset
+    FROM docs_e e JOIN ps p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9056,6 +9247,13 @@ ENTRY_QUERIES = {
     "p18_conv_gate_events": (q_p18_conv_gate_events, SQL_P18),
     "bpe2_fertility_documents": (q_bpe2_fertility_documents, SQL_BPE2),
     "gr5_harmonic_documents": (q_gr5_harmonic_documents, SQL_GR5),
+    # end-to-end composed curation pipeline (VERDICT r3 #7) — queued
+    # FIRST for the round-5 driver window (the round-4 window is fully
+    # booked retiring verification debt)
+    "c1_curation_pipeline_documents": (
+        q_c1_curation_pipeline_documents,
+        SQL_C1,
+    ),
 }
 
 # ---------------------------------------------------------------------------
