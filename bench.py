@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402
 from realtime_data_quality_monitor_spark.queries.entry_queries import (  # noqa: E402
+    q_c1_curation_pipeline_documents,
     q_d2_jaccard_pairs_documents,
     q_j1_segment_order_stats,
     q_p7_overall_quality_events,
@@ -139,6 +140,12 @@ def main() -> None:
         timings[name] = timed(lambda fn=fn: fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+
+    # end-to-end composed curation pipeline (c1: gopher -> dup-line ->
+    # SemDeDup -> DSIR -> UniMax -> pack), reported OUTSIDE the headline
+    # total so cross-round totals stay comparable (added round 4)
+    c1_sec = timed(lambda: q_c1_curation_pipeline_documents(spark, sf_dir))
+
     spark.stop()  # before the epoch probe so JVM threads don't contend
     result = {
         "metric": "headline_queries_total",
@@ -149,6 +156,7 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / timings["pipeline_rules"], 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "c1_curation_pipeline_sec": c1_sec,
         # ~1.2 s on a quiet host; >2x that means every wall above is
         # inflated by neighbor-VM SMT pressure (see host_epoch_sec).
         "host_epoch_sec": host_epoch_sec(),

@@ -7005,6 +7005,95 @@ SQL_B1 = """
 """
 
 
+def q_b2_bitext_candidates_embeddings(spark, sf_dir):
+    """Margin-based bitext mining through the CANDIDATES path (the
+    corpus-scale CCMatrix shape, VERDICT r3 #2): candidate (src, tgt)
+    pairs come from a 4-plane LSH bucket equi-join across the two
+    'language' sides (the s3/d6 integer-bucket machinery — symmetric,
+    so one join covers both retrieval directions), then
+    similarity.bitext_mine scores ONLY those pairs — margins over the
+    retrieved neighborhoods, mutual-best flags, no Cartesian node
+    anywhere (plan-pinned in tests/test_plans.py). ~1/16 of the full
+    pair volume at any corpus size; recall vs the exact path is
+    measured in scripts/bitext_recall.py / BASELINE.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    sb = src.select(
+        F.col("vec_id").alias("src_id"),
+        similarity.lsh_bucket_col(F.col("embedding"), 4, 64).alias("b"),
+    )
+    tb = tgt.select(
+        F.col("vec_id").alias("tgt_id"),
+        similarity.lsh_bucket_col(F.col("embedding"), 4, 64).alias("b"),
+    )
+    cand = sb.join(tb, "b").select("src_id", "tgt_id")
+    return similarity.bitext_mine(src, tgt, k=4, candidates=cand)
+
+
+SQL_B2 = (
+    _SQL_LSH_PROLOGUE.format(values=_lsh_plane_values(4))
+    + """
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS src_id, qb.vec_id AS tgt_id
+      FROM buck qa
+      JOIN embeddings ea ON ea.vec_id = qa.vec_id AND ea.label % 2 = 0
+      JOIN buck qb ON qb.bucket = qa.bucket AND qb.t = qa.t
+      JOIN embeddings eb ON eb.vec_id = qb.vec_id AND eb.label % 2 = 1),
+    dots AS (
+      SELECT c.src_id, c.tgt_id,
+             CAST(SUM(va.ql[g.i] * vb.ql[g.i]) AS DOUBLE) AS dab
+      FROM cand c
+      JOIN v va ON va.vec_id = c.src_id
+      JOIN v vb ON vb.vec_id = c.tgt_id
+      JOIN generate_series(1, 10000) g(i) ON g.i <= len(va.ql)
+      GROUP BY c.src_id, c.tgt_id),
+    pairs AS (
+      SELECT d.src_id, d.tgt_id,
+             CAST(floor((1.0e0 + d.dab
+                         / (sqrt(sa.selfdot) * sqrt(sb.selfdot)))
+                        * 1000000000.0e0) AS BIGINT) AS sq
+      FROM dots d
+      JOIN selfd sa ON sa.vec_id = d.src_id
+      JOIN selfd sb ON sb.vec_id = d.tgt_id),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY sq DESC, tgt_id ASC) AS rs,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY sq DESC, src_id ASC) AS rt
+      FROM pairs),
+    ss AS (SELECT src_id, CAST(SUM(sq) AS BIGINT) AS ssrc,
+                  CAST(COUNT(*) AS BIGINT) AS ns
+           FROM rk WHERE rs <= 4 GROUP BY src_id),
+    st AS (SELECT tgt_id, CAST(SUM(sq) AS BIGINT) AS stgt,
+                  CAST(COUNT(*) AS BIGINT) AS nt
+           FROM rk WHERE rt <= 4 GROUP BY tgt_id),
+    sc AS (
+      SELECT p.src_id, p.tgt_id, p.sq,
+             (p.sq * 2 * ns * nt * 1000000)
+               // GREATEST(ssrc * nt + stgt * ns, 1) AS margin_u
+      FROM pairs p
+      JOIN ss ON ss.src_id = p.src_id
+      JOIN st ON st.tgt_id = p.tgt_id),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin_u DESC, tgt_id ASC) AS bs,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY margin_u DESC, src_id ASC) AS bt
+      FROM sc),
+    fwd AS (SELECT src_id, tgt_id, sq, CAST(margin_u AS BIGINT) AS margin_u
+            FROM best WHERE bs = 1),
+    bwd AS (SELECT src_id AS b_src, tgt_id AS b_tgt FROM best WHERE bt = 1)
+    SELECT f.src_id, f.tgt_id, f.sq, f.margin_u,
+           (b.b_src IS NOT NULL) AS mutual
+    FROM fwd f LEFT JOIN bwd b
+      ON f.src_id = b.b_src AND f.tgt_id = b.b_tgt
+"""
+)
+
+
 def q_gr4_label_propagation_documents(spark, sf_dir):
     """Label-propagation communities over the derived doc link graph
     (graph.label_propagation): 2 synchronous rounds, multiplicity-
@@ -9253,6 +9342,12 @@ ENTRY_QUERIES = {
     "c1_curation_pipeline_documents": (
         q_c1_curation_pipeline_documents,
         SQL_C1,
+    ),
+    # bitext mining through the ANN-candidates path (VERDICT r3 #2) —
+    # round-5 queue, right after c1
+    "b2_bitext_candidates_embeddings": (
+        q_b2_bitext_candidates_embeddings,
+        SQL_B2,
     ),
 }
 

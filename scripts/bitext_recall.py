@@ -1,0 +1,131 @@
+"""Mined-pair precision/recall of bitext_mine's ANN-candidates path
+against the exact cross-join path on the embeddings table (even labels
+= source side, odd = target side — the b1 entry's split): the CCMatrix
+analog of the ANN recall table (scripts/ann_recall.py), justifying the
+candidates parameter at corpus scale. Prints one JSON line; recorded
+in BASELINE.md.
+
+Usage: python scripts/bitext_recall.py [sf_dir] [k] [ann_k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from realtime_data_quality_monitor_spark.operators import similarity  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+
+def _sets(df) -> tuple[set, set]:
+    """(best-target pairs, mutual-best pairs) from a bitext_mine result."""
+    rows = df.collect()
+    best = {(r["src_id"], r["tgt_id"]) for r in rows}
+    mutual = {(r["src_id"], r["tgt_id"]) for r in rows if r["mutual"]}
+    return best, mutual
+
+
+def _pr(got: set, want: set) -> dict:
+    inter = len(got & want)
+    return {
+        "n": len(got),
+        "precision": round(inter / len(got), 4) if got else None,
+        "recall": round(inter / len(want), 4) if want else None,
+    }
+
+
+def main(sf_dir: str, k: int = 4, ann_k: int = 8) -> None:
+    spark = get_spark(app_name="bitext-recall", shuffle_partitions=32)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    n_src, n_tgt = src.count(), tgt.count()
+
+    t0 = time.time()
+    best_x, mutual_x = _sets(similarity.bitext_mine(src, tgt, k=k))
+    exact_sec = round(time.time() - t0, 2)
+
+    results = {}
+
+    def run(name: str, cand_df) -> None:
+        cand = cand_df.localCheckpoint(eager=True)
+        n_cand = cand.dropDuplicates(["src_id", "tgt_id"]).count()
+        t1 = time.time()
+        best_c, mutual_c = _sets(
+            similarity.bitext_mine(src, tgt, k=k, candidates=cand)
+        )
+        results[name] = {
+            "n_candidates": n_cand,
+            "cand_fraction": round(n_cand / (n_src * n_tgt), 4),
+            "best": _pr(best_c, best_x),
+            "mutual": _pr(mutual_c, mutual_x),
+            "sec": round(time.time() - t1, 2),
+        }
+
+    # IVF candidates, first-16 deterministic centroids, both directions
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    for n_probe in (2, 4):
+        fwd = similarity.ivf_topk(
+            tgt, src, cents, k=ann_k, n_probe=n_probe
+        ).select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+        )
+        bwd = similarity.ivf_topk(
+            src, tgt, cents, k=ann_k, n_probe=n_probe
+        ).select(
+            F.col("neighbor_id").alias("src_id"),
+            F.col("query_id").alias("tgt_id"),
+        )
+        run(f"ivf_probe={n_probe}", fwd.unionByName(bwd))
+
+    # OR-amplified LSH candidates, both directions
+    for n_planes, n_tables in ((4, 8), (8, 8)):
+        fwd = similarity.lsh_topk_multi(
+            tgt, src, k=ann_k, n_planes=n_planes, n_tables=n_tables, dim=dim
+        ).select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+        )
+        bwd = similarity.lsh_topk_multi(
+            src, tgt, k=ann_k, n_planes=n_planes, n_tables=n_tables, dim=dim
+        ).select(
+            F.col("neighbor_id").alias("src_id"),
+            F.col("query_id").alias("tgt_id"),
+        )
+        run(f"lsh_p{n_planes}_t{n_tables}", fwd.unionByName(bwd))
+
+    print(
+        json.dumps(
+            {
+                "metric": "bitext_candidate_path",
+                "k": k,
+                "ann_k": ann_k,
+                "n_src": n_src,
+                "n_tgt": n_tgt,
+                "dim": dim,
+                "exact_sec": exact_sec,
+                "n_mutual_exact": len(mutual_x),
+                "paths": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+    )
