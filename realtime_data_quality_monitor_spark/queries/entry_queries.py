@@ -9501,3 +9501,46 @@ ENTRY_QUERIES = {
     **{k: v for k, v in ENTRY_QUERIES.items()
        if k not in set(_ROUND4_WINDOW_PLAN)},
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-5 WINDOW PLAN — INACTIVE. Once CORRECTNESS_r04.json confirms the
+# round-4 window, every oracle-backed entry except c1/b2 (added this
+# round) has a driver verdict. Round 5 therefore verifies c1 + b2 first,
+# then re-verifies the entries with the OLDEST verdicts: all 36 entries
+# last seen by the driver in round 1, plus 12 family-spread round-2
+# sentinels (m8 stays excluded — no oracle form, determinism-pinned).
+# To execute: replace _ROUND4_WINDOW_PLAN with _ROUND5_WINDOW_PLAN in
+# the reorder above. Import-validated so the swap is one line.
+# ---------------------------------------------------------------------------
+_ROUND5_WINDOW_PLAN = [
+    # new this round, never driver-verified
+    "c1_curation_pipeline_documents", "b2_bitext_candidates_embeddings",
+    # round-1-only verdicts (oldest first-party coverage, all 36)
+    "p8_severity_histogram_events", "a3_recent_dimension_summary",
+    "j1_segment_order_stats", "a13_exact_group_median",
+    "o1_topk_recent_errors", "j4_semi_anti_customers",
+    "w1_session_stats_events", "q1_pricing_summary",
+    "q14_promo_revenue_share", "d2_jaccard_pairs_documents",
+    "t1_langid_documents", "t7_clean_text_documents",
+    "p9_props_json_stats", "a7_pivot_daily_type_value",
+    "t3_quality_score_documents", "a6_user_value_topk",
+    "a9_ffill_tail_hourly_error_value", "o2_top_orders_by_revenue",
+    "j2_asof_purchase_last_error", "j3_incident_window_events",
+    "j5_orders_above_customer_avg", "p10_set_ops_users",
+    "p12_variant_json_stats", "a11_rollup_type_day",
+    "w2_user_event_sequence", "a12_salted_type_stats",
+    "a14_unpivot_measure_sums", "a15_rolling_7day_daily",
+    "a16_user_value_trend", "t6_hash_sample_documents",
+    "t8_sentences_documents", "t9_chunk_documents",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "q10_returned_item_customers",
+    # round-2 family-spread sentinels (12)
+    "t4_fingerprint_documents", "s1_ann_cosine_topk",
+    "d5_embedding_cosine_dups", "m1_image_decode_documents",
+    "m7_ks_drift_events", "p1_completeness_events",
+    "a1_window_stats_daily", "d0_dedup_first_wins_events",
+    "e4_decontaminate_documents", "g1_gopher_stats_documents",
+    "s6_kmeans_embeddings", "q8_market_share",
+]
+assert len(_ROUND5_WINDOW_PLAN) == 50 and len(set(_ROUND5_WINDOW_PLAN)) == 50
+assert all(k in ENTRY_QUERIES for k in _ROUND5_WINDOW_PLAN)
