@@ -7593,18 +7593,29 @@ def q_c1_curation_pipeline_documents(spark, sf_dir):
     the per-entry plan notes); the composition adds no new shuffle."""
     from ..operators import importance
 
+    # Stage boundaries are localCheckpoint'ed (the Spark twin of the
+    # oracle's MATERIALIZED CTEs): each stage's output feeds 2+
+    # consumers, and without materialization Spark re-inlines the whole
+    # upstream chain per consumer — measured 74 s warm at sf0.01 from
+    # subtree duplication vs seconds materialized. At cluster scale the
+    # same boundaries would be persist(DISK_ONLY)/checkpoint calls.
     docs = _t(spark, sf_dir, "documents")
     a = (
         quality_filters.gopher_keep_flag(docs)
         .where(F.col("keep") == 1)
         .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=True)
     )
     b = (
         dedup.drop_duplicate_lines(a, "doc_id", "text")
         .where(F.col("clean_text") != "")
         .select("doc_id", F.col("clean_text").alias("text"))
     )
-    bmeta = a.select("doc_id", "lang", "source").join(b, "doc_id")
+    bmeta = (
+        a.select("doc_id", "lang", "source")
+        .join(b, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     emb = _t(spark, sf_dir, "embeddings").join(
         bmeta.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
@@ -7612,13 +7623,15 @@ def q_c1_curation_pipeline_documents(spark, sf_dir):
     kept = sd.where(F.col("is_kept") == 1).select(
         F.col("vec_id").alias("doc_id")
     )
-    c = bmeta.join(kept, "doc_id")
+    c = bmeta.join(kept, "doc_id").localCheckpoint(eager=True)
     target = c.where((F.col("source") == "src0") & (F.col("lang") == "en"))
     d = importance.dsir_topk(c, target, k=50)
-    dsel = c.join(d.select("doc_id"), "doc_id")
+    dsel = (
+        c.join(d.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    )
     e = export.unimax_sample(
         dsel, "lang", budget=40, id_col="doc_id", seed="c1mix"
-    )
+    ).localCheckpoint(eager=True)
     packed = export.pack_sequences(
         e.select("doc_id").join(dsel.select("doc_id", "text"), "doc_id"),
         seed="c1pack",
