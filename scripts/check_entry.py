@@ -106,13 +106,26 @@ def main(sf_dir: str) -> int:
     (connections are not thread-safe; views are per-connection). ~3x
     wall-clock on the full catalog vs serial. SPARK_GRAFT_CHECK_JOBS=1
     restores serial order-of-output for debugging."""
+    import importlib
+    import pkgutil
     import threading
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     jobs = int(os.environ.get("SPARK_GRAFT_CHECK_JOBS", "4"))
     spark = get_spark(app_name="check-entry")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+
+    # Pre-import every operator module BEFORE the thread pool: lazy
+    # `from ..operators import X` inside entry bodies can race in
+    # Python's zipimport/path-importer caches under concurrent first
+    # imports (observed ~1-in-4 full runs as a transient
+    # `KeyError('<sys.path zip entry>')` on a random entry).
+    import realtime_data_quality_monitor_spark.operators as _ops
+
+    for _m in pkgutil.iter_modules(_ops.__path__):
+        importlib.import_module(f"{_ops.__name__}.{_m.name}")
 
     tl = threading.local()
 
@@ -128,12 +141,18 @@ def main(sf_dir: str) -> int:
 
     def run(item):
         name, fn = item
-        try:
-            return name, check_one_entry(
-                spark, get_con(), sf_dir, name, fn, oracles
-            )
-        except Exception as e:  # noqa: BLE001 — report, don't abort the gate
-            return name, f"{name:35s} MISMATCH: ERROR {str(e)[:160]}"
+        # one retry: the only observed error class is a transient
+        # import-cache race (see pre-import above); a genuine failure
+        # reproduces on the second attempt
+        for attempt in (1, 2):
+            try:
+                return name, check_one_entry(
+                    spark, get_con(), sf_dir, name, fn, oracles
+                )
+            except Exception as e:  # noqa: BLE001 — report, don't abort
+                if attempt == 2:
+                    return name, f"{name:35s} MISMATCH: ERROR {str(e)[:160]}"
+                time.sleep(0.5)
 
     if jobs <= 1:
         results = [run(it) for it in qs.items()]
