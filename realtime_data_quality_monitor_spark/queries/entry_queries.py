@@ -7599,7 +7599,13 @@ def q_c1_curation_pipeline_documents(spark, sf_dir):
     # upstream chain per consumer — measured 74 s warm at sf0.01 from
     # subtree duplication vs seconds materialized. At cluster scale the
     # same boundaries would be persist(DISK_ONLY)/checkpoint calls.
-    docs = _t(spark, sf_dir, "documents")
+    # The doc_id repartition spreads the CPU-heavy row-local Gopher
+    # stage: a small parquet scan (or AQE-coalesced upstream) lands on
+    # 1-2 partitions and serializes ~7 ms/doc of expression work —
+    # measured 8x (32 s -> 4 s) at 4.8k long docs. A cluster-scale scan
+    # arrives well-partitioned; this pins the same property at
+    # fixture scale.
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
     a = (
         quality_filters.gopher_keep_flag(docs)
         .where(F.col("keep") == 1)

@@ -1,0 +1,177 @@
+"""Composed curation pipeline (the c1 chain) at transcript-corpus
+scale: gopher keep -> corpus duplicate-line removal -> SemDeDup ->
+DSIR top-k -> UniMax budget -> sequence packing, run end-to-end over
+the 561k-document conversation corpus the tail bench derives from the
+sf0.1 transcript table (112x the c1 fixture) with scale-appropriate
+parameters (k=16 clusters, top-50k DSIR, 20k-doc UniMax budget,
+2048-token x 64-shard packing). The receipt the 100 TB question needs:
+the COMPOSITION (not just each stage) completes with bounded
+exchanges, and the wall decomposes into the already-measured stage
+families.
+
+Methodology per CLAUDE.md: full-size warmup pass, then best-of-2,
+noop-materialized, crash-resumable per-stage partials, host-epoch
+probe recorded. Prints one JSON line; recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import host_epoch_sec  # noqa: E402
+from tail_bench import build_docs, build_embeddings  # noqa: E402
+
+from realtime_data_quality_monitor_spark.operators import (  # noqa: E402
+    dedup,
+    export,
+    importance,
+    quality_filters,
+    similarity,
+)
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+SF_NAME = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
+PARTIAL_PATH = f"/tmp/rdqm_curation_scale_partial_{SF_NAME}.json"
+
+
+def _draw(col, salt: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def with_meta(docs):
+    """Closed-form lang/source columns keyed on doc_id (the tail-bench
+    derived-fixture trick) so the DSIR target slice and UniMax groups
+    exist at corpus cardinality. The transcript generator injects
+    defect rows with malformed conv_ids whose parsed doc_ids collide —
+    dedupe deterministically so every pipeline join stays 1:1."""
+    # repartition: the deduping groupBy AQE-coalesces small corpora to
+    # 1-2 partitions, serializing the CPU-heavy row-local gopher stage
+    # (measured 8x: 32 s -> 4 s at 4.8k docs)
+    docs = (
+        docs.where(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+        .repartition(64, "doc_id")
+    )
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "zh", "es")])
+    return docs.select(
+        "doc_id",
+        "text",
+        F.element_at(langs, (_draw(F.col("doc_id"), "lang") % 5 + 1).cast("int"))
+        .alias("lang"),
+        F.concat(F.lit("src"), (_draw(F.col("doc_id"), "src") % 20))
+        .alias("source"),
+    )
+
+
+def run_chain(spark, docs, emb):
+    """One full pass of the composed chain; returns (n per stage)."""
+    counts = {}
+    a = (
+        quality_filters.gopher_keep_flag(docs)
+        .where(F.col("keep") == 1)
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=True)
+    )
+    counts["gopher_kept"] = a.count()
+    b = (
+        dedup.drop_duplicate_lines(a, "doc_id", "text")
+        .where(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    bmeta = (
+        a.select("doc_id", "lang", "source")
+        .join(b, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    counts["dup_line_kept"] = bmeta.count()
+    emb_b = emb.join(
+        bmeta.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    sd = similarity.semantic_dedup(emb_b, k=16, iters=2, threshold=0.4)
+    kept = sd.where(F.col("is_kept") == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    c = bmeta.join(kept, "doc_id").localCheckpoint(eager=True)
+    counts["semdedup_kept"] = c.count()
+    target = c.where((F.col("source") == "src0") & (F.col("lang") == "en"))
+    d = importance.dsir_topk(c, target, k=50_000)
+    dsel = c.join(d.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    counts["dsir_selected"] = dsel.count()
+    e = export.unimax_sample(
+        dsel, "lang", budget=20_000, id_col="doc_id", seed="c1mix"
+    ).localCheckpoint(eager=True)
+    counts["unimax_selected"] = e.count()
+    packed = export.pack_sequences(
+        e.select("doc_id").join(dsel.select("doc_id", "text"), "doc_id"),
+        seed="c1pack",
+        budget_tokens=2048,
+        n_shards=64,
+        shuffle=False,
+    )
+    out = e.select("doc_id", "lang", "grp_rank", "quota").join(
+        packed.select(
+            "doc_id", "shard", "n_tokens", "tok_start", "seq_id", "tok_offset"
+        ),
+        "doc_id",
+    )
+    out.write.format("noop").mode("overwrite").save()
+    counts["packed"] = counts["unimax_selected"]
+    return counts
+
+
+def main() -> None:
+    results = {}
+    if os.path.exists(PARTIAL_PATH):
+        results = json.load(open(PARTIAL_PATH))
+    spark = get_spark(app_name="curation-scale-bench")
+    docs = with_meta(build_docs(spark, SF_NAME)).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    emb = build_embeddings(docs).localCheckpoint(eager=True)
+
+    if "walls" not in results:
+        t0 = time.time()
+        counts = run_chain(spark, docs, emb)  # full-size warmup
+        warmup = round(time.time() - t0, 2)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            run_chain(spark, docs, emb)
+            walls.append(round(time.time() - t0, 2))
+        results = {"counts": counts, "warmup_sec": warmup, "walls": walls}
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(results, f)
+    spark.stop()
+
+    summary = {
+        "metric": "curation_pipeline_scale",
+        "value": min(results["walls"]),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "counts": results["counts"],
+        "warmup_sec": results["warmup_sec"],
+        "runs_sec": results["walls"],
+        "docs_per_sec": round(n_docs / min(results["walls"]), 1),
+        "sf": SF_NAME,
+        "host_epoch_sec": host_epoch_sec(),
+        "host_epoch_clean_ref_sec": 1.2,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
