@@ -477,6 +477,25 @@ def test_bitext_candidate_path_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in p1
 
 
+def test_c1_composition_plan_bounded(spark):
+    """The composed curation pipeline's final frame: hash joins only —
+    no Cartesian node, no range partitioning (no global sort anywhere
+    in the finishing join of UniMax ranks with packing coords). Stage
+    interiors are plan-pinned by their own entries (g1/g3, d12, s10,
+    i2, e15, e7); the checkpoints make the composition's plan the sum
+    of audited parts rather than an exponential re-inline."""
+    from realtime_data_quality_monitor_spark.queries.entry_queries import (
+        q_c1_curation_pipeline_documents,
+    )
+
+    df = q_c1_curation_pipeline_documents(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in p
+    assert "Exchange rangepartitioning" not in p
+    # UniMax budget is the output bound: 40 rows max by construction
+    assert df.count() <= 40
+
+
 def test_timing_stats_single_exchange(spark):
     """w12 timing QC: ONE conversation-keyed hash exchange (the w6
     family contract) — gaps, median and pause counts are row-local
