@@ -7599,13 +7599,20 @@ def q_c1_curation_pipeline_documents(spark, sf_dir):
     # upstream chain per consumer — measured 74 s warm at sf0.01 from
     # subtree duplication vs seconds materialized. At cluster scale the
     # same boundaries would be persist(DISK_ONLY)/checkpoint calls.
-    # The doc_id repartition spreads the CPU-heavy row-local Gopher
-    # stage: a small parquet scan (or AQE-coalesced upstream) lands on
-    # 1-2 partitions and serializes ~7 ms/doc of expression work —
-    # measured 8x (32 s -> 4 s) at 4.8k long docs. A cluster-scale scan
-    # arrives well-partitioned; this pins the same property at
-    # fixture scale.
-    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    # The doc_id repartition + checkpoint spreads the CPU-heavy
+    # row-local Gopher stage. BOTH are needed: the small parquet scan
+    # is 1-2 input partitions, and Catalyst (correctly, for scale)
+    # pushes the keep-filter's whole expression tree BELOW the
+    # repartition onto the scan side — so without the lineage cut the
+    # heavy filter still evaluates serially (measured 16 s vs 2.3 s at
+    # 5k docs). A cluster-scale scan arrives well-partitioned and
+    # WANTS that pushdown (prune before shuffle); the checkpoint pins
+    # the fixture-scale parallelism without disabling it elsewhere.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(64, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     a = (
         quality_filters.gopher_keep_flag(docs)
         .where(F.col("keep") == 1)
