@@ -306,6 +306,7 @@ def harmonic_centrality_2hop(
     hub_fanout_cap: int = 1 << 24,
     p: int = 12,
     seed: str = "gr5",
+    mark_approx: bool = False,
 ) -> DataFrame:
     """Truncated (2-hop) harmonic centrality — the rank Common Crawl
     actually publishes for hosts (harmonic centrality, Boldi & Vigna
@@ -343,7 +344,10 @@ def harmonic_centrality_2hop(
     worst-case on the hub branch; two aggs keyed by target — hash
     exchanges only, no corpus sort. Output: (vertex, n_dist1,
     n_dist2, h_u) for every edge endpoint; rows whose vertex is
-    hub-reached carry the documented sketch estimate in n_dist2."""
+    hub-reached carry the documented sketch estimate in n_dist2.
+    ``mark_approx=True`` appends a BOOLEAN ``approx`` column flagging
+    exactly those rows (off by default to keep the gr5 entry schema —
+    the fixture never trips the cap, so every fixture row is exact)."""
     from . import sketches as sk
 
     e = edges.select("src", "dst").where(
@@ -436,20 +440,25 @@ def harmonic_centrality_2hop(
             ).alias("n_dist2"),
         )
     )
-    n2 = n2_exact.unionByName(n2_hub)
+    n2 = n2_exact.withColumn("__approx", F.lit(False)).unionByName(
+        n2_hub.withColumn("__approx", F.lit(True))
+    )
     half = int(scale) // 2
+    cols = [
+        F.col("vertex"),
+        F.coalesce("n_dist1", F.lit(0)).cast("long").alias("n_dist1"),
+        F.coalesce("n_dist2", F.lit(0)).cast("long").alias("n_dist2"),
+        (
+            F.coalesce("n_dist1", F.lit(0)) * F.lit(int(scale))
+            + F.coalesce("n_dist2", F.lit(0)) * F.lit(half)
+        )
+        .cast("long")
+        .alias("h_u"),
+    ]
+    if mark_approx:
+        cols.append(F.coalesce("__approx", F.lit(False)).alias("approx"))
     return (
         verts.join(n1, "vertex", "left")
         .join(n2, "vertex", "left")
-        .select(
-            "vertex",
-            F.coalesce("n_dist1", F.lit(0)).cast("long").alias("n_dist1"),
-            F.coalesce("n_dist2", F.lit(0)).cast("long").alias("n_dist2"),
-            (
-                F.coalesce("n_dist1", F.lit(0)) * F.lit(int(scale))
-                + F.coalesce("n_dist2", F.lit(0)) * F.lit(half)
-            )
-            .cast("long")
-            .alias("h_u"),
-        )
+        .select(*cols)
     )

@@ -267,6 +267,15 @@ def test_harmonic_hub_escape_only_rewires_hub_targets(spark):
     # tiny cardinality linear counting is integer-exact after rounding
     assert got[60][:2] == (1, 30)
     assert got[61][:2] == (1, 30)
+    # mark_approx flags exactly the hub-reached vertices
+    marked = {
+        r["vertex"]: r["approx"]
+        for r in graph.harmonic_centrality_2hop(
+            edf, hub_fanout_cap=10, mark_approx=True
+        ).collect()
+    }
+    assert marked[60] and marked[61]
+    assert not any(marked[v] for v in (1, 2, 3, hub))
 
 
 def test_harmonic_centrality_ignores_self_loops_and_multiedges(spark):
