@@ -1246,6 +1246,68 @@ def pca_project(
     return out.drop(vec_col)
 
 
+# --- hard-negative mining ----------------------------------------------------
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    cos_fn=None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR /
+    Contriever data-prep step, Karpukhin et al. 2020): for each
+    (query_id, positive_id) training pair, the ``k`` most
+    query-similar corpus vectors that are NOT the query itself and NOT
+    its declared positive — the in-batch-negative upgrade a bi-encoder
+    trains against.
+
+    Exhaustive by default: query vectors broadcast against the corpus
+    (the s1 brute-force shape — right when |pairs| is small). At
+    corpus scale pass ``candidates`` — a (query_id, neighbor_id)
+    DataFrame from ``ivf_topk`` / ``lsh_topk_multi`` — and only
+    candidate rows are scored via hash equi-joins (the b2 candidates
+    contract; no Cartesian node). Either way ONE (query_id,
+    positive_id)-keyed rank window; ties break neighbor-id-ASC.
+
+    Output: (query_id, positive_id, neighbor_id, rank, cos)."""
+    cos_fn = cos_fn or cosine
+    p = pairs.select("query_id", "positive_id")
+    q = p.join(
+        corpus.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "query_id",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    if candidates is None:
+        scored = c.join(F.broadcast(q))
+    else:
+        scored = (
+            candidates.select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .join(q, "query_id")
+            .join(c, "neighbor_id")
+        )
+    scored = scored.filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_id") != F.col("positive_id"))
+    ).withColumn("cos", cos_fn(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id", "positive_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "positive_id", "neighbor_id", "rank", "cos")
+    )
+
+
 # --- margin-based bitext mining ----------------------------------------------
 
 

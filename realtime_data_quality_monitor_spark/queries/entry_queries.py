@@ -7094,6 +7094,59 @@ SQL_B2 = (
 )
 
 
+def q_hn1_hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives, the DPR /
+    Contriever training-data prep): 30 closed-form (query, positive)
+    pairs — positive_id = query_id + 100 — each mined for its 5 most
+    query-similar corpus vectors excluding the query and its positive.
+    Quantized cosine (the s1/s4 contract) keeps it cell-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.where(F.col("vec_id") < 30)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") + 100).alias("positive_id"),
+        )
+    )
+    return similarity.hard_negatives(emb, pairs, k=5, cos_fn=_qcos)
+
+
+SQL_HN1 = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000000.0e0) AS BIGINT)) AS ql
+      FROM embeddings),
+    selfd AS (
+      SELECT vec_id, CAST(SUM(ql[g.i] * ql[g.i]) AS DOUBLE) AS selfdot
+      FROM v JOIN generate_series(1, 10000) g(i) ON g.i <= len(ql)
+      GROUP BY vec_id),
+    prs AS (
+      SELECT vec_id AS query_id, vec_id + 100 AS positive_id
+      FROM embeddings WHERE vec_id < 30),
+    scored AS (
+      SELECT p.query_id, p.positive_id, c.vec_id AS neighbor_id,
+             CAST(SUM(vq.ql[g.i] * c.ql[g.i]) AS DOUBLE)
+               / (sqrt(sq.selfdot) * sqrt(sn.selfdot)) AS cos
+      FROM prs p
+      JOIN v vq ON vq.vec_id = p.query_id
+      JOIN selfd sq ON sq.vec_id = p.query_id
+      CROSS JOIN v c
+      JOIN selfd sn ON sn.vec_id = c.vec_id
+      JOIN generate_series(1, 10000) g(i) ON g.i <= len(vq.ql)
+      WHERE c.vec_id != p.query_id AND c.vec_id != p.positive_id
+      GROUP BY p.query_id, p.positive_id, c.vec_id,
+               sq.selfdot, sn.selfdot),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id, positive_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, positive_id, neighbor_id, rank, cos
+    FROM ranked WHERE rank <= 5
+"""
+
+
 def q_gr4_label_propagation_documents(spark, sf_dir):
     """Label-propagation communities over the derived doc link graph
     (graph.label_propagation): 2 synchronous rounds, multiplicity-
@@ -9375,6 +9428,11 @@ ENTRY_QUERIES = {
         q_b2_bitext_candidates_embeddings,
         SQL_B2,
     ),
+    # hard-negative mining (DPR/Contriever prep) — round-5 queue
+    "hn1_hard_negatives_embeddings": (
+        q_hn1_hard_negatives_embeddings,
+        SQL_HN1,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -9541,6 +9599,7 @@ ENTRY_QUERIES = {
 _ROUND5_WINDOW_PLAN = [
     # new this round, never driver-verified
     "c1_curation_pipeline_documents", "b2_bitext_candidates_embeddings",
+    "hn1_hard_negatives_embeddings",
     # round-1-only verdicts (oldest first-party coverage, all 36)
     "p8_severity_histogram_events", "a3_recent_dimension_summary",
     "j1_segment_order_stats", "a13_exact_group_median",
@@ -9560,13 +9619,14 @@ _ROUND5_WINDOW_PLAN = [
     "t8_sentences_documents", "t9_chunk_documents",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_forecast", "q10_returned_item_customers",
-    # round-2 family-spread sentinels (12)
+    # round-2 family-spread sentinels (11 — TPC-H already carries six
+    # round-1 sentinels above, so q8 yielded its slot to hn1)
     "t4_fingerprint_documents", "s1_ann_cosine_topk",
     "d5_embedding_cosine_dups", "m1_image_decode_documents",
     "m7_ks_drift_events", "p1_completeness_events",
     "a1_window_stats_daily", "d0_dedup_first_wins_events",
     "e4_decontaminate_documents", "g1_gopher_stats_documents",
-    "s6_kmeans_embeddings", "q8_market_share",
+    "s6_kmeans_embeddings",
 ]
 assert len(_ROUND5_WINDOW_PLAN) == 50 and len(set(_ROUND5_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND5_WINDOW_PLAN)

@@ -1022,6 +1022,40 @@ def test_bitext_mine_ann_candidates_recall(spark):
     assert len(mutual_cand & mutual_exact) >= 6
 
 
+def test_hard_negatives_excludes_query_and_positive(spark):
+    """DPR-style mining: the positive and the query itself never
+    appear as negatives; ranking follows (cos DESC, id ASC); and the
+    candidates path with the full candidate set is row-identical to
+    the exhaustive broadcast path."""
+    sdf, tdf = _bitext_fixture(spark, n_src=6, n_noise=3)
+    corpus = sdf.unionByName(tdf)
+    # positive of query i is its noisy copy 100+i
+    pairs = sdf.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 100).alias("positive_id"),
+    )
+    out = similarity.hard_negatives(corpus, pairs, k=4).collect()
+    assert len(out) == 6 * 4
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neighbor_id"] != r["positive_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    # candidates path with ALL (query, neighbor) pairs == exhaustive
+    cand = pairs.select("query_id").crossJoin(
+        corpus.select(F.col("vec_id").alias("neighbor_id"))
+    )
+    via_cand = similarity.hard_negatives(
+        corpus, pairs, k=4, candidates=cand
+    ).collect()
+    assert sorted(map(tuple, via_cand)) == sorted(map(tuple, out))
+
+
 def test_embedding_outliers_matches_replica(spark):
     import math
 
