@@ -9580,21 +9580,15 @@ _ROUND4_WINDOW_PLAN = [
 ]
 assert len(_ROUND4_WINDOW_PLAN) == 50 and len(set(_ROUND4_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)
-ENTRY_QUERIES = {
-    **{k: ENTRY_QUERIES[k] for k in _ROUND4_WINDOW_PLAN},
-    **{k: v for k, v in ENTRY_QUERIES.items()
-       if k not in set(_ROUND4_WINDOW_PLAN)},
-}
 
 # ---------------------------------------------------------------------------
-# ROUND-5 WINDOW PLAN — INACTIVE. Once CORRECTNESS_r04.json confirms the
-# round-4 window, every oracle-backed entry except c1/b2 (added this
-# round) has a driver verdict. Round 5 therefore verifies c1 + b2 first,
-# then re-verifies the entries with the OLDEST verdicts: all 36 entries
-# last seen by the driver in round 1, plus 12 family-spread round-2
-# sentinels (m8 stays excluded — no oracle form, determinism-pinned).
-# To execute: replace _ROUND4_WINDOW_PLAN with _ROUND5_WINDOW_PLAN in
-# the reorder above. Import-validated so the swap is one line.
+# ROUND-5 WINDOW PLAN — ACTIVE (reorder applied below). CORRECTNESS_r04.json
+# confirmed the full round-4 window (50/50 green), so every oracle-backed
+# entry except c1/b2/hn1 (added late in round 4) has a driver verdict.
+# Round 5 therefore verifies c1 + b2 + hn1 first, then re-verifies the
+# entries with the OLDEST verdicts: all 36 entries last seen by the driver
+# in round 1, plus 11 family-spread round-2 sentinels (m8 stays excluded —
+# no oracle form, determinism-pinned).
 # ---------------------------------------------------------------------------
 _ROUND5_WINDOW_PLAN = [
     # new this round, never driver-verified
@@ -9630,3 +9624,8 @@ _ROUND5_WINDOW_PLAN = [
 ]
 assert len(_ROUND5_WINDOW_PLAN) == 50 and len(set(_ROUND5_WINDOW_PLAN)) == 50
 assert all(k in ENTRY_QUERIES for k in _ROUND5_WINDOW_PLAN)
+ENTRY_QUERIES = {
+    **{k: ENTRY_QUERIES[k] for k in _ROUND5_WINDOW_PLAN},
+    **{k: v for k, v in ENTRY_QUERIES.items()
+       if k not in set(_ROUND5_WINDOW_PLAN)},
+}
