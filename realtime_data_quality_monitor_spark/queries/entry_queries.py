@@ -7662,9 +7662,13 @@ def q_c1_curation_pipeline_documents(spark, sf_dir):
     # 5k docs). A cluster-scale scan arrives well-partitioned and
     # WANTS that pushdown (prune before shuffle); the checkpoint pins
     # the fixture-scale parallelism without disabling it elsewhere.
+    # 2x the session's parallelism (not a constant): enough tasks that
+    # every core gets row-local Gopher work with headroom for stragglers,
+    # without fixture-size over-partitioning (VERDICT r4 nit).
+    n_part = 2 * spark.sparkContext.defaultParallelism
     docs = (
         _t(spark, sf_dir, "documents")
-        .repartition(64, "doc_id")
+        .repartition(n_part, "doc_id")
         .localCheckpoint(eager=True)
     )
     a = (

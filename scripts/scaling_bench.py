@@ -35,6 +35,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CORES = (8, 32)
 
@@ -130,6 +131,51 @@ def worker(cores: int, path: str) -> None:
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
+    op = os.environ.get("SPARK_GRAFT_SCALING_OP", "pipeline")
+    if op == "c1":
+        # Composed curation chain (VERDICT r4 #2): the job is the FULL
+        # Gopher -> dup-line -> SemDeDup -> DSIR -> UniMax -> pack
+        # lineage (curation_scale_bench.run_chain — identical code to
+        # the measured 480k-doc receipt), not a single lazy frame, so
+        # each timed pass executes the whole chain including its
+        # stage-boundary localCheckpoints. Input prep (docs read +
+        # repartition + closed-form embeddings) is checkpointed OUTSIDE
+        # the timed region — on a cluster both arrive materialized.
+        from curation_scale_bench import run_chain
+        from tail_bench import build_embeddings
+
+        docs = (
+            spark.read.parquet(path)
+            .repartition(2 * cores, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n = docs.count()
+        emb = build_embeddings(docs).localCheckpoint(eager=True)
+        emb.count()
+
+        def run_once() -> float:
+            t0 = time.perf_counter()
+            run_chain(spark, docs, emb)
+            return time.perf_counter() - t0
+
+        run_once()  # full-size warmup (lazy-faulted RAM, C2 JIT)
+        times = [run_once() for _ in range(2)]
+        best = min(times)
+        print(
+            "WORKER_RESULT "
+            + json.dumps(
+                {
+                    "cores": cores,
+                    "rows": n,
+                    "runs_sec": [round(t, 2) for t in times],
+                    "best_sec": round(best, 2),
+                    "turns_per_sec": round(n / best, 1),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return
     df = spark.read.parquet(path)
     n = df.count()
 
@@ -177,6 +223,28 @@ def main() -> None:
     # fixed overheads dominate and ADDING cores shows no speedup (measured
     # eff 0.2 at 1.2M rows vs ~1 at 5M). Scaling evidence needs enough
     # work per core, exactly like sizing partitions on a real cluster.
+    op_sel = os.environ.get("SPARK_GRAFT_SCALING_OP", "pipeline")
+    if op_sel == "c1":
+        # c1's input is the document corpus the curation receipt was
+        # measured on (561k conversation-level docs derived from the
+        # sf0.1 transcript table + closed-form meta columns), so the
+        # run_chain parameters (k=16, top-50k, 20k budget) stay sized
+        # to the data. Materialized once; both workers read it.
+        from curation_scale_bench import with_meta
+        from tail_bench import build_docs
+
+        tail_sf = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
+        path = f"/tmp/rdqm_scaling_docs_{tail_sf}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark = get_spark(app_name="scaling-bench-gen")
+            with_meta(build_docs(spark, tail_sf)).write.mode(
+                "overwrite"
+            ).parquet(path)
+            open(os.path.join(path, "_SUCCESS"), "a").close()
+            spark.stop()
+        _run_sizes(path, f"docs_{tail_sf}")
+        return
+
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "480000"))
     path = f"/tmp/rdqm_scaling_transcripts_{n_convs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -192,7 +260,11 @@ def main() -> None:
         open(os.path.join(path, "_SUCCESS"), "a").close()
         spark.stop()
     sf_name = f"synthetic_{n_convs}convs"
+    _run_sizes(path, sf_name)
 
+
+def _run_sizes(path: str, sf_name: str) -> None:
+    op_sel = os.environ.get("SPARK_GRAFT_SCALING_OP", "pipeline")
     results = {}
     for cores in CORES:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores), path]
@@ -202,7 +274,9 @@ def main() -> None:
             cmd,
             capture_output=True,
             text=True,
-            timeout=2400,
+            # c1 runs the whole curation chain 3x per size; local[8]
+            # passes are ~4x the local[32] wall
+            timeout=10800 if op_sel == "c1" else 2400,
         )
         for line in out.stdout.splitlines():
             if line.startswith("WORKER_RESULT "):
