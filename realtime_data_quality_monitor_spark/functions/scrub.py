@@ -48,12 +48,22 @@ def scrub_prefilter_terms() -> list:
     """Lowercase literal substrings for the fast JVM prefilter: text is a
     scrub candidate iff lower(text) contains one of these OR has a 3-digit
     run (see scrub_prefilter_regex for the superset argument; 'api_key'
-    variants enumerate the api[_-]?key alternation)."""
+    variants enumerate the api[_-]?key alternation).
+
+    Subsumption-pruned: a term containing another term as a substring is
+    dropped (e.g. 'bullshit' ⊃ 'shit') — any text containing the longer
+    term contains the shorter, so the candidate set is IDENTICAL with
+    fewer JVM substring scans per row (each term is one full indexOf
+    pass on the hot path in operators/rules.py)."""
     assert all(w.isalnum() for w in TOXICITY_LEXICON)
-    return [
+    terms = [
         "@", "sk-", "akia", "ghp_", "apikey", "api_key", "api-key",
         "secret", "token",
     ] + [w.lower() for w in TOXICITY_LEXICON]
+    return [
+        t for t in terms
+        if not any(o != t and o in t for o in terms)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,163 @@
+"""Fine-grained ablation of the JVM rule-expression floor (VERDICT r4
+#4): const-UDF pipeline variants that each remove ONE expression family,
+so the ~13.7 s non-Python wall decomposes into its parts. Run at bench
+scale on a quiet host; best-of-2 per variant, epoch probes bracketed.
+
+Usage: python scripts/rules_floor_bench.py [sf_name]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bench import ensure_transcripts, host_epoch_sec  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+_FEATURES_TYPE = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("nll", DoubleType()),
+        StructField("rep", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_FEATURES_TYPE)
+def const_features_udf(texts: pd.Series) -> pd.DataFrame:
+    n = len(texts)
+    return pd.DataFrame(
+        {"lang": ["en"] * n, "nll": [1.0] * n, "rep": [0.0] * n}
+    )
+
+
+@pandas_udf(StringType())
+def const_scrub_udf(texts: pd.Series) -> pd.Series:
+    return texts
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(make_frame, n=2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _noop(make_frame())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main():
+    sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+    spark = get_spark(app_name="rules-floor-bench")
+    tpath = ensure_transcripts(spark, sf_name)
+    read = lambda: spark.read.parquet(tpath)  # noqa: E731
+    n = read().count()
+    print(f"rows: {n}", file=sys.stderr)
+
+    import realtime_data_quality_monitor_spark.operators.rules as rules
+
+    # every variant below runs with BOTH UDFs stubbed: this bench
+    # decomposes the JVM floor only
+    rules.text_features_udf = const_features_udf
+    rules.scrub_udf = const_scrub_udf
+
+    probe0 = host_epoch_sec()
+    _noop(rules.with_quality(read()))  # full-size warmup
+
+    nparts = 2 * spark.sparkContext.defaultParallelism
+
+    def repart():
+        return read().repartition(nparts, "conv_id")
+
+    order = [
+        F.col("turn_idx").asc_nulls_last(),
+        F.col("ts").asc_nulls_last(),
+        F.col("role").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
+    ]
+    w_conv = Window.partitionBy("conv_id").orderBy(*order)
+    norm_text = F.lower(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    )
+    w_text = Window.partitionBy("conv_id", norm_text).orderBy(*order)
+    w_text_raw = Window.partitionBy("conv_id", "text").orderBy(*order)
+    h = F.xxhash64(norm_text)
+    w_text_hash = Window.partitionBy("conv_id", h).orderBy(*order)
+
+    out = {}
+    out["scan"] = timed(read)
+    out["scan_repart"] = timed(repart)
+    out["w_conv_only"] = timed(
+        lambda: repart().withColumns(
+            {
+                "_p": F.lag("turn_idx").over(w_conv),
+                "_f": F.row_number().over(w_conv) == 1,
+            }
+        )
+    )
+    out["w_text_only"] = timed(
+        lambda: repart().withColumn("_d", F.row_number().over(w_text) > 1)
+    )
+    out["w_text_raw_key"] = timed(
+        lambda: repart().withColumn(
+            "_d", F.row_number().over(w_text_raw) > 1
+        )
+    )
+    out["w_text_hash_key"] = timed(
+        lambda: repart().withColumn(
+            "_d", F.row_number().over(w_text_hash) > 1
+        )
+    )
+    out["norm_text_expr"] = timed(
+        lambda: read().select(F.length(norm_text).alias("x"))
+    )
+    # scrub prefilter expression alone (lower + ~20 contains + rlike)
+    from realtime_data_quality_monitor_spark.functions.scrub import (
+        scrub_prefilter_terms,
+    )
+
+    def prefilter_frame():
+        df = read()
+        lt = F.lower(F.col("text"))
+        cand = F.col("text").rlike(r"\d{3}")
+        for term in scrub_prefilter_terms():
+            cand = cand | lt.contains(term)
+        return df.select(cand.alias("c"))
+
+    out["scrub_prefilter_expr"] = timed(prefilter_frame)
+    out["full_const_udfs"] = timed(lambda: rules.with_quality(read()))
+    probe1 = host_epoch_sec()
+    out["full_const_udfs_end"] = timed(lambda: rules.with_quality(read()))
+
+    result = {
+        "metric": "rules_floor_ablation",
+        "rows": n,
+        "variants": out,
+        "probe_start": probe0,
+        "probe_end": probe1,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
