@@ -7838,6 +7838,149 @@ SQL_C1 = f"""
 """
 
 
+def q_c2_transcript_pipeline_events(spark, sf_dir):
+    """TRANSCRIPT-front-loaded composed pipeline (VERDICT r4 #5): c1
+    certifies the curation tail starting at `documents`; this entry
+    certifies the north-star FRONT — per-turn rule verdicts through
+    conversation gating through document assembly through sequence
+    packing — as ONE lineage, so the driver checks
+    transcript-to-training-sequences end-to-end:
+
+      events
+        -> per-event rule verdicts (the P1/P2/P3/P7 integer rule
+           engine: completeness/freshness/accuracy, keep = clean)
+        -> turns shape (conv = user, role from event_type, pinned
+           (ts, event_id) order — the w4/w5 prologue)
+        -> conv_gate (transcript_qc.conv_gate, p18 machinery): a
+           conversation survives iff <=40% of its turns dropped.
+           Fixture calibration: EVERY fixture conversation contains a
+           zero-freshness event and the median per-conv drop fraction
+           is 0.33, so p18's defaults (30% + critical gate) keep zero
+           conversations — the gate here runs with max_drop_ppm=400000
+           and no critical column so the assembled corpus is
+           non-trivial (131 of 150 conversations at sf0.01); the
+           strict default gate stays driver-certified via p18.
+        -> document assembly: the KEPT turns of KEPT conversations,
+           '\\n'-joined as 'role: text' in pinned order — one
+           conversation-keyed agg (the tail_bench build_docs shape)
+        -> pack_sequences (export.py, e7): deterministic shard layout
+           + running token offsets at 256 tokens x 4 shards.
+
+    Scale shape: ONE conv-keyed exchange serves the gate agg, the
+    keep-join, and the assembly agg (co-partitioned); packing adds its
+    own shard-keyed exchange with shard-local cumulative windows (no
+    global sort). Every stage bounded; the composition adds no new
+    shuffle class. Output: one row per assembled training document
+    with its turn count, content hash, and packed coordinates."""
+    q = _event_quality(_t(spark, sf_dir, "events"))
+    t = q.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col("user_id").alias("conv_id"),
+        _us("ts").alias("t"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), "user"
+        )
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("text"),
+        "keep",
+    )
+    g = transcript_qc.conv_gate(
+        t, keep_col="keep", conv_col="conv_id", max_drop_ppm=400_000
+    )
+    kept = t.join(
+        g.where(F.col("conv_keep")).select("conv_id"), "conv_id"
+    ).where(F.col("keep"))
+    docs = kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns_doc"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "event_id", "role", "text"))
+                ),
+                lambda s: F.concat(s["role"], F.lit(": "), s["text"]),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    packed = export.pack_sequences(
+        docs.select(F.col("conv_id").alias("doc_id"), "text"),
+        seed="c2pack",
+        budget_tokens=256,
+        n_shards=4,
+        shuffle=False,
+    )
+    meta = docs.select(
+        F.col("conv_id").alias("doc_id"),
+        "n_turns_doc",
+        F.length("text").cast("long").alias("doc_len"),
+        F.md5("text").alias("doc_md5"),
+    )
+    return meta.join(
+        packed.select(
+            "doc_id", "shard", "n_tokens", "tok_start", "seq_id",
+            "tok_offset",
+        ),
+        "doc_id",
+    )
+
+
+SQL_C2 = f"""
+    WITH q AS MATERIALIZED ({_EVENT_OVERALL_SQL}),
+    t AS MATERIALIZED (
+      SELECT user_id AS conv_id, epoch_us(ts) AS tu, event_id,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS text,
+             keep
+      FROM q
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    g AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM((NOT keep)::INT) AS BIGINT) AS n_dropped
+      FROM t GROUP BY 1),
+    gk AS (
+      SELECT conv_id FROM g
+      WHERE (n_dropped * 1000000) // n_turns <= 400000),
+    kept AS (
+      SELECT t.* FROM t JOIN gk USING (conv_id) WHERE keep),
+    docs AS MATERIALIZED (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns_doc,
+             string_agg(role || ': ' || text, chr(10)
+                        ORDER BY tu, event_id) AS text
+      FROM kept GROUP BY conv_id),
+    h AS (
+      SELECT conv_id AS doc_id, n_turns_doc,
+             CAST(length(text) AS BIGINT) AS doc_len,
+             md5(text) AS doc_md5,
+             CAST('0x' || substr(md5(CAST(conv_id AS VARCHAR)
+                  || '|c2pack|'), 1, 8) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM docs),
+    s AS (
+      SELECT doc_id, n_turns_doc, doc_len, doc_md5,
+             CAST(hh % 4 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY hh % 4 ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+      FROM h)
+    SELECT doc_id, n_turns_doc, doc_len, doc_md5, shard, n_tokens,
+           tok_start,
+           CAST((tok_start - tok_start % 256) / 256 AS BIGINT) AS seq_id,
+           CAST(tok_start % 256 AS BIGINT) AS tok_offset
+    FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9438,6 +9581,13 @@ ENTRY_QUERIES = {
         q_hn1_hard_negatives_embeddings,
         SQL_HN1,
     ),
+    # transcript-front-loaded composed pipeline (VERDICT r4 #5):
+    # rules -> conv_gate -> document assembly -> sequence packing as
+    # ONE lineage over the events transcript shape
+    "c2_transcript_pipeline_events": (
+        q_c2_transcript_pipeline_events,
+        SQL_C2,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -9596,9 +9746,14 @@ assert all(k in ENTRY_QUERIES for k in _ROUND4_WINDOW_PLAN)
 # no oracle form, determinism-pinned).
 # ---------------------------------------------------------------------------
 _ROUND5_WINDOW_PLAN = [
-    # new this round, never driver-verified
+    # new this round, never driver-verified. c2 (VERDICT r4 #5, the
+    # transcript-front-loaded composed pipeline) takes the slot the
+    # plan had reserved for the t4 fingerprint sentinel: round 5 is the
+    # last driver window, and the text family already holds six window
+    # slots (t1/t3/t6/t7/t8/t9) while a brand-new flagship entry would
+    # otherwise never get a driver verdict.
     "c1_curation_pipeline_documents", "b2_bitext_candidates_embeddings",
-    "hn1_hard_negatives_embeddings",
+    "hn1_hard_negatives_embeddings", "c2_transcript_pipeline_events",
     # round-1-only verdicts (oldest first-party coverage, all 36)
     "p8_severity_histogram_events", "a3_recent_dimension_summary",
     "j1_segment_order_stats", "a13_exact_group_median",
@@ -9618,9 +9773,10 @@ _ROUND5_WINDOW_PLAN = [
     "t8_sentences_documents", "t9_chunk_documents",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_forecast", "q10_returned_item_customers",
-    # round-2 family-spread sentinels (11 — TPC-H already carries six
-    # round-1 sentinels above, so q8 yielded its slot to hn1)
-    "t4_fingerprint_documents", "s1_ann_cosine_topk",
+    # round-2 family-spread sentinels (10 — TPC-H already carries six
+    # round-1 sentinels above, so q8 yielded its slot to hn1, and t4
+    # yielded its slot to c2, see above)
+    "s1_ann_cosine_topk",
     "d5_embedding_cosine_dups", "m1_image_decode_documents",
     "m7_ks_drift_events", "p1_completeness_events",
     "a1_window_stats_daily", "d0_dedup_first_wins_events",

@@ -496,6 +496,25 @@ def test_c1_composition_plan_bounded(spark):
     assert df.count() <= 40
 
 
+def test_c2_transcript_composition_plan_bounded(spark):
+    """The transcript-front-loaded composed pipeline (rules ->
+    conv_gate -> document assembly -> packing): hash exchanges only —
+    no Cartesian node, no range partitioning. The gate agg, keep-join
+    and assembly agg all key on conv_id; packing adds its shard-keyed
+    exchange + shard-local window."""
+    from realtime_data_quality_monitor_spark.queries.entry_queries import (
+        q_c2_transcript_pipeline_events,
+    )
+
+    df = q_c2_transcript_pipeline_events(spark, SF)
+    p = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "Exchange rangepartitioning" not in p
+    # assembled docs = gated conversations (13 at sf0.001)
+    assert df.count() == 13
+
+
 def test_timing_stats_single_exchange(spark):
     """w12 timing QC: ONE conversation-keyed hash exchange (the w6
     family contract) — gaps, median and pause counts are row-local
