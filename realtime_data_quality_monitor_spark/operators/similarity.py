@@ -1368,6 +1368,7 @@ def bitext_mine(
     vec_col: str = "embedding",
     quant_scale: int = 10_000_000,
     candidates: DataFrame | None = None,
+    margin_mode: str = "shifted",
 ) -> DataFrame:
     """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -1396,6 +1397,20 @@ def bitext_mine(
     (the shift compresses relative differences near cos ~ 1). The
     trade was made so the margin is a single integer fraction the
     DuckDB oracle reproduces cell-exactly.
+
+    ``margin_mode="ratio"`` (VERDICT r4 #6) replaces the shifted
+    integer margin with the paper's UNSHIFTED ratio margin,
+
+      margin = cos(x, y) / ((meanNN_k(x) + meanNN_k(y)) / 2),
+
+    computed as a DOUBLE from the same quantized integers (cos =
+    sq/1e9 - 1; the k-NN neighborhoods are identical in both modes
+    because sq is monotone in cos) with ``F.try_divide`` guarding a
+    zero mean — CCMatrix replication fidelity at the cost of float
+    ordering, so this mode is deliberately NOT oracle-backed; the
+    exact shifted mode stays the catalog default (b1/b2). The two
+    modes agree on high-margin pairs (pinned in
+    tests/test_dedup_similarity.py).
 
     Scale shape: this scores the CANDIDATE table. With
     ``candidates=None`` (fixture scale) that is the exact full cross
@@ -1446,23 +1461,46 @@ def bitext_mine(
             F.count(F.lit(1)).cast("long").alias("__nt"),
         )
     )
-    # both sides in DECIMAL(38,0): with large k the LONG products
-    # overflow around k ~ 3e4 (ssrc ~ k*2e9 times nt ~ k) — ANSI would
-    # raise rather than corrupt, but the decimal route just stays exact
-    dec38 = "decimal(38,0)"
-    den = F.greatest(
-        F.col("__ssrc").cast(dec38) * F.col("__nt").cast(dec38)
-        + F.col("__stgt").cast(dec38) * F.col("__ns").cast(dec38),
-        F.lit(1).cast(dec38),
-    )
-    margin = idiv_big(
-        F.col("sq").cast(dec38)
-        * F.lit(2).cast(dec38)
-        * F.col("__ns").cast(dec38)
-        * F.col("__nt").cast(dec38)
-        * F.lit(int(margin_scale)).cast(dec38),
-        den,
-    )
+    if margin_mode == "ratio":
+        # paper-faithful unshifted ratio (float): cos / mean-of-means.
+        # Deterministic given the integer inputs (fixed IEEE expression
+        # tree), but float-ordered — see docstring.
+        shift = F.lit(1e9)
+        cosd = F.col("sq").cast("double") / shift - F.lit(1.0)
+        mean_s = (
+            F.col("__ssrc").cast("double")
+            / (F.col("__ns").cast("double") * shift)
+            - F.lit(1.0)
+        )
+        mean_t = (
+            F.col("__stgt").cast("double")
+            / (F.col("__nt").cast("double") * shift)
+            - F.lit(1.0)
+        )
+        margin = F.try_divide(
+            cosd, (mean_s + mean_t) / F.lit(2.0)
+        )
+    elif margin_mode == "shifted":
+        # both sides in DECIMAL(38,0): with large k the LONG products
+        # overflow around k ~ 3e4 (ssrc ~ k*2e9 times nt ~ k) — ANSI
+        # would raise rather than corrupt, but the decimal route just
+        # stays exact
+        dec38 = "decimal(38,0)"
+        den = F.greatest(
+            F.col("__ssrc").cast(dec38) * F.col("__nt").cast(dec38)
+            + F.col("__stgt").cast(dec38) * F.col("__ns").cast(dec38),
+            F.lit(1).cast(dec38),
+        )
+        margin = idiv_big(
+            F.col("sq").cast(dec38)
+            * F.lit(2).cast(dec38)
+            * F.col("__ns").cast(dec38)
+            * F.col("__nt").cast(dec38)
+            * F.lit(int(margin_scale)).cast(dec38),
+            den,
+        )
+    else:
+        raise ValueError(f"unknown margin_mode: {margin_mode!r}")
     scored = (
         pairs.join(ssrc, "src_id")
         .join(stgt, "tgt_id")

@@ -1,0 +1,169 @@
+"""Hard-negative mining at transcript-corpus scale (VERDICT r4 #3):
+runs operators/similarity.hard_negatives over the 561k-document
+conversation corpus (tail_bench derivation from the sf0.1 transcript
+table, closed-form 64-dim embeddings), comparing the exhaustive
+broadcast path against the IVF ANN-candidates path — the receipt the
+100 TB judgment needs: negative QUALITY (recall@k of the candidates
+path vs the exhaustive top-k negatives, per training pair) at each
+candidate volume, plus wall-clock for both.
+
+Methodology per CLAUDE.md: full-size warmup per fresh plan shape,
+best-of-2 timed passes materialized via the noop sink, host-epoch
+probe recorded. Prints one JSON line; recorded in BASELINE.md.
+
+Usage: python scripts/hn_recall.py  [env: SPARK_GRAFT_TAIL_SF=sf0.1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import host_epoch_sec  # noqa: E402
+from tail_bench import build_docs, build_embeddings  # noqa: E402
+
+from realtime_data_quality_monitor_spark.operators import similarity  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+SF_NAME = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
+K_NEG = 10
+ANN_K = 32
+N_CENT = 64
+QUERY_MOD = 2048  # ~|corpus| / 2048 queries
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed_best2(thunk) -> float:
+    thunk()  # warmup (lazy-faulted RAM / C2 JIT)
+    best = 1e18
+    for _ in range(2):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="hn-recall")
+    docs = build_docs(spark, SF_NAME)
+    emb = build_embeddings(docs).localCheckpoint(eager=True)
+    n_corpus = emb.count()
+
+    # deterministic training pairs: every QUERY_MOD-th doc is a query;
+    # its declared positive is the NEXT query in vec_id order (wrapping)
+    # — identity only matters for the exclusion contract
+    qids = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 17)
+        .select("vec_id")
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+    )
+    n_q = qids.count()
+    pairs = (
+        qids.alias("a")
+        .join(
+            qids.alias("b"),
+            F.col("b.rn") == (F.col("a.rn") % n_q) + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("positive_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    probe0 = host_epoch_sec()
+
+    # exhaustive ground truth (broadcast queries x full corpus)
+    exact_sec = timed_best2(
+        lambda: _noop(similarity.hard_negatives(emb, pairs, k=K_NEG))
+    )
+    exact = (
+        similarity.hard_negatives(emb, pairs, k=K_NEG)
+        .select("query_id", "positive_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+
+    # IVF candidates: deterministic seed centroids (first N_CENT docs
+    # by vec_id — the bitext_recall construction; kmeans_fit would
+    # tighten recall further at extra training cost)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(N_CENT)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.join(
+        pairs.select("query_id").distinct(),
+        emb.vec_id == F.col("query_id"),
+        "semi",
+    )
+
+    paths = {}
+    for n_probe in (4, 8, 16):
+        cand = (
+            similarity.ivf_topk(
+                emb, queries, cents, k=ANN_K, n_probe=n_probe
+            )
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        n_cand = cand.count()
+        sec = timed_best2(
+            lambda c=cand: _noop(
+                similarity.hard_negatives(emb, pairs, k=K_NEG, candidates=c)
+            )
+        )
+        got = similarity.hard_negatives(
+            emb, pairs, k=K_NEG, candidates=cand
+        ).select("query_id", "positive_id", "neighbor_id")
+        inter = got.join(
+            exact, ["query_id", "positive_id", "neighbor_id"], "semi"
+        ).count()
+        paths[f"ivf_probe={n_probe}"] = {
+            "n_candidates": n_cand,
+            "cand_fraction": round(n_cand / (n_q * n_corpus), 5),
+            "recall_at_k": round(inter / n_exact, 4),
+            "sec": sec,
+            "speedup_vs_exact": round(exact_sec / sec, 1) if sec else None,
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "hard_negative_mining_scale",
+                "sf": SF_NAME,
+                "n_corpus": n_corpus,
+                "n_pairs": n_q,
+                "k_neg": K_NEG,
+                "ann_k": ANN_K,
+                "n_centroids": N_CENT,
+                "exact_sec": exact_sec,
+                "n_exact_negatives": n_exact,
+                "paths": paths,
+                "probe_start": probe0,
+                "probe_end": host_epoch_sec(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -985,6 +985,36 @@ def test_bitext_mine_full_candidate_set_equals_cross_join(spark):
     assert via_cand == exact
 
 
+def test_bitext_margin_modes_agree_on_high_margin_pairs(spark):
+    """VERDICT r4 #6: margin_mode='ratio' (paper-faithful unshifted
+    float) and the exact shifted default select the SAME best target
+    for every true-pair source in the near-duplicate fixture (each
+    source has a planted high-margin translation), and the mutual set
+    contains all planted pairs in both modes. The ratio mode's margin
+    column is float (try_divide) — agreement on high-margin pairs is
+    the contract, not value equality."""
+    sdf, tdf = _bitext_fixture(spark, n_src=6, n_noise=3)
+    shifted = {
+        r["src_id"]: (r["tgt_id"], r["mutual"])
+        for r in similarity.bitext_mine(sdf, tdf, k=4).collect()
+    }
+    ratio = {
+        r["src_id"]: (r["tgt_id"], r["mutual"])
+        for r in similarity.bitext_mine(
+            sdf, tdf, k=4, margin_mode="ratio"
+        ).collect()
+    }
+    # planted translations (src i <-> tgt 100+i) are high-margin: both
+    # modes must pick them and flag them mutual
+    for i in range(6):
+        assert shifted[i] == (100 + i, True)
+        assert ratio[i] == (100 + i, True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.bitext_mine(sdf, tdf, k=4, margin_mode="nope")
+
+
 def test_bitext_mine_ann_candidates_recall(spark):
     """CCMatrix-at-scale shape: candidates from OR-amplified LSH run in
     BOTH directions, margin/mutual-best algebra on candidate rows only.
