@@ -203,50 +203,114 @@ def dup_ngram_char_frac_u(toks: Column, n: int) -> Column:
 # while everything stays inside one WholeStageCodegen span (asserted in
 # tests/test_quality_filters.py::test_shared_work_evaluated_once).
 _TOKS = "__qf_toks"
+_GSTATS = "__qf_stats"
+_STAT_FIELDS = (
+    "n_words", "mean_word_len_u", "ttr_u", "stop_hits",
+    "top2_frac_u", "top3_frac_u", "dup3_frac_u",
+)
 
 
-def _attach_word_stats(staged: DataFrame, toks: Column) -> DataFrame:
-    return staged.withColumns(
-        {
-            "n_words": F.size(toks).cast("long"),
-            "mean_word_len_u": mean_word_len_u(toks),
-            "ttr_u": type_token_ratio_u(toks),
-            "stop_hits": stopword_hits(toks).cast("long"),
-        }
+def _gopher_stats_struct(
+    text: Column, thresholds: dict | None = None
+) -> Column:
+    """Every Gopher stat field as ONE struct column, with each heavy
+    intermediate (the token array, the per-n run-stats structs, the
+    char total) bound as a HOF LAMBDA VARIABLE rather than a staged
+    column alias.
+
+    Lambda binding is the load-bearing choice (round-5 incident): the
+    previous column-alias staging (`withColumn(_TOKS, split(...))`)
+    relied on CollapseProject refusing to inline a non-cheap alias —
+    but PushDownPredicates has no such guard, so the common consumer
+    shape ``gopher_keep_flag(df).where(F.col("keep") == 1)`` pushed the
+    keep-condition through the staging Projects and re-inlined the
+    FULL tokenizer into every n-gram lambda position: O(tokens²)
+    interpreted evaluation, measured 2+ CPU-minutes for ONE 17k-token
+    document (jstack: ArrayFilter.eval → ConcatWs → UTF8String.split
+    per position) vs ~1 s linear. An optimizer rewrite can substitute
+    a lambda-bound expression as a whole but can never inline THROUGH
+    the lambda variable, so evaluation stays single-pass under any
+    plan shape. ``thresholds`` additionally folds drop_reason/keep
+    into the struct so a pushed-down keep-predicate carries one linear
+    struct evaluation, not six.
+    """
+    zero = F.lit(0).cast("long")
+
+    def final_fields(pre: Column) -> Column:
+        n = pre["n_words"]
+        wcc = pre["wcc"]
+        mean_u = F.when(n > 0, _idiv(wcc * MILLION, n)).otherwise(zero)
+        fields = [
+            n.alias("n_words"),
+            mean_u.alias("mean_word_len_u"),
+            pre["ttr_u"].alias("ttr_u"),
+            pre["stop_hits"].alias("stop_hits"),
+            _top_frac_from(pre["g2"], wcc, 2).alias("top2_frac_u"),
+            _top_frac_from(pre["g3"], wcc, 3).alias("top3_frac_u"),
+            _dup_frac_from(pre["g3"], wcc).alias("dup3_frac_u"),
+        ]
+        if thresholds is not None:
+            t = thresholds
+            top2 = _top_frac_from(pre["g2"], wcc, 2)
+            dup3 = _dup_frac_from(pre["g3"], wcc)
+            reason = (
+                F.when(n < t["min_words"], F.lit("too_few_words"))
+                .when(n > t["max_words"], F.lit("too_many_words"))
+                .when(
+                    (mean_u < t["min_mean_word_len_u"])
+                    | (mean_u > t["max_mean_word_len_u"]),
+                    F.lit("word_length"),
+                )
+                .when(
+                    pre["stop_hits"] < t["min_stop_hits"],
+                    F.lit("no_stop_words"),
+                )
+                .when(
+                    top2 > t["max_top2_frac_u"], F.lit("top2_repetition")
+                )
+                .when(
+                    dup3 > t["max_dup3_frac_u"], F.lit("dup3_repetition")
+                )
+                .otherwise(F.lit("kept"))
+            )
+            fields.append(reason.alias("drop_reason"))
+            fields.append((reason == "kept").cast("int").alias("keep"))
+        return F.struct(*fields)
+
+    def inner(toks: Column) -> Column:
+        pre = F.struct(
+            F.size(toks).cast("long").alias("n_words"),
+            word_char_count(toks).alias("wcc"),
+            type_token_ratio_u(toks).alias("ttr_u"),
+            stopword_hits(toks).cast("long").alias("stop_hits"),
+            _gram_run_stats(word_ngrams(toks, 2), 2).alias("g2"),
+            _gram_run_stats(word_ngrams(toks, 3), 3).alias("g3"),
+        )
+        return F.element_at(F.transform(F.array(pre), final_fields), 1)
+
+    return F.element_at(F.transform(F.array(tokens_col(text)), inner), 1)
+
+
+def _with_stat_cols(
+    df: DataFrame, text_col: str, fields: tuple, thresholds: dict | None = None
+) -> DataFrame:
+    staged = df.withColumn(
+        _GSTATS, _gopher_stats_struct(F.col(text_col), thresholds)
     )
-
-
-def _attach_repetition_stats(staged: DataFrame, toks: Column) -> DataFrame:
-    staged = staged.withColumns(
-        {
-            "__qf_wcc": word_char_count(toks),
-            "__qf_g2": _gram_run_stats(word_ngrams(toks, 2), 2),
-            "__qf_g3": _gram_run_stats(word_ngrams(toks, 3), 3),
-        }
-    )
-    wcc, g2, g3 = F.col("__qf_wcc"), F.col("__qf_g2"), F.col("__qf_g3")
-    staged = staged.withColumns(
-        {
-            "top2_frac_u": _top_frac_from(g2, wcc, 2),
-            "top3_frac_u": _top_frac_from(g3, wcc, 3),
-            "dup3_frac_u": _dup_frac_from(g3, wcc),
-        }
-    )
-    return staged.drop("__qf_wcc", "__qf_g2", "__qf_g3")
+    s = F.col(_GSTATS)
+    return staged.withColumns({f: s[f] for f in fields}).drop(_GSTATS)
 
 
 def with_gopher_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the Gopher word-level stat columns (all BIGINT)."""
-    staged = df.withColumn(_TOKS, tokens_col(F.col(text_col)))
-    return _attach_word_stats(staged, F.col(_TOKS)).drop(_TOKS)
+    return _with_stat_cols(df, text_col, _STAT_FIELDS[:4])
 
 
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the Gopher repetition columns (scaled BIGINT fractions):
     top-2-gram and top-3-gram char fraction, duplicate-3-gram char
     fraction."""
-    staged = df.withColumn(_TOKS, tokens_col(F.col(text_col)))
-    return _attach_repetition_stats(staged, F.col(_TOKS)).drop(_TOKS)
+    return _with_stat_cols(df, text_col, _STAT_FIELDS[4:])
 
 
 # ---------------------------------------------------------------------------
@@ -358,30 +422,21 @@ def gopher_keep_flag(
 ) -> DataFrame:
     """Compose the word-stat and repetition columns into the Gopher
     keep/drop decision plus a first-failed-rule drop reason (priority
-    order = the order the paper lists the rules)."""
-    staged = df.withColumn(_TOKS, tokens_col(F.col("text")))
-    toks = F.col(_TOKS)
-    out = _attach_repetition_stats(
-        _attach_word_stats(staged, toks), toks
-    ).drop(_TOKS)
-    reason = (
-        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
-        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
-        .when(
-            (F.col("mean_word_len_u") < min_mean_word_len_u)
-            | (F.col("mean_word_len_u") > max_mean_word_len_u),
-            F.lit("word_length"),
-        )
-        .when(F.col("stop_hits") < min_stop_hits, F.lit("no_stop_words"))
-        .when(F.col("top2_frac_u") > max_top2_frac_u, F.lit("top2_repetition"))
-        .when(F.col("dup3_frac_u") > max_dup3_frac_u, F.lit("dup3_repetition"))
-        .otherwise(F.lit("kept"))
-    )
-    return out.withColumns(
-        {
-            "drop_reason": reason,
-            "keep": (reason == "kept").cast("int"),
-        }
+    order = the order the paper lists the rules). drop_reason/keep are
+    computed INSIDE the lambda-bound stats struct so a downstream
+    ``.where(keep == 1)`` pushdown carries one linear struct
+    evaluation (see _gopher_stats_struct)."""
+    thresholds = {
+        "min_words": min_words,
+        "max_words": max_words,
+        "min_mean_word_len_u": min_mean_word_len_u,
+        "max_mean_word_len_u": max_mean_word_len_u,
+        "min_stop_hits": min_stop_hits,
+        "max_top2_frac_u": max_top2_frac_u,
+        "max_dup3_frac_u": max_dup3_frac_u,
+    }
+    return _with_stat_cols(
+        df, "text", _STAT_FIELDS + ("drop_reason", "keep"), thresholds
     )
 
 
@@ -424,11 +479,7 @@ def gopher_filter_attribution(
     aggregate (map-side partial combine, 14 longs per partition), and
     the per-rule unpivot (``stack``) runs over that single row. Zero
     joins, zero corpus-keyed exchange."""
-    staged = df.withColumn(_TOKS, tokens_col(F.col("text")))
-    toks = F.col(_TOKS)
-    stats = _attach_repetition_stats(
-        _attach_word_stats(staged, toks), toks
-    ).drop(_TOKS)
+    stats = _with_stat_cols(df, "text", _STAT_FIELDS)
     flags = {
         "too_few_words": F.col("n_words") < min_words,
         "too_many_words": F.col("n_words") > max_words,

@@ -1,0 +1,164 @@
+"""THE north-star pipeline end-to-end, measured: raw multi-turn
+transcripts in, packed training sequences out, as one composed run —
+
+  4.9M-turn transcript table (the bench corpus, defects included)
+    -> with_quality            (per-turn rules + langid/ppl UDFs + scrub)
+    -> conv_gate               (conversation-level keep/drop roll-up)
+    -> document assembly       (kept turns of kept conversations,
+                                scrubbed text, pinned (turn_idx, ts,
+                                role, text) order, 'role: text' lines)
+    -> WRITE the assembled document table to parquet  <- stage boundary
+    -> closed-form lang/source meta + embeddings (fixture closure)
+    -> the c1 curation tail    (Gopher -> duplicate-line removal ->
+                                SemDeDup k=16 -> DSIR top-50k ->
+                                UniMax 20k -> 2048x64 packing)
+
+c1 certifies the tail cell-exactly and c2 the front (driver gate);
+this script is the THROUGHPUT receipt for their composition at bench
+scale — per-phase walls, the full funnel, end-to-end turns/sec.
+
+The parquet boundary between front and tail is deliberate and doubles
+as production shape (the cleaned-document table IS a real table in the
+north star — Iceberg there, parquet here). On this sandbox it is also
+REQUIRED for honest numbers: holding the 4.9M-row rules output as a
+localCheckpoint while the tail runs poisons every later stage through
+the lazy-faulted-RAM + free-page-reporting mechanism (CLAUDE.md) —
+measured 50x on the Gopher stage (254.9 s with the rules+embeddings
+checkpoints resident vs 5.1 s with a parquet boundary, identical
+36.5k-doc input). A real cluster with resident RAM has no such cliff,
+but it would ALSO write this boundary.
+
+Methodology per CLAUDE.md: full-size warmup pass, then best-of-2,
+noop/parquet-materialized, host-epoch probes bracketed. Prints one
+JSON line; recorded in BASELINE.md.
+
+Usage: python scripts/e2e_bench.py  [env: SPARK_GRAFT_TAIL_SF=sf0.1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import ensure_transcripts, host_epoch_sec  # noqa: E402
+from curation_scale_bench import run_chain, with_meta  # noqa: E402
+from tail_bench import build_embeddings  # noqa: E402
+
+from realtime_data_quality_monitor_spark.operators import transcript_qc  # noqa: E402
+from realtime_data_quality_monitor_spark.operators.rules import with_quality  # noqa: E402
+from realtime_data_quality_monitor_spark.session import get_spark  # noqa: E402
+
+SF_NAME = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
+MAX_DROP_PPM = 400_000
+DOCS_PATH = f"/tmp/rdqm_e2e_docs_{SF_NAME}"
+
+
+def run_e2e(spark, traw) -> dict:
+    """One full transcripts-to-sequences pass; returns funnel + walls."""
+    out = {}
+
+    # ---- front: rules -> gate -> assembly -> parquet document table ----
+    t0 = time.perf_counter()
+    q = with_quality(traw)
+    g = transcript_qc.conv_gate(
+        q, keep_col="keep", conv_col="conv_id", max_drop_ppm=MAX_DROP_PPM
+    )
+    kept = q.where(F.col("keep")).join(
+        g.where(F.col("conv_keep")).select("conv_id"), "conv_id"
+    )
+    docs_raw = (
+        kept.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns_doc"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("turn_idx", "ts", "role", "scrubbed_text")
+                        )
+                    ),
+                    lambda s: F.concat(
+                        s["role"], F.lit(": "),
+                        F.coalesce(s["scrubbed_text"], F.lit("")),
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .select(
+            F.conv(F.substring("conv_id", 6, 8), 16, 10)
+            .cast("long")
+            .alias("doc_id"),
+            "n_turns_doc",
+            "text",
+        )
+    )
+    docs_raw.write.mode("overwrite").parquet(DOCS_PATH)
+    out["wall_front"] = round(time.perf_counter() - t0, 2)
+
+    # ---- tail: read the document table, meta+embed closure, curation ----
+    t0 = time.perf_counter()
+    staged = spark.read.parquet(DOCS_PATH)
+    docs = with_meta(staged.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    emb = build_embeddings(docs).localCheckpoint(eager=True)
+    out["wall_meta_embed"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    counts = run_chain(spark, docs, emb)
+    out["wall_curation_tail"] = round(time.perf_counter() - t0, 2)
+
+    out["funnel"] = {
+        "turns_in": traw.count(),
+        "turns_kept_in_docs": staged.agg(
+            F.sum("n_turns_doc").cast("long")
+        ).collect()[0][0],
+        "docs_assembled": docs.count(),
+        **counts,
+    }
+    out["wall_total"] = round(
+        out["wall_front"] + out["wall_meta_embed"]
+        + out["wall_curation_tail"], 2
+    )
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="e2e-bench")
+    tpath = ensure_transcripts(spark, SF_NAME)
+    traw = spark.read.parquet(tpath)
+    n_turns = traw.count()
+
+    probe0 = host_epoch_sec()
+    run_e2e(spark, traw)  # full-size warmup (lazy-faulted RAM, C2 JIT)
+    passes = [run_e2e(spark, traw) for _ in range(2)]
+    best = min(passes, key=lambda r: r["wall_total"])
+    print(
+        json.dumps(
+            {
+                "metric": "transcripts_to_sequences_e2e",
+                "sf": SF_NAME,
+                "n_turns": n_turns,
+                "best": best,
+                "walls_total": [p["wall_total"] for p in passes],
+                "turns_per_sec": round(n_turns / best["wall_total"], 1),
+                "probe_start": probe0,
+                "probe_end": host_epoch_sec(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

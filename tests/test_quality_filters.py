@@ -128,6 +128,41 @@ def test_shared_work_evaluated_once(spark):
     assert plan.count("array_sort(") == 2, plan
 
 
+def test_keep_filter_pushdown_stays_single_pass(spark):
+    """Round-5 incident regression: ``gopher_keep_flag(df).where(keep)``
+    lets PushDownPredicates substitute the keep-condition through the
+    stats projection — with column-alias staging that re-inlined the
+    tokenizer into every n-gram lambda position (O(tokens²) interpreted
+    eval, 2+ CPU-minutes per 17k-token doc). The lambda-bound struct
+    makes the substitution carry ONE tokenization per expression copy:
+    pin that the optimized plan of the filtered+projected shape still
+    tokenizes a bounded number of times, and that a 20k-token document
+    actually completes fast."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    shaped = (
+        qf.gopher_keep_flag(df)
+        .where(F.col("keep") == 1)
+        .select("doc_id", "text")
+    )
+    plan = shaped._jdf.queryExecution().optimizedPlan().toString()
+    # one tokenization in the pushed filter condition, at most one more
+    # in the surviving projection — never per-stat or per-position
+    assert plan.count("split(") <= 2, plan
+
+    import time
+
+    big = spark.createDataFrame(
+        [(1, " ".join(f"w{i % 997}" for i in range(20_000)))],
+        ["doc_id", "text"],
+    )
+    t0 = time.perf_counter()
+    n = qf.gopher_keep_flag(big).where(F.col("keep") == 0).count()
+    wall = time.perf_counter() - t0
+    assert n == 1  # dup3-heavy synthetic doc is dropped
+    # pre-fix this took 120+ s; linear eval is ~1-2 s — wide margin
+    assert wall < 60, wall
+
+
 def test_no_shuffle_in_plan(spark):
     """The whole stat stack is row-local: the physical plan of the
     per-doc stats must contain no Exchange."""
