@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import idiv as _idiv
-from .textstats import fingerprint, tokens_col
+from .textstats import bind_once, fingerprint, tokens_col
 
 MILLION_U = 1_000_000
 
@@ -198,25 +198,28 @@ def shingles_from_tokens(toks, ngram: int = 1) -> F.Column:
     space-joined n-token windows (w-shingling). Docs shorter than
     ``ngram`` tokens yield the empty set. Row-local, no shuffle.
 
-    ``toks`` MUST be a projected ATTRIBUTE (a column materialized by a
-    prior select), never an inline expression like tokens_col(text):
-    the expression would be duplicated into the size check, the
-    sequence bounds, AND every slice inside the transform lambda —
-    Catalyst cannot CSE across lambda functions (the
-    _simhash_from_hashes pitfall), so each of a doc's k shingles would
-    re-split the whole text: O(k * |text|) per row. Measured: a
-    2000-turn hot conversation (~24k tokens) made one task re-split a
-    ~170 KB string 24k times — a 20+ minute straggler where the
-    attribute form is sub-second."""
+    Single evaluation of ``toks`` is pinned with textstats.bind_once
+    (a HOF lambda binding): a projected attribute is NOT enough — the
+    round-5 gopher incident showed predicate pushdown re-inlines
+    aliases into lambda bodies, re-splitting the whole text per
+    shingle position: O(k * |text|) per row (measured: a 2000-turn hot
+    conversation, ~24k tokens, re-split a ~170 KB string 24k times — a
+    20+ minute straggler where the bound form is sub-second)."""
     if ngram == 1:
         return F.array_distinct(toks)
-    n_starts = F.size(toks) - F.lit(ngram - 1)
-    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, ngram), " "))
-    )
+
+    def body(t):
+        n_starts = F.size(t) - F.lit(ngram - 1)
+        starts = F.when(
+            n_starts >= 1, F.sequence(F.lit(1), n_starts)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                starts, lambda i: F.array_join(F.slice(t, i, ngram), " ")
+            )
+        )
+
+    return bind_once(toks, body)
 
 
 def minhash_signatures(
@@ -830,6 +833,15 @@ def dedup_against_corpus_bloom(
     return survivors.withColumn("is_duplicate", F.row_number().over(w) > 1)
 
 
+def _span_starts(t: F.Column, n: int) -> F.Column:
+    """1-based span-start positions of n-token windows over a bound
+    token array (empty — not descending sequence(1,0) — below n)."""
+    n_starts = F.size(t) - F.lit(n - 1)
+    return F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def _gap_rebuild(arr: F.Column, starts: F.Column, span_len: int) -> F.Column:
     """Linear row-local document rebuild shared by drop_duplicate_lines
     / drop_repeated_spans: given an element array and the SORTED 0-based
@@ -842,7 +854,20 @@ def _gap_rebuild(arr: F.Column, starts: F.Column, span_len: int) -> F.Column:
 
     Slice lengths clamp at 0: with duplicate ids the UNIONED starts of
     an id's rows can place the cursor past this row's end (see the
-    callers' duplicate-id notes)."""
+    callers' duplicate-id notes).
+
+    ``arr`` is referenced inside the aggregate's step lambda (one slice
+    per dropped span) — bind_once pins single evaluation so a rewrite
+    that inlines the caller's staged array (the round-5 pushdown
+    incident) cannot re-split the document per span."""
+    from .textstats import bind_once
+
+    return bind_once(arr, lambda a: _gap_rebuild_bound(a, starts, span_len))
+
+
+def _gap_rebuild_bound(
+    arr: F.Column, starts: F.Column, span_len: int
+) -> F.Column:
     n = F.lit(span_len)
     return F.aggregate(
         starts,
@@ -1105,13 +1130,16 @@ def drop_repeated_spans(
         spans = staged.select(
             id_col,
             F.explode(
-                F.transform(
-                    starts,
-                    lambda i: F.struct(
-                        (i - 1).alias("spos"),
-                        F.md5(
-                            F.array_join(F.slice("__toks", i, n), " ")
-                        ).alias("fp"),
+                bind_once(
+                    F.col("__toks"),
+                    lambda t: F.transform(
+                        _span_starts(t, n),
+                        lambda i: F.struct(
+                            (i - 1).alias("spos"),
+                            F.md5(
+                                F.array_join(F.slice(t, i, n), " ")
+                            ).alias("fp"),
+                        ),
                     ),
                 )
             ).alias("__s"),
@@ -1164,21 +1192,24 @@ def drop_repeated_spans(
     spans = staged.select(
         id_col,
         F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    (i - 1).alias("spos"),
-                    F.conv(
-                        F.substring(
-                            F.md5(F.array_join(F.slice("__toks", i, n), " ")),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("fp"),
+            bind_once(
+                F.col("__toks"),
+                lambda t: F.transform(
+                    _span_starts(t, n),
+                    lambda i: F.struct(
+                        (i - 1).alias("spos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.array_join(F.slice(t, i, n), " ")),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("fp"),
+                    ),
                 ),
             )
         ).alias("__s"),

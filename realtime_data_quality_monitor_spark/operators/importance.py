@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import idiv_big
-from .textstats import tokens_col
+from .textstats import bind_once, tokens_col
 
 DSIR_SCALE = 1_000_000
 DSIR_BUCKETS = 1_024
@@ -62,24 +62,29 @@ def bigram_buckets(toks: Column, num_buckets: int = DSIR_BUCKETS) -> Column:
     DSIR weights are sums over feature OCCURRENCES, not the distinct
     set). Docs shorter than 2 tokens yield the empty array. Row-local.
 
-    ``toks`` must be a projected attribute (the shingles_from_tokens
-    CSE rule: an inline tokens_col(text) would re-split the text once
-    per bigram inside the lambda)."""
-    n_starts = F.size(toks) - F.lit(1)
-    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        starts,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(toks, i, 2), " ")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(num_buckets),
-    )
+    Single evaluation of ``toks`` is pinned with textstats.bind_once
+    (the shingles_from_tokens rule, hardened: predicate pushdown can
+    re-inline even a projected attribute into the lambda, re-splitting
+    the text once per bigram)."""
+
+    def body(t):
+        n_starts = F.size(t) - F.lit(1)
+        starts = F.when(
+            n_starts >= 1, F.sequence(F.lit(1), n_starts)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(t, i, 2), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(num_buckets),
+        )
+
+    return bind_once(toks, body)
 
 
 def _bucket_counts(

@@ -92,15 +92,22 @@ def stopword_hits(toks: Column, stopwords: list[str] | None = None) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty array when the doc has
-    fewer than n tokens."""
-    npos = F.size(toks) - n + 1
-    return F.when(
-        npos >= 1,
-        F.transform(
-            F.sequence(F.lit(1), npos),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    fewer than n tokens. Single evaluation of ``toks`` pinned via
+    textstats.bind_once (predicate pushdown can re-inline any alias
+    into the per-position slice — the round-5 quadratic incident)."""
+    from .textstats import bind_once
+
+    def body(t: Column) -> Column:
+        npos = F.size(t) - n + 1
+        return F.when(
+            npos >= 1,
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(toks, body)
 
 
 def _gram_run_stats(grams: Column, n: int) -> Column:

@@ -440,6 +440,11 @@ def _kmeans_loop(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("xq")
     )
     seed_rows = vecs.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError(
+            "_kmeans_loop: input has no rows — cannot seed centroids "
+            "(an upstream filter/dedup stage emptied the corpus?)"
+        )
     centroids: dict[int, list[int]] = {
         i: list(r["xq"]) for i, r in enumerate(seed_rows)
     }

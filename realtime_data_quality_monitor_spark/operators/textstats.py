@@ -24,6 +24,25 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``body`` as a HOF
+    lambda variable — optimizer-rewrite-proof common-subexpression
+    staging.
+
+    Why column-alias staging is NOT enough (round-5 gopher incident):
+    CollapseProject refuses to inline a non-cheap alias referenced more
+    than once, but PushDownPredicates has no such guard — a filter on a
+    derived flag column substitutes the alias into the pushed
+    condition, and when the alias lands INSIDE a transform/filter
+    lambda body it re-evaluates per element (a token array re-splitting
+    the text per n-gram position: O(tokens²) interpreted eval, 2+
+    CPU-minutes per 17k-token doc). No Catalyst rewrite can inline
+    through a lambda variable, so this wrapper pins single evaluation
+    under ANY consumer plan shape, at the cost of one 1-element array
+    per row."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
@@ -277,24 +296,31 @@ def chunk_spans(text: Column, chunk_tokens: int, stride: int) -> Column:
     already covered (standard trailing-chunk rule: starts at 0, stride,
     2*stride, ... while start < n_tokens, minus starts that add nothing
     because the previous window already reached the end)."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    starts = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
-            lambda s: s,
-        ),
-        lambda s: (s == 0) | (s + F.lit(chunk_tokens) - F.lit(stride) < n),
-    )
-    return F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(toks, s + 1, F.lit(chunk_tokens))
-            ).alias("chunk_text"),
-        ),
-    )
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+                ),
+                lambda s: s,
+            ),
+            lambda s: (s == 0)
+            | (s + F.lit(chunk_tokens) - F.lit(stride) < n),
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(t, s + 1, F.lit(chunk_tokens))
+                ).alias("chunk_text"),
+            ),
+        )
+
+    # bind_once: per-window slices must reference a lambda variable (a
+    # rewrite-inlined tokenizer would re-split the text per window)
+    return bind_once(tokens_col(text), body)
 
 
 def normalize_unicode(
@@ -335,13 +361,20 @@ def ngram_occurrence_col(toks: Column, ngram: int) -> Column:
     Row-local."""
     if ngram < 1:
         raise ValueError("ngram_occurrence_col: ngram must be >= 1")
-    n_starts = F.size(toks) - F.lit(ngram - 1)
-    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, ngram), " ")
-    )
+
+    def body(t: Column) -> Column:
+        n_starts = F.size(t) - F.lit(ngram - 1)
+        starts = F.when(
+            n_starts >= 1, F.sequence(F.lit(1), n_starts)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(t, i, ngram), " ")
+        )
+
+    # bind_once: even a projected attribute can be re-inlined by
+    # predicate pushdown (see bind_once docstring) — the per-position
+    # slice must reference a lambda variable, never a rewriteable alias
+    return bind_once(toks, body)
 
 
 def source_ngram_diversity(

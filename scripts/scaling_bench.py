@@ -230,19 +230,55 @@ def main() -> None:
         # sf0.1 transcript table + closed-form meta columns), so the
         # run_chain parameters (k=16, top-50k, 20k budget) stay sized
         # to the data. Materialized once; both workers read it.
+        from pyspark.sql import functions as F
+
         from curation_scale_bench import with_meta
         from tail_bench import build_docs
 
         tail_sf = os.environ.get("SPARK_GRAFT_TAIL_SF", "sf0.1")
-        path = f"/tmp/rdqm_scaling_docs_{tail_sf}"
+        # Corpus replication: after the round-5 O(tokens²) fix the
+        # 480k-doc chain finishes in ~90 s at EITHER size — not enough
+        # work per core for scaling evidence (the documented ~1M-row
+        # lesson below). Replicate the corpus k× with shifted doc_ids;
+        # meta/embeddings are doc_id-keyed closed forms, so replicas
+        # get distinct lang/source/embeddings (no degenerate dedup).
+        rep = int(os.environ.get("SPARK_GRAFT_C1_REPLICATE", "4"))
+        path = f"/tmp/rdqm_scaling_docs_{tail_sf}_x{rep}"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             spark = get_spark(app_name="scaling-bench-gen")
-            with_meta(build_docs(spark, tail_sf)).write.mode(
-                "overwrite"
-            ).parquet(path)
+            base = build_docs(spark, tail_sf)
+            shift = 1 << 40  # far above any parsed conv-id
+            # every LINE of a replica gets a per-replica suffix token:
+            # untouched replicas are degenerate — corpus-wide duplicate-
+            # line removal sees every line >= rep times and drops the
+            # ENTIRE corpus (measured: empty survivor set crashed the
+            # SemDeDup k-means seeding)
+            parts = [
+                base.select(
+                    (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if i == 0
+                        else F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), "\n"),
+                                lambda l, _i=i: F.concat(
+                                    l, F.lit(f" r{_i}")
+                                ),
+                            ),
+                            "\n",
+                        ).alias("text")
+                    ),
+                )
+                for i in range(rep)
+            ]
+            uni = parts[0]
+            for p in parts[1:]:
+                uni = uni.unionByName(p)
+            with_meta(uni).write.mode("overwrite").parquet(path)
             open(os.path.join(path, "_SUCCESS"), "a").close()
             spark.stop()
-        _run_sizes(path, f"docs_{tail_sf}")
+        _run_sizes(path, f"docs_{tail_sf}_x{rep}")
         return
 
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "480000"))
