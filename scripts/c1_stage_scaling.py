@@ -1,0 +1,180 @@
+"""Per-STAGE N vs 4N decomposition of the composed curation chain
+(round-5 follow-up to BENCH_scaling_c1.json): after the O(tokens²)
+fix the whole-chain wall dropped ~4×, and at sandbox corpus sizes the
+chain is no longer compute-bound — this harness shows WHICH stages
+still scale with cores and which are fixed driver-side latencies
+(k-means collect rounds, UniMax group loop, checkpoint barriers), the
+honest Amdahl decomposition a 1000-executor judgment needs.
+
+Each worker: full-size warmup pass, then ONE timed pass with
+per-stage walls. taskset-pinned like scaling_bench. Prints one JSON
+line per size plus a summary.
+
+Usage: python scripts/c1_stage_scaling.py [corpus_parquet]
+       (internal: --worker <cores> <path>)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UDF_INTERIOR", "per_string")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORES = (8, 32)
+DEFAULT_PATH = "/tmp/rdqm_scaling_docs_sf0.1_x4"
+
+
+def run_chain_staged(spark, docs, emb) -> dict:
+    from pyspark.sql import functions as F
+
+    from realtime_data_quality_monitor_spark.operators import (
+        dedup,
+        export,
+        importance,
+        quality_filters,
+        similarity,
+    )
+
+    walls = {}
+
+    def tick(name, thunk):
+        t0 = time.perf_counter()
+        r = thunk()
+        walls[name] = round(time.perf_counter() - t0, 2)
+        return r
+
+    a = tick("gopher", lambda: (
+        quality_filters.gopher_keep_flag(docs)
+        .where(F.col("keep") == 1)
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=True)
+    ))
+    b = dedup.drop_duplicate_lines(a, "doc_id", "text").where(
+        F.col("clean_text") != ""
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    bmeta = tick("dup_line", lambda: (
+        a.select("doc_id", "lang", "source").join(b, "doc_id")
+        .localCheckpoint(eager=True)
+    ))
+    emb_b = emb.join(
+        bmeta.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    sd = tick("semdedup", lambda: similarity.semantic_dedup(
+        emb_b, k=16, iters=2, threshold=0.4
+    ).localCheckpoint(eager=True))
+    kept = sd.where(F.col("is_kept") == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    c = tick("join_kept", lambda: bmeta.join(kept, "doc_id")
+             .localCheckpoint(eager=True))
+    target = c.where((F.col("source") == "src0") & (F.col("lang") == "en"))
+    d = tick("dsir", lambda: importance.dsir_topk(c, target, k=50_000)
+             .localCheckpoint(eager=True))
+    dsel = tick("dsel_join", lambda: c.join(d.select("doc_id"), "doc_id")
+                .localCheckpoint(eager=True))
+    e = tick("unimax", lambda: export.unimax_sample(
+        dsel, "lang", budget=20_000, id_col="doc_id", seed="c1mix"
+    ).localCheckpoint(eager=True))
+
+    def pack():
+        packed = export.pack_sequences(
+            e.select("doc_id").join(dsel.select("doc_id", "text"), "doc_id"),
+            seed="c1pack", budget_tokens=2048, n_shards=64, shuffle=False,
+        )
+        out = e.select("doc_id", "lang", "grp_rank", "quota").join(
+            packed.select(
+                "doc_id", "shard", "n_tokens", "tok_start", "seq_id",
+                "tok_offset",
+            ),
+            "doc_id",
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    tick("pack_out", pack)
+    walls["total"] = round(sum(walls.values()), 2)
+    return walls
+
+
+def worker(cores: int, path: str) -> None:
+    from tail_bench import build_embeddings
+
+    from realtime_data_quality_monitor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"c1-stage-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    docs = (
+        spark.read.parquet(path)
+        .repartition(2 * cores, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    emb = build_embeddings(docs).localCheckpoint(eager=True)
+    emb.count()
+    run_chain_staged(spark, docs, emb)  # full-size warmup
+    walls = run_chain_staged(spark, docs, emb)
+    print("WORKER_RESULT " + json.dumps(
+        {"cores": cores, "rows": n, "walls": walls}), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_PATH
+    from bench import host_epoch_sec
+
+    probe0 = host_epoch_sec()
+    results = {}
+    for cores in CORES:
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               str(cores), path]
+        import shutil
+
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=7200)
+        for line in out.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                results[cores] = json.loads(line[len("WORKER_RESULT "):])
+        if cores not in results:
+            print(out.stdout[-1500:], file=sys.stderr)
+            print(out.stderr[-1500:], file=sys.stderr)
+            raise SystemExit(f"worker local[{cores}] produced no result")
+    n_small, n_big = CORES
+    ws, wb = results[n_small]["walls"], results[n_big]["walls"]
+    per_stage = {
+        k: {
+            "sec_N": ws[k],
+            "sec_4N": wb[k],
+            "speedup": round(ws[k] / wb[k], 2) if wb[k] else None,
+            "efficiency": round(ws[k] / wb[k] / 4, 3) if wb[k] else None,
+        }
+        for k in ws
+    }
+    summary = {
+        "metric": "c1_per_stage_scaling_N_to_4N",
+        "rows": results[n_big]["rows"],
+        "per_stage": per_stage,
+        "probe_start": probe0,
+        "probe_end": host_epoch_sec(),
+    }
+    print(json.dumps(summary))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_scaling_c1_stages.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()
